@@ -1,0 +1,110 @@
+"""Cell/tile math: numpy vs DuckDB-SQL mirror vs known properties.
+
+The three backends (numpy / Spark columns / SQL strings) are generated from
+the same constants; this test pins numpy<->SQL equivalence (the Spark column
+side is pinned against the SQL side by the driver's correctness gate)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from tree_code_chunker_spark.operators.geo import (
+    GRID_MAX,
+    cell_at_res_np,
+    cell_at_res_sql,
+    cell_np,
+    cell_sql,
+    derive_point_sql,
+    kring_offsets,
+    part1by1_np,
+    quantize_np,
+    tile_np,
+    tile_sql,
+)
+
+
+def test_part1by1_known_values():
+    assert part1by1_np(np.array([0]))[0] == 0
+    assert part1by1_np(np.array([1]))[0] == 1
+    assert part1by1_np(np.array([0b11]))[0] == 0b101
+    assert part1by1_np(np.array([0xFFFF]))[0] == 0x55555555
+
+
+def test_cell_interleave_bijective():
+    rng = np.random.RandomState(0)
+    qlat = rng.randint(0, 65536, 1000)
+    qlon = rng.randint(0, 65536, 1000)
+    cells = cell_np(qlat, qlon)
+    # de-interleave must round-trip
+    def compact(v):
+        v = v & 0x55555555
+        v = (v | (v >> 1)) & 0x33333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF
+        return v
+    assert (compact(cells >> 1) == qlat).all()
+    assert (compact(cells) == qlon).all()
+
+
+def test_cell_prefix_hierarchy():
+    # parent at res r-1 is the cell at res r shifted by 2 (quadtree prefix)
+    rng = np.random.RandomState(1)
+    qlat = rng.randint(0, 65536, 100)
+    qlon = rng.randint(0, 65536, 100)
+    c = cell_np(qlat, qlon)
+    for r in range(1, 17):
+        assert (cell_at_res_np(c, r - 1) == (cell_at_res_np(c, r) >> 2)).all()
+
+
+def test_quantize_bounds():
+    qlat, qlon = quantize_np(np.array([-90.0, 0.0, 90.0]),
+                             np.array([-180.0, 0.0, 180.0]))
+    assert qlat.tolist() == [0, 32768, GRID_MAX]
+    assert qlon.tolist() == [0, 32768, GRID_MAX]
+
+
+def test_sql_mirror_matches_numpy():
+    import pandas as pd
+
+    rng = np.random.RandomState(2)
+    qlat = rng.randint(0, 65536, 500).astype(np.int64)
+    qlon = rng.randint(0, 65536, 500).astype(np.int64)
+    qdf = pd.DataFrame({"qlat": qlat, "qlon": qlon})
+    con = duckdb.connect()
+    con.register("qdf", qdf)
+    con.execute("CREATE TABLE t AS SELECT * FROM qdf")
+    want_cell = cell_np(qlat, qlon)
+    got = con.execute(
+        f"SELECT {cell_sql('qlat','qlon')} AS cell, "
+        f"{cell_at_res_sql(cell_sql('qlat','qlon'), 6)} AS cell6, "
+        f"{tile_sql('qlat','qlon',8)[0]} AS tx, "
+        f"{tile_sql('qlat','qlon',8)[1]} AS ty "
+        f"FROM t ORDER BY rowid"
+    ).fetchnumpy()
+    assert (got["cell"] == want_cell).all()
+    assert (got["cell6"] == cell_at_res_np(want_cell, 6)).all()
+    tx, ty = tile_np(qlat, qlon, 8)
+    assert (got["tx"] == tx).all()
+    assert (got["ty"] == ty).all()
+
+
+def test_derive_point_sql_in_range():
+    con = duckdb.connect()
+    qlat_e, qlon_e = derive_point_sql("d", "p")
+    rows = con.execute(
+        f"SELECT {qlat_e} AS qlat, {qlon_e} AS qlon FROM "
+        f"(SELECT unnest(generate_series(0, 500)) AS d, 3 AS p)"
+    ).fetchnumpy()
+    assert (rows["qlat"] >= 0).all() and (rows["qlat"] <= GRID_MAX).all()
+    assert (rows["qlon"] >= 0).all() and (rows["qlon"] <= GRID_MAX).all()
+    # skew: doc_id % 5 == 0 -> hot centers, so >= ~20% land in 3 tight boxes
+    hot = rows["qlat"][::5]
+    assert len(np.unique(hot // 256)) <= 6
+
+
+def test_kring_offsets():
+    assert len(kring_offsets(1)) == 9
+    assert len(kring_offsets(2)) == 25
+    assert len(kring_offsets(2, ring_only=True)) == 16
+    assert (0, 0) in kring_offsets(1)

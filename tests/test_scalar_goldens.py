@@ -1,0 +1,185 @@
+"""Scalar golden tests ported from the reference's inline tables
+(FIXTURES.md §6): signatures, delimiter positions, doc comments, imports,
+path/quote helpers."""
+
+import pytest
+
+from tree_code_chunker_spark.functions.doccomment import (
+    clean_doc_comment,
+    clean_python_docstring,
+    is_doc_comment,
+)
+from tree_code_chunker_spark.functions.imports_ext import extract_import_symbols
+from tree_code_chunker_spark.functions.strings import (
+    clean_signature,
+    extract_signature,
+    find_body_delimiter_pos,
+    last_path_segments,
+    last_segment,
+    strip_quotes,
+)
+
+
+# reference coverage_test.go:1663-1690 — exact delimiter positions
+@pytest.mark.parametrize(
+    "text,delim,want",
+    [
+        ("func(a map[string]int) {}", "{", 23),
+        ("func f() {}", "{", 9),
+        ('func f(s string) { return "{" }', "{", 17),
+        ("def f(x):", ":", 8),
+        ("def f(d: dict):", ":", 14),  # ':' inside parens skipped
+        ("no delimiter here", "{", -1),
+        ("List<Map<String, Integer>> x {", "{", 29),
+    ],
+)
+def test_find_body_delimiter_pos(text, delim, want):
+    assert find_body_delimiter_pos(text, delim) == want
+
+
+# reference signature_test.go:8-88 — exact signature strings
+@pytest.mark.parametrize(
+    "text,etype,lang,want",
+    [
+        ("func add(a, b int) int {\n\treturn a + b\n}", "function", "go",
+         "func add(a, b int) int"),
+        ("func (u *User) Greet() string {\n\treturn u.Name\n}", "method", "go",
+         "func (u *User) Greet() string"),
+        ("type User struct {\n\tName string\n}", "class", "go",
+         "type User struct"),
+        ("function greet(name: string): string {\n  return name;\n}",
+         "function", "typescript", "function greet(name: string): string"),
+        ("class Foo {\n  bar() {}\n}", "class", "typescript", "class Foo"),
+        ("def add(a, b):\n    return a + b", "function", "python",
+         "def add(a, b)"),
+        ("type Alias = string", "type", "typescript", "type Alias"),
+        ("import \"fmt\"", "import", "go", "import \"fmt\""),
+    ],
+)
+def test_extract_signature(text, etype, lang, want):
+    assert extract_signature(text, etype, lang) == want
+
+
+# reference signature_test.go:196-215
+@pytest.mark.parametrize(
+    "sig,want",
+    [
+        ("func  add(a,\n\tb int)", "func add(a, b int)"),
+        ("\r\nx   y\t z \r\n", "x y z"),
+        ("already clean", "already clean"),
+    ],
+)
+def test_clean_signature(sig, want):
+    assert clean_signature(sig) == want
+
+
+# reference signature_test.go:217-236 — lone quote NOT stripped
+@pytest.mark.parametrize(
+    "s,want",
+    [
+        ('"fmt"', "fmt"),
+        ("'m'", "m"),
+        ("`tpl`", "tpl"),
+        ('"', '"'),          # len<2 -> unchanged (pinned quirk)
+        ("'", "'"),
+        ('"mismatch\'', '"mismatch\''),
+        ("bare", "bare"),
+    ],
+)
+def test_strip_quotes(s, want):
+    assert strip_quotes(s) == want
+
+
+# reference codechunk_test.go:513-532
+@pytest.mark.parametrize(
+    "path,want",
+    [
+        ("a/b/c/d/e.go", "c/d/e.go"),
+        ("a/b.go", "a/b.go"),
+        ("e.go", "e.go"),
+        ("/x/y/z/w.py", "y/z/w.py"),
+    ],
+)
+def test_last_path_segments(path, want):
+    assert last_path_segments(path, 3) == want
+
+
+def test_last_segment():
+    assert last_segment("std::io::Result") == "Result"
+    assert last_segment("plain") == "plain"
+
+
+# reference docstring_test.go:129-165 truth table (// doc in Go, NOT in TS)
+@pytest.mark.parametrize(
+    "text,lang,want",
+    [
+        ("// plain comment", "go", True),
+        ("/* block */", "go", True),
+        ("// plain comment", "typescript", False),
+        ("/** jsdoc */", "typescript", True),
+        ("/// triple", "typescript", True),
+        ("/// rust doc", "rust", True),
+        ("//! inner doc", "rust", True),
+        ("/*! inner block */", "rust", True),
+        ("// not doc", "rust", False),
+        ('"""py docstring"""', "python", True),
+        ("'''py'''", "python", True),
+        ("# hash", "python", False),
+        ("/** javadoc */", "java", True),
+        ("// line", "java", False),
+    ],
+)
+def test_is_doc_comment(text, lang, want):
+    assert is_doc_comment(text, lang) == want
+
+
+@pytest.mark.parametrize(
+    "text,lang,want",
+    [
+        ("// Add adds two ints\n// and returns the sum", "go",
+         "Add adds two ints and returns the sum"),
+        ("/**\n * Greets.\n * @param name x\n */", "java",
+         "Greets. @param name x"),
+        ("/// Does things\n/// carefully", "rust", "Does things carefully"),
+        ("plain text", "python", "plain text"),
+    ],
+)
+def test_clean_doc_comment(text, lang, want):
+    assert clean_doc_comment(text, lang) == want
+
+
+def test_clean_python_docstring():
+    assert clean_python_docstring('"""doc"""') == "doc"
+    assert clean_python_docstring("'''  doc  '''") == "doc"
+    assert clean_python_docstring('""""""') is None
+
+
+# reference imports_test.go:111-165, 304-368
+@pytest.mark.parametrize(
+    "text,lang,want_names,want_source",
+    [
+        ('import "fmt"', "go", ["fmt"], "fmt"),
+        ('import f "fmt"', "go", ["f"], "fmt"),
+        ('import (\n  "fmt"\n  "strings"\n)', "go", ["fmt", "strings"], ""),
+        ('import "github.com/x/y"', "go", ["y"], "github.com/x/y"),
+        ("import os.path as p", "python", ["p"], "os.path"),
+        ("import os", "python", ["os"], "os"),
+        ("from os import path, sep as s", "python", ["path", "s"], "os"),
+        ("from os import *", "python", ["*"], "os"),
+        ("import { useState as state } from 'react';", "typescript",
+         ["state"], "react"),
+        ("import React, { useState } from 'react';", "typescript",
+         ["React", "useState"], "react"),
+        ("import * as ns from 'mod';", "javascript", ["ns"], "mod"),
+        ("import 'side-effect';", "javascript", ["import"], "side-effect"),
+        ("use std::io::Result;", "rust", ["Result"], "std::io::Result"),
+        ("use a::b::{c, d as e};", "rust", ["c", "e"], None),
+        ("use a::*;", "rust", ["*"], "a::*"),
+        ("import java.util.List;", "java", ["List"], "java.util.List"),
+    ],
+)
+def test_extract_import_symbols(text, lang, want_names, want_source):
+    got = extract_import_symbols(text, lang)
+    assert [n for n, _ in got] == want_names
+    if want_source is not None:
+        assert got[0][1] == want_source

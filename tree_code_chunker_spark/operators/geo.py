@@ -1,0 +1,192 @@
+"""Cell index + tile math: Morton/quadkey grid (H3/S2-equivalent contract).
+
+Public-knowledge construction (Z-order curve / quadkeys, as in Bing Maps
+quadkey docs and the classic "Bit Twiddling Hacks" part1by1 spread): quantize
+lat/lon onto a 2^16 x 2^16 integer grid, bit-interleave (lat, lon) into a
+32-bit Morton cell id; resolution r in [0,16] keeps the top 2r bits
+(hierarchical prefix — parent/child by integer shift, so "cell-prefix" kNN and
+k-ring are integer math).  All math is INTEGER after quantization — bit-exact
+across partitions, cluster sizes, and the three synchronized backends:
+
+ * Spark Column expressions (JVM whole-stage codegen — the engine hot path;
+   no Python at all for cell/tile assignment),
+ * numpy (inside pandas UDFs + pytest oracles),
+ * DuckDB SQL strings (the driver's correctness oracle).
+
+Tile scheme (raster/vector materialization): slippy-style z/x/y on the same
+grid, x from west, y from north: x = qlon >> (16-z), y = (65535-qlat) >> (16-z).
+
+Reference correspondence: the reference's interval containment/overlap joins
+(scope.go:4-6, codechunk.go:631-651) are the 1-D versions of the cell-bucket
+prune + exact test implemented here in 2-D (SURVEY.md §2.4 J2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, functions as F
+
+from ..config import GRID_BITS
+
+GRID_MAX = (1 << GRID_BITS) - 1  # 65535
+
+# (shift, mask) pairs for the 16->32 bit interleave spread (part1by1).
+_SPREAD = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+# ---------------------------------------------------------------- numpy ----
+
+
+def quantize_np(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Float lat/lon -> integer grid coords (floor, clamped)."""
+    qlat = np.floor((lat + 90.0) / 180.0 * 65536.0).astype(np.int64)
+    qlon = np.floor((lon + 180.0) / 360.0 * 65536.0).astype(np.int64)
+    return np.clip(qlat, 0, GRID_MAX), np.clip(qlon, 0, GRID_MAX)
+
+
+def part1by1_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64) & 0xFFFF
+    for shift, mask in _SPREAD:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def cell_np(qlat: np.ndarray, qlon: np.ndarray) -> np.ndarray:
+    """Morton cell id at full resolution (32-bit, lat bits in odd positions)."""
+    return (part1by1_np(qlat) << 1) | part1by1_np(qlon)
+
+
+def cell_at_res_np(cell: np.ndarray, r: int) -> np.ndarray:
+    return cell >> (2 * (GRID_BITS - r))
+
+
+def tile_np(qlat: np.ndarray, qlon: np.ndarray, z: int):
+    x = qlon >> (GRID_BITS - z)
+    y = (GRID_MAX - qlat) >> (GRID_BITS - z)
+    return x, y
+
+
+# ------------------------------------------------------- Spark columns ----
+
+
+def quantize_col(lat: Column, lon: Column) -> tuple[Column, Column]:
+    qlat = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(65536.0))
+    qlon = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(65536.0))
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(GRID_MAX), c))
+    return clamp(qlat).cast("long"), clamp(qlon).cast("long")
+
+
+def part1by1_col(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def cell_col(qlat: Column, qlon: Column) -> Column:
+    return F.shiftleft(part1by1_col(qlat), 1).bitwiseOR(part1by1_col(qlon))
+
+
+def cell_at_res_col(cell: Column, r: int) -> Column:
+    return F.shiftright(cell, 2 * (GRID_BITS - r))
+
+
+def tile_cols(qlat: Column, qlon: Column, z: int) -> tuple[Column, Column]:
+    x = F.shiftright(qlon, GRID_BITS - z)
+    y = F.shiftright(F.lit(GRID_MAX) - qlat, GRID_BITS - z)
+    return x, y
+
+
+def kring_offsets(k: int, ring_only: bool = False) -> list[tuple[int, int]]:
+    """Chebyshev disk (or ring shell) offsets around a grid cell at res r."""
+    out = []
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            if ring_only and max(abs(dx), abs(dy)) != k:
+                continue
+            out.append((dy, dx))
+    return out
+
+
+# ----------------------------------------------------- DuckDB SQL mirror ----
+
+
+def part1by1_sql(v: str) -> str:
+    """SQL expression string computing part1by1 of integer expression `v`."""
+    e = f"(({v}) & 65535)"
+    for shift, mask in _SPREAD:
+        e = f"((({e} | ({e} << {shift}))) & {mask})"
+    return e
+
+
+def cell_sql(qlat: str, qlon: str) -> str:
+    return f"(({part1by1_sql(qlat)} << 1) | {part1by1_sql(qlon)})"
+
+
+def cell_at_res_sql(cell: str, r: int) -> str:
+    return f"(({cell}) >> {2 * (GRID_BITS - r)})"
+
+
+def tile_sql(qlat: str, qlon: str, z: int) -> tuple[str, str]:
+    return (
+        f"(({qlon}) >> {GRID_BITS - z})",
+        f"(({GRID_MAX} - ({qlat})) >> {GRID_BITS - z})",
+    )
+
+
+# --------------------------------------- derived deterministic point set ----
+# Points for the driver-table correctness gate are derived from integer keys
+# (documents doc_id x span_pos) by modular hashing — integer end-to-end so the
+# Spark and DuckDB sides agree bit-for-bit.  20% of docs are redirected into 3
+# hot cells (power-law skew) so the skew-handling paths are exercised with
+# real skew, not just compiled (FIXTURES.md §3).
+
+HASH_MULT = 2654435761  # Knuth multiplicative constant (public)
+HASH_MOD = 1 << 32
+HOT_CENTERS = [(52000, 9000), (21000, 43000), (40000, 60000)]  # (qlat, qlon)
+HOT_JITTER = 64  # grid units of jitter inside a hot spot
+HOT_DOC_MOD = 5  # doc_id % 5 == 0 -> hot (20% of docs)
+
+
+def derive_point_cols(doc_id: Column, span_pos: Column) -> tuple[Column, Column]:
+    """(qlat, qlon) integer grid coords derived from (doc_id, span_pos)."""
+    h = (doc_id.cast("long") * F.lit(HASH_MULT)
+         + span_pos.cast("long") * F.lit(40503) + F.lit(12345)) % F.lit(HASH_MOD)
+    base_qlat = h % F.lit(65536)
+    base_qlon = (h / F.lit(65536)).cast("long") % F.lit(65536)
+    hot = (doc_id.cast("long") % HOT_DOC_MOD) == 0
+    hot_ix = (doc_id.cast("long") / F.lit(HOT_DOC_MOD)).cast("long") % F.lit(3)
+    hot_qlat = hot_qlon = None
+    for i, (cy, cx) in enumerate(HOT_CENTERS):
+        qa = F.lit(cy) + h % F.lit(HOT_JITTER)
+        qo = F.lit(cx) + (h / F.lit(HOT_JITTER)).cast("long") % F.lit(HOT_JITTER)
+        hot_qlat = qa if hot_qlat is None else F.when(hot_ix == i, qa).otherwise(hot_qlat)
+        hot_qlon = qo if hot_qlon is None else F.when(hot_ix == i, qo).otherwise(hot_qlon)
+    qlat = F.when(hot, hot_qlat).otherwise(base_qlat)
+    qlon = F.when(hot, hot_qlon).otherwise(base_qlon)
+    return qlat.cast("long"), qlon.cast("long")
+
+
+def derive_point_sql(doc_id: str = "doc_id", span_pos: str = "span_pos") -> tuple[str, str]:
+    """DuckDB SQL mirror of derive_point_cols (integer-exact)."""
+    h = (f"((CAST({doc_id} AS BIGINT) * {HASH_MULT} + "
+         f"CAST({span_pos} AS BIGINT) * 40503 + 12345) % {HASH_MOD})")
+    base_qlat = f"({h} % 65536)"
+    base_qlon = f"(({h} // 65536) % 65536)"
+    hot = f"((CAST({doc_id} AS BIGINT) % {HOT_DOC_MOD}) = 0)"
+    hot_ix = f"((CAST({doc_id} AS BIGINT) // {HOT_DOC_MOD}) % 3)"
+    lat_cases = " ".join(
+        f"WHEN {hot_ix} = {i} THEN ({cy} + {h} % {HOT_JITTER})"
+        for i, (cy, cx) in enumerate(HOT_CENTERS)
+    )
+    lon_cases = " ".join(
+        f"WHEN {hot_ix} = {i} THEN ({cx} + ({h} // {HOT_JITTER}) % {HOT_JITTER})"
+        for i, (cy, cx) in enumerate(HOT_CENTERS)
+    )
+    qlat = f"(CASE WHEN {hot} THEN (CASE {lat_cases} END) ELSE {base_qlat} END)"
+    qlon = f"(CASE WHEN {hot} THEN (CASE {lon_cases} END) ELSE {base_qlon} END)"
+    return qlat, qlon

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+ * `cosine_topk` — brute-force exact baseline: broadcast the (small) query
+   set, score every corpus vector with built-in higher-order functions
+   (zip_with + aggregate — JVM-side, no Python), window top-k.  This is the
+   oracle-checkable path.
+ * `ann_lsh_topk` — scale path: random-hyperplane LSH (fixed seed) buckets
+   the corpus once (b sign bits -> bucket id); queries probe their own bucket
+   plus all Hamming-1 neighbors, exact re-rank inside candidates.  Recall is
+   tunable via n_bits/n_tables; candidates << corpus, so the 100TB corpus is
+   touched by one bucketed equi-join instead of a cross join.
+
+Ranking determinism: similarities are rounded to 6 dp BEFORE ranking and
+ties break on vec_id, so engine and DuckDB oracle produce identical rows
+despite float summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+SIM_ROUND = 6
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — exact brute-force cosine top-k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                SIM_ROUND,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(n_bits):
+            out |= signs[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join (multi-probe Hamming-1), exact
+    cosine re-rank within candidates."""
+    bucket = lsh_bucket_udf(dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", bucket(F.col("cvec")))
+    probes = F.array(
+        F.lit(0), *[F.lit(1 << i) for i in range(n_bits)]
+    )  # own bucket + flip each bit
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("qbucket", bucket(F.col("qvec")))
+        .withColumn("flip", F.explode(probes))
+        .withColumn("bucket", F.col("qbucket").bitwiseXOR(F.col("flip")))
+    )
+    cand = F.broadcast(q).join(c, "bucket", "inner").withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            SIM_ROUND,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", "sim").distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

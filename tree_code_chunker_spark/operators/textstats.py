@@ -1,0 +1,142 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure built-in column functions (JVM whole-stage codegen — zero Python in
+the hot path), each with an exact DuckDB SQL mirror for the correctness gate.
+The NWS counter mirrors the reference's byte>32 rule
+(/root/reference/chunking.go:13-25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny deterministic stopword sets per language for the n-gram-free heuristic
+# language ID (public-knowledge approach: stopword/function-word hit ratios).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def nws_count_col(text: Column) -> Column:
+    """NWS chars (reference rule: byte value > 32; ASCII-safe column form)."""
+    return F.length(F.regexp_replace(text, r"[\x00-\x20]", ""))
+
+
+def nws_count_sql(text: str) -> str:
+    return f"length(regexp_replace({text}, '[\\x00-\\x20]', '', 'g'))"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokenization count (empty text -> 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def token_count_sql(text: str) -> str:
+    return (f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END")
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic quality score in [0,1]: mean of three ratio features
+    (length saturation, alpha ratio, mean-word-length band)."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    toks = token_count_col(text)
+    len_feat = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_feat = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mwl = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    mwl_feat = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_feat + alpha_feat + mwl_feat) / F.lit(3.0), 6)
+
+
+def quality_score_sql(text: str) -> str:
+    n = f"length({text})"
+    alpha = f"length(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+    toks = token_count_sql(text)
+    mwl = f"(CASE WHEN ({toks}) > 0 THEN {n} / CAST(({toks}) AS DOUBLE) ELSE 0.0 END)"
+    return (
+        f"round((least({n} / 500.0, 1.0) + "
+        f"(CASE WHEN {n} > 0 THEN {alpha} / CAST({n} AS DOUBLE) ELSE 0.0 END) + "
+        f"(CASE WHEN {mwl} >= 3 AND {mwl} <= 10 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)"
+    )
+
+
+def _marker_hits_col(text: Column, markers: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    hits = None
+    for m in markers:
+        h = F.when(padded.contains(f" {m} "), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-ratio language guess over LANG_MARKERS; ties and no-hits
+    resolve to 'und' / first language in fixed dict order."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # fixed evaluation order
+        h = _marker_hits_col(text, LANG_MARKERS[lang])
+        cond = h > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return best_lang
+
+
+def lang_id_sql(text: str) -> str:
+    padded = f"(' ' || {text} || ' ')"
+
+    def hits(lang):
+        return " + ".join(
+            f"(CASE WHEN contains({padded}, ' {m} ') THEN 1 ELSE 0 END)"
+            for m in LANG_MARKERS[lang]
+        )
+
+    expr = "'und'"
+    best = "0"
+    for lang in sorted(LANG_MARKERS):
+        h = f"({hits(lang)})"
+        expr = f"(CASE WHEN {h} > {best} THEN '{lang}' ELSE {expr} END)"
+        best = f"greatest({h}, {best})"
+    return expr
+
+
+FP_MULT = 31
+FP_MOD = (1 << 31) - 1  # Mersenne 2^31-1
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling-hash document fingerprint over whitespace tokens:
+    fp = sum(len(token_i) * 31^i) mod (2^31-1) — order-sensitive, integer-
+    exact, and expressible in both Spark and DuckDB via aggregate/list_reduce-
+    free cumulative form (uses token lengths, not charcodes, to stay
+    overflow-safe in ANSI mode)."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.aggregate(
+        toks,
+        F.struct(F.lit(0).cast("long").alias("acc"), F.lit(1).cast("long").alias("pw")),
+        lambda st, t: F.struct(
+            ((st["acc"] + F.length(t) * st["pw"]) % FP_MOD).alias("acc"),
+            ((st["pw"] * FP_MULT) % FP_MOD).alias("pw"),
+        ),
+        lambda st: st["acc"],
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "nws": nws_count_col(t),
+            "n_tokens": token_count_col(t),
+            "quality": quality_score_col(t),
+            "lang_guess": lang_id_col(t),
+            "fingerprint": fingerprint_col(t),
+        }
+    )

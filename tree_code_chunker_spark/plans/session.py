@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Design-for-100TB notes (tested on local[N]):
+ * AQE on, including skew-join splitting and partition coalescing — the
+   runtime re-plan is the first line of defense against hot H3/Morton cells
+   (the explicit salting path in operators/skew.py is the second).
+ * Arrow enabled for all pandas UDF exchange; batch size capped so pandas
+   UDF memory stays bounded regardless of row width.
+ * shuffle.partitions scales with cores locally; on a real cluster this is
+   set to ~2-3x total executor cores via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tree-code-chunker-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_confs or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,38 +1,670 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (chunk -> geocode -> PIP join) on
+sf0.001.  `queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data pipeline ops); `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.  Column names and
+integer widths are aligned on both sides (driver hashes values after sorting
+columns by name).
+
+Non-SQL-expressible entries (the data-dependent chunk fold, MinHash/SimHash
+sketches, ray-cast PIP against concave polygons) intentionally have no
+oracle_sql — the driver records a rows-only check; their exactness is pinned
+by tests/ against independent Python/numpy oracles instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tree_code_chunker_spark.operators.chunker import chunk_documents
+from tree_code_chunker_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_sketches,
+)
+from tree_code_chunker_spark.operators.geo import (
+    GRID_MAX,
+    cell_at_res_col,
+    cell_at_res_sql,
+    cell_col,
+    cell_sql,
+    derive_point_cols,
+    derive_point_sql,
+    tile_cols,
+    tile_sql,
+)
+from tree_code_chunker_spark.operators.knn import knn_ring
+from tree_code_chunker_spark.operators.pip import pip_join
+from tree_code_chunker_spark.operators.similarity import cosine_topk
+from tree_code_chunker_spark.operators.textstats import (
+    fingerprint_col,
+    lang_id_col,
+    lang_id_sql,
+    nws_count_col,
+    nws_count_sql,
+    quality_score_col,
+    quality_score_sql,
+    token_count_col,
+    token_count_sql,
+)
+from tree_code_chunker_spark.sources.adapter import (
+    spanify,
+    spanify_exploded,
+    spanify_sql,
+)
+from tree_code_chunker_spark.sources.datagen import gen_polygons
+
+# ------------------------------------------------------------- helpers ----
+
+SPANS_CTE = f"WITH spans AS ({spanify_sql()})"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spanify_exploded(_docs(spark, sf_dir))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-grid points, one per span (engine side)."""
+    s = _spans(spark, sf_dir)
+    qlat, qlon = derive_point_cols(F.col("doc_id").cast("long"), F.col("span_pos"))
+    return s.select(
+        "doc_id",
+        F.col("span_pos").cast("long").alias("span_pos"),
+        qlat.alias("qlat"),
+        qlon.alias("qlon"),
+    )
+
+
+POINTS_SQL = """
+points AS (
+  SELECT doc_id, CAST(span_pos AS BIGINT) AS span_pos,
+         {qlat} AS qlat, {qlon} AS qlon
+  FROM spans
+)""".format(qlat=derive_point_sql()[0], qlon=derive_point_sql()[1])
+
+
+# rectangle "polygons" for the SQL-checked PIP entry (engine runs the real
+# ray-cast; axis-aligned rectangles make the oracle a pure range predicate
+# under the documented half-open edge convention: y0<=py<y1 AND x0<=px<x1)
+def _rects() -> list[tuple[str, int, int, int, int]]:
+    out = []
+    for r in range(10):
+        y0 = (r * 6553 + 1000) % 60000
+        x0 = (r * 7321 + 2000) % 60000
+        out.append((f"rect{r:02d}", y0, x0, y0 + 3000, x0 + 4000))
+    return out
+
+
+def _rect_polygons(spark: SparkSession) -> DataFrame:
+    rows = []
+    for pid, y0, x0, y1, x1 in _rects():
+        ring = [(y0, x0), (y0, x1), (y1, x1), (y1, x0), (y0, x0)]
+        rows.append((pid, ring))
+    return spark.createDataFrame(
+        rows, "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>"
+    )
+
+
+RECTS_SQL = "rects(polygon_id, y0, x0, y1, x1) AS (VALUES " + ", ".join(
+    f"('{pid}', {y0}, {x0}, {y1}, {x1})" for pid, y0, x0, y1, x1 in _rects()
+) + ")"
+
+
+# ------------------------------------------------------------- queries ----
+
+
+def q_tpch_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_rollup(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_ROLLUP = """
+SELECT n_name, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+"""
+
+
+def q_span_explode(spark, sf_dir):
+    return _spans(spark, sf_dir).select(
+        "doc_id", F.col("span_pos").cast("long").alias("span_pos"),
+        "kind", "text", "media_ref",
+    )
+
+
+SQL_SPAN_EXPLODE = f"""
+{SPANS_CTE}
+SELECT doc_id, CAST(span_pos AS BIGINT) AS span_pos, kind, text, media_ref
+FROM spans
+"""
+
+
+def q_cell_index(spark, sf_dir):
+    p = _points(spark, sf_dir)
+    cell = cell_col(F.col("qlat"), F.col("qlon"))
+    return p.select(
+        "doc_id", "span_pos", "qlat", "qlon",
+        cell.alias("cell"),
+        cell_at_res_col(cell, 12).alias("cell_r12"),
+        cell_at_res_col(cell, 6).alias("cell_r6"),
+    )
+
+
+SQL_CELL_INDEX = f"""
+{SPANS_CTE}, {POINTS_SQL}
+SELECT doc_id, span_pos, qlat, qlon,
+       {cell_sql('qlat', 'qlon')} AS cell,
+       {cell_at_res_sql(cell_sql('qlat', 'qlon'), 12)} AS cell_r12,
+       {cell_at_res_sql(cell_sql('qlat', 'qlon'), 6)} AS cell_r6
+FROM points
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    p = _points(spark, sf_dir)
+    parts = []
+    for z in (4, 8, 12):
+        tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), z)
+        parts.append(
+            p.select(F.lit(z).alias("z"), tx.alias("x"), ty.alias("y"))
+        )
+    allz = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allz.groupBy("z", "x", "y").agg(F.count("*").alias("n_points"))
+
+
+def _tile_union_sql():
+    selects = []
+    for z in (4, 8, 12):
+        tx, ty = tile_sql("qlat", "qlon", z)
+        selects.append(f"SELECT {z} AS z, {tx} AS x, {ty} AS y FROM points")
+    return " UNION ALL ".join(selects)
+
+
+SQL_TILE_ROLLUP = f"""
+{SPANS_CTE}, {POINTS_SQL}
+SELECT z, x, y, count(*) AS n_points
+FROM ({_tile_union_sql()})
+GROUP BY z, x, y
+"""
+
+
+def q_pip_rect(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    polys = _rect_polygons(spark)
+    return pip_join(pts, polys).select("doc_id", "span_pos", "polygon_id")
+
+
+SQL_PIP_RECT = f"""
+{SPANS_CTE}, {POINTS_SQL}, {RECTS_SQL}
+SELECT doc_id, span_pos, polygon_id
+FROM points JOIN rects
+  ON qlat >= y0 AND qlat < y1 AND qlon >= x0 AND qlon < x1
+"""
+
+
+def q_knn(spark, sf_dir):
+    corpus = _points(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qlat, qlon = derive_point_cols(F.col("n_nationkey").cast("long"), F.lit(999))
+    queries = n.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon"),
+    )
+    out = knn_ring(queries, corpus, k=5, res=10)
+    return out.select(
+        "query_id", "doc_id", "span_pos",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_QLAT_Q, _QLON_Q = derive_point_sql("n_nationkey", "999")
+SQL_KNN = f"""
+{SPANS_CTE}, {POINTS_SQL}, queries AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {_QLAT_Q} AS qlat, {_QLON_Q} AS qlon
+  FROM nation
+), scored AS (
+  SELECT q.query_id, p.doc_id, p.span_pos,
+         (p.qlat - q.qlat) * (p.qlat - q.qlat)
+         + (p.qlon - q.qlon) * (p.qlon - q.qlon) AS d2
+  FROM queries q CROSS JOIN points p
+)
+SELECT query_id, doc_id, span_pos, d2,
+       rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2 ASC, doc_id ASC, span_pos ASC
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return exact_dedup(d, "doc_id", "text").select(
+        "digest", F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        nws_count_col(t).cast("long").alias("nws"),
+        token_count_col(t).cast("long").alias("n_tokens"),
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_guess"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       {nws_count_sql('text')} AS nws,
+       CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+       {quality_score_sql('text')} AS quality,
+       {lang_id_sql('text')} AS lang_guess
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend([0::BIGINT, 1::BIGINT],
+           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                          t -> [length(t)::BIGINT, 0::BIGINT])),
+         (acc, x) -> [(acc[1] + x[1] * acc[2]) % 2147483647,
+                      (acc[2] * 31) % 2147483647]
+       )[1] AS fingerprint
+FROM documents
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """J3 analogue (codechunk.go:631-651): sliding char windows x spans,
+    overlap predicate + is_partial flag."""
+    s = _spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("span_pos")
+    spans = (
+        s.withColumn("len", F.length(F.when(F.col("kind") == "media",
+                                            F.concat(F.lit("<media:"), F.col("media_ref"), F.lit(">")))
+                             .otherwise(F.col("text"))))
+        .withColumn(
+            "start",
+            F.coalesce(F.sum(F.col("len") + 1).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).cast("long"),
+        )
+        .withColumn("end", (F.col("start") + F.col("len")).cast("long"))
+    )
+    doclen = spans.groupBy("doc_id").agg(F.max("end").alias("doclen"))
+    windows = doclen.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("doclen") - 1) / 200).cast("int"))
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        (F.col("w") * 200).cast("long").alias("c_start"),
+        (F.col("w") * 200 + 250).cast("long").alias("c_end"),
+    )
+    j = spans.join(windows, "doc_id").filter(
+        (F.col("start") < F.col("c_end")) & (F.col("end") > F.col("c_start"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("w"),
+        F.col("span_pos").cast("long").alias("span_pos"),
+        ((F.col("start") < F.col("c_start")) | (F.col("end") > F.col("c_end")))
+        .alias("is_partial"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = f"""
+{SPANS_CTE}, sp AS (
+  SELECT doc_id, span_pos,
+         length(CASE WHEN kind = 'media'
+                THEN '<media:' || media_ref || '>' ELSE text END) AS len
+  FROM spans
+), off AS (
+  SELECT doc_id, span_pos, len,
+         COALESCE(SUM(len + 1) OVER (
+           PARTITION BY doc_id ORDER BY span_pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM sp
+), offs AS (
+  SELECT doc_id, span_pos, start, start + len AS "end" FROM off
+), doclen AS (
+  SELECT doc_id, max("end") AS doclen FROM offs GROUP BY doc_id
+), windows AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(w * 200 AS BIGINT) AS c_start,
+         CAST(w * 200 + 250 AS BIGINT) AS c_end
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, CAST((doclen - 1) // 200 AS BIGINT))) AS w
+        FROM doclen)
+)
+SELECT o.doc_id, w.w, CAST(o.span_pos AS BIGINT) AS span_pos,
+       (o.start < w.c_start OR o."end" > w.c_end) AS is_partial
+FROM offs o JOIN windows w ON o.doc_id = w.doc_id
+WHERE o.start < w.c_end AND o."end" > w.c_start
+"""
+
+
+def q_siblings(spark, sf_dir):
+    """J4 analogue (codechunk.go:653-689): up to 3 neighbors per side with
+    1-based distance."""
+    s = _spans(spark, sf_dir).select("doc_id", "span_pos")
+    a = s.alias("a")
+    b = s.alias("b")
+    j = a.join(b, "doc_id").filter(
+        (F.col("a.span_pos") != F.col("b.span_pos"))
+        & (F.abs(F.col("a.span_pos") - F.col("b.span_pos")) <= 3)
+    )
+    return j.select(
+        "doc_id",
+        F.col("a.span_pos").cast("long").alias("span_pos"),
+        F.col("b.span_pos").cast("long").alias("sib_pos"),
+        F.when(F.col("b.span_pos") < F.col("a.span_pos"), "before")
+        .otherwise("after").alias("side"),
+        F.abs(F.col("a.span_pos") - F.col("b.span_pos")).cast("long").alias("distance"),
+    )
+
+
+SQL_SIBLINGS = f"""
+{SPANS_CTE}
+SELECT a.doc_id, CAST(a.span_pos AS BIGINT) AS span_pos,
+       CAST(b.span_pos AS BIGINT) AS sib_pos,
+       CASE WHEN b.span_pos < a.span_pos THEN 'before' ELSE 'after' END AS side,
+       CAST(abs(a.span_pos - b.span_pos) AS BIGINT) AS distance
+FROM spans a JOIN spans b
+  ON a.doc_id = b.doc_id AND a.span_pos != b.span_pos
+  AND abs(a.span_pos - b.span_pos) <= 3
+"""
+
+
+def q_overlap_lag(spark, sf_dir):
+    """W5 analogue (codechunk.go:172-183): last 3 words of the previous
+    text span prepended as overlap context."""
+    s = _spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("span_pos")
+    prev = F.lag("text").over(w)
+    overlap = F.when(
+        prev.isNull() | (F.length(prev) == 0), F.lit("")
+    ).otherwise(F.concat_ws(" ", F.slice(F.split(prev, " "), -3, 3)))
+    return s.select(
+        "doc_id", F.col("span_pos").cast("long").alias("span_pos"),
+        overlap.alias("overlap_text"),
+    )
+
+
+SQL_OVERLAP_LAG = f"""
+{SPANS_CTE}
+SELECT doc_id, CAST(span_pos AS BIGINT) AS span_pos,
+       CASE WHEN prev IS NULL OR length(prev) = 0 THEN ''
+            ELSE array_to_string(string_split(prev, ' ')[-3:], ' ')
+       END AS overlap_text
+FROM (
+  SELECT doc_id, span_pos, text,
+         lag(text) OVER (PARTITION BY doc_id ORDER BY span_pos) AS prev
+  FROM spans
+)
+"""
+
+
+def q_total_chunks(spark, sf_dir):
+    """A4 (codechunk.go:149): per-doc count stamped on every row."""
+    s = _spans(spark, sf_dir)
+    return s.select(
+        "doc_id", F.col("span_pos").cast("long").alias("span_pos"),
+        F.count("*").over(Window.partitionBy("doc_id")).cast("long")
+        .alias("total_spans"),
+    )
+
+
+SQL_TOTAL_CHUNKS = f"""
+{SPANS_CTE}
+SELECT doc_id, CAST(span_pos AS BIGINT) AS span_pos,
+       count(*) OVER (PARTITION BY doc_id) AS total_spans
+FROM spans
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = cosine_topk(queries, e, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_COSINE = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(
+           list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))),
+           6) AS sim
+  FROM vecs q CROSS JOIN vecs c
+  WHERE q.vec_id < 10
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2,
+                              max_gram_freq=10**9)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(ws[i : i + 2], ' ') AS gram
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+), sizes AS (
+  SELECT id, count(*) AS n_grams FROM grams GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_inter,
+       round(n_inter / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) >= 0.2
+"""
+
+
+# ---- rows-only entries (no SQL oracle; pinned by pytest instead) ----
+
+
+def q_chunk_spans(spark, sf_dir):
+    """The real chunker (W1-W4 fold) over adapter spans — data-dependent
+    sequential fold, not SQL-expressible; exactness pinned by
+    tests/test_spark_e2e.py against the naive Python oracle."""
+    docs = spanify(_docs(spark, sf_dir))
+    c = chunk_documents(docs, max_size=1500)
+    return c.select(
+        "doc_id", "chunk_index", "total_chunks", "byte_start", "byte_end",
+        "line_start", "line_end", "nws_size", "is_partial", "text",
+    )
+
+
+def q_pip_raycast(spark, sf_dir):
+    """Ray-cast PIP against concave/convex synthetic polygons — pinned by
+    tests against the numpy brute-force oracle."""
+    pts = _points(spark, sf_dir)
+    polys = gen_polygons(spark, 20, seed=43)
+    return pip_join(pts, polys).select("doc_id", "span_pos", "polygon_id")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, "doc_id", "text")
+    return lsh_candidate_pairs(sigs, bands=16)
+
+
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return simhash_sketches(d, "doc_id", "text")
+
+
+# -------------------------------------------------------------- contract ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: chunk sf0.001 docs -> geocode chunk points -> ray-cast PIP
+    join -> per-polygon counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spanify(_docs(spark, sf_dir))
+    chunks = chunk_documents(docs, max_size=1500)
+    pts = chunks.select("doc_id", F.col("chunk_index").alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id").cast("long"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos", qlat.alias("qlat"), qlon.alias("qlon"))
+    polys = gen_polygons(spark, 20, seed=43)
+    return (
+        pip_join(pts, polys)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("n_points"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_pricing": q_tpch_pricing,
+        "join_rollup": q_join_rollup,
+        "span_explode": q_span_explode,
+        "cell_index": q_cell_index,
+        "tile_rollup": q_tile_rollup,
+        "pip_rect": q_pip_rect,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "interval_overlap": q_interval_overlap,
+        "siblings": q_siblings,
+        "overlap_lag": q_overlap_lag,
+        "total_chunks": q_total_chunks,
+        "ann_cosine": q_ann_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "chunk_spans": q_chunk_spans,
+        "pip_raycast": q_pip_raycast,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_pricing": SQL_TPCH_PRICING,
+        "join_rollup": SQL_JOIN_ROLLUP,
+        "span_explode": SQL_SPAN_EXPLODE,
+        "cell_index": SQL_CELL_INDEX,
+        "tile_rollup": SQL_TILE_ROLLUP,
+        "pip_rect": SQL_PIP_RECT,
+        "knn": SQL_KNN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "text_stats": SQL_TEXT_STATS,
+        "fingerprint": SQL_FINGERPRINT,
+        "interval_overlap": SQL_INTERVAL_OVERLAP,
+        "siblings": SQL_SIBLINGS,
+        "overlap_lag": SQL_OVERLAP_LAG,
+        "total_chunks": SQL_TOTAL_CHUNKS,
+        "ann_cosine": SQL_ANN_COSINE,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+    }

@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the north-star pipeline: chunk -> geocode -> PIP join +
+tile rollup (BASELINE.json "metric": PIP-join + tile-assignment throughput,
+docs/sec).  Scaling evidence across two parallelism levels is produced by
+tools/scaling_bench.py (separate JVMs needed for different masters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
+    from tree_code_chunker_spark.operators.chunker import chunk_documents
+    from tree_code_chunker_spark.operators.geo import cell_col, derive_point_cols, tile_cols
+    from tree_code_chunker_spark.operators.knn import knn_ring
+    from tree_code_chunker_spark.operators.pip import pip_join
+    from tree_code_chunker_spark.plans.session import get_spark
+    from tree_code_chunker_spark.sources.adapter import spanify
+    from tree_code_chunker_spark.sources.datagen import gen_knn_queries, gen_polygons
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(f"bench-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # chunking throughput (the reference's core pipeline)
+    spans = spanify(docs)
+    chunks = chunk_documents(spans, max_size=1500)
+    timed("chunk", lambda: chunks.count())
+
+    # geocode + cell/tile assignment (pure column math)
+    pts = chunks.select("doc_id", F.col("chunk_index").alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id").cast("long"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos", qlat.alias("qlat"), qlon.alias("qlon"))
+    pts = pts.withColumn("cell", cell_col(F.col("qlat"), F.col("qlon"))).cache()
+    timed("geocode", lambda: pts.count())
+
+    # HEADLINE: PIP join + tile rollup
+    polys = gen_polygons(spark, 100, seed=43)
+    t0 = time.perf_counter()
+    pip_join(pts, polys).groupBy("polygon_id").agg(F.count("*").alias("n")).collect()
+    parts = []
+    for z in (4, 8, 12):
+        tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), z)
+        parts.append(pts.select(F.lit(z).alias("z"), tx.alias("x"), ty.alias("y")))
+    allz = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    allz.groupBy("z", "x", "y").agg(F.count("*").alias("n")).count()
+    headline = time.perf_counter() - t0
+    timings["pip_tile"] = round(headline, 3)
+
+    # kNN ring
+    queries = gen_knn_queries(spark, 50, seed=44)
+    timed("knn", lambda: knn_ring(queries, pts, k=5, res=10).count())
+
+    # relational baseline query (pushdown + partial agg showcase)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed("tpch_pricing", lambda: (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*"))
+        .collect()
+    ))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "pip_tile_docs_per_sec",
+        "value": round(n_docs / headline, 2),
+        "unit": "docs/sec",
+        "total_sec": total,
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "n_docs": n_docs,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

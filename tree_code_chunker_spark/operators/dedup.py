@@ -109,20 +109,27 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+def _fnv1a64(tok: str) -> int:
+    """FNV-1a 64-bit hash (public constants), as a Python int < 2^64."""
+    h = 14695981039346656037
+    for ch in tok.encode("utf-8"):
+        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def simhash_np(tokens: list[str], bits: int = 64) -> int:
-    """64-bit SimHash over token multiset with FNV-1a token hashes."""
-    acc = np.zeros(bits, dtype=np.int64)
-    for tok in tokens:
-        h = np.uint64(14695981039346656037)
-        for ch in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-        bitsv = (int(h) >> np.arange(bits)) & 1
-        acc += np.where(bitsv == 1, 1, -1)
+    """64-bit SimHash over the token multiset, returned as signed int64."""
+    if not tokens:
+        return 0
+    hs = np.array([_fnv1a64(t) for t in tokens], dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitm = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = np.where(bitm == 1, 1, -1).sum(axis=0)
     out = 0
     for i in range(bits):
         if acc[i] > 0:
             out |= 1 << i
-    return out - (1 << 63)  # signed int64
+    return out - (1 << 64) if out >= 1 << 63 else out  # reinterpret signed
 
 
 def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

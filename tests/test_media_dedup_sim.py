@@ -1,0 +1,132 @@
+"""Media plumbing, dedup operators, similarity search — Spark tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature_np,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_np,
+)
+from tree_code_chunker_spark.operators.media import (
+    FEATURE_DIM,
+    _fake_decode,
+    extract_media_features,
+    resize_meta,
+    sample_frames,
+    synth_media,
+)
+from tree_code_chunker_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+def test_media_features_deterministic_and_isolated(spark):
+    refs = spark.createDataFrame(
+        [(f"ref://m/{i}",) for i in range(30)], "media_ref string"
+    )
+    media = synth_media(spark, refs)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    assert all(r["ok"] and len(r["feature"]) == FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same vector as local fake decode
+    row = feats[0]
+    want = _fake_decode(row["media_ref"].encode(), row["kind"])
+    assert np.allclose(row["feature"], want, atol=1e-6)
+
+
+def test_media_feature_error_isolation(spark):
+    refs = spark.createDataFrame([("ref://a",), ("ref://b",)], "media_ref string")
+    media = synth_media(spark, refs)
+
+    def bad_decode(payload, kind):
+        if b"a" in payload:
+            raise ValueError("corrupt blob")
+        return _fake_decode(payload, kind)
+
+    out = {r["media_ref"]: r for r in
+           extract_media_features(media, decode_fn=bad_decode).collect()}
+    assert out["ref://a"]["ok"] is False and "corrupt" in out["ref://a"]["error"]
+    assert out["ref://b"]["ok"] is True
+
+
+def test_resize_and_frame_sampling(spark):
+    refs = spark.createDataFrame(
+        [(f"ref://m/{i}",) for i in range(50)], "media_ref string"
+    )
+    media = synth_media(spark, refs)
+    rz = resize_meta(media, max_side=256).collect()
+    for r in rz:
+        assert max(r["target_width"], r["target_height"]) <= 256
+        assert r["target_width"] >= 1 and r["target_height"] >= 1
+    frames = sample_frames(media, every_n=30)
+    rows = frames.collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    want = sum(len(range(0, r["meta"]["n_frames"], 30)) for r in vids)
+    assert len(rows) == want
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], "id long, text string"
+    )
+    out = {r["rep_id"]: r["n_copies"] for r in
+           exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_similarity_property():
+    # near-identical texts share most signature slots; disjoint texts don't
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + " extra tail"
+    c = "zzz completely different content qqq " * 5
+    sa, sb, sc = (minhash_signature_np(t) for t in (a, b, c))
+    agree_ab = (sa == sb).mean()
+    agree_ac = (sa == sc).mean()
+    assert agree_ab > 0.5 > agree_ac
+
+
+def test_lsh_finds_near_dups(spark):
+    rows = [(i, "common shared prefix text for everyone here indeed") for i in range(3)]
+    rows += [(10 + i, f"unique document number {i} with totally distinct words {i*7}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sigs = minhash_signatures(df, "id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+
+def test_simhash_hamming():
+    a = simhash_np("the quick brown fox".split() * 10)
+    b = simhash_np(("the quick brown fox".split() * 10) + ["tail"])
+    c = simhash_np("totally different words entirely".split() * 10)
+    ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, "id", "text", n=3, min_jaccard=0.1).collect()}
+    # trigrams doc1: {abc,bcd,cde}, doc2: {abc,bcd,cdx} -> inter 2, union 4
+    assert abs(out[(1, 2)] - 0.5) < 1e-9
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_cosine_topk_and_ann_agree_on_top1(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((80, 16)).astype(float)
+    rows = [(i, vecs[i].tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(q, df, k=1).collect()
+    # top-1 of exact search is the query itself (sim 1.0)
+    assert all(r["vec_id"] == r["query_id"] and abs(r["sim"] - 1.0) < 1e-6
+               for r in exact)
+    ann = ann_lsh_topk(q, df, k=1, dim=16, n_bits=8)
+    got = {r["query_id"]: r["vec_id"] for r in ann.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # self always shares its own bucket

@@ -1,0 +1,66 @@
+"""Tile materialization: assignment determinism, vector cap accounting,
+raster pixel-count conservation."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.operators.geo import tile_np
+from tree_code_chunker_spark.operators.tiles import (
+    assign_tiles,
+    raster_tiles,
+    vector_tiles,
+)
+
+
+def _pts(spark, n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [(f"d{i:04d}", 0, int(rng.randint(0, 65536)), int(rng.randint(0, 65536)))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id string, span_pos int, qlat bigint, qlon bigint")
+
+
+def test_assignment_matches_numpy(spark):
+    pts = _pts(spark)
+    got = assign_tiles(pts, zooms=(4, 8, 12)).collect()
+    for r in got:
+        x, y = tile_np(np.array([r["qlat"]]), np.array([r["qlon"]]), r["z"])
+        assert (r["x"], r["y"]) == (int(x[0]), int(y[0]))
+        assert 0 <= r["in_x"] < (1 << (16 - r["z"]))
+        assert 0 <= r["in_y"] < (1 << (16 - r["z"]))
+
+
+def test_vector_tiles_cap_and_accounting(spark):
+    # all points in ONE tile at z=4 -> cap must kick in with exact accounting
+    rows = [(f"d{i:04d}", 0, 100 + i % 50, 200 + i % 50) for i in range(300)]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, span_pos int, qlat bigint, qlon bigint")
+    out = vector_tiles(pts, zooms=(4,), max_features_per_tile=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_features"] == 100 and r["n_dropped"] == 200
+    # deterministic cap: lexicographically first doc_ids kept
+    kept = [f["doc_id"] for f in r["features"]]
+    assert kept == sorted(kept)
+
+
+def test_raster_counts_conserved(spark):
+    pts = _pts(spark, 400)
+    out = raster_tiles(pts, zooms=(4, 8)).collect()
+    by_zoom = {}
+    for r in out:
+        by_zoom[r["z"]] = by_zoom.get(r["z"], 0) + r["n_points"]
+        assert sum(p["n"] for p in r["pixels"]) == r["n_points"]
+        for p in r["pixels"]:
+            assert 0 <= p["px"] < 256 and 0 <= p["py"] < 256
+    assert by_zoom == {4: 400, 8: 400}
+
+
+def test_tiles_deterministic_across_parallelism(spark):
+    pts = _pts(spark, 600)
+    a = vector_tiles(pts.repartition(1), zooms=(8,)).collect()
+    b = vector_tiles(pts.repartition(7), zooms=(8,)).collect()
+    norm = lambda rows: sorted(
+        (r["z"], r["x"], r["y"], tuple(tuple(f) for f in r["features"]),
+         r["n_dropped"]) for r in rows)
+    assert norm(a) == norm(b)

@@ -1,33 +1,43 @@
-"""kNN join via cell-prefix ring expansion (H3 k-ring contract on the
-Morton grid), plus a brute-force baseline.
+"""kNN join via cell-prefix search on the Morton grid (H3 k-ring contract),
+plus a brute-force baseline.
 
 Structure (SURVEY.md §2.4): the reference's `getSiblings` is kNN in 1-D
-(prune to ordered neighborhood, then top-k by distance —
-codechunk.go:653-689); this is the same prune-then-top-k in 2-D:
+(prune to an ordered neighborhood, then take k — codechunk.go:653-689); this
+is the same prune-then-top-k in 2-D, planned to avoid iterative lineage
+growth (an earlier loop-of-joins version recomputed its whole lineage every
+round and was ~20x slower):
 
- 1. queries x Chebyshev cell disk of radius rho at resolution `res`
-    (explode of (2rho+1)^2 offsets — query side is the small side),
- 2. equi-join with the corpus on the cell key (corpus stays put: the join
-    key is its pre-computed cell column, so the 10^12-row side shuffles at
-    most once on a key it is already bucketed by),
- 3. exact top-k by INTEGER squared Euclidean distance on grid coords with a
-    total-order tie-break (d2, doc_id, span_pos) via a row_number window,
- 4. **exactness guarantee**: a provisional top-k at disk radius rho is final
-    iff kth d2 <= (rho*S)^2 (S = cell side in grid units): any point outside
-    the searched disk is at Chebyshev >= rho*S+1 > sqrt(d2_k).  Queries not
-    yet final re-run at doubled rho (driver loop over ~log iterations, each
-    a single Spark job — no per-row driver work).
+ 1. **Radius planning** (tiny): a cell-count histogram of the corpus at
+    res_hist is collected once and turned into a summed-area table (SAT) —
+    O(1) "how many corpus points within Chebyshev radius rho" per query.  A
+    vectorized pandas UDF binary-searches the smallest rho_hit whose disk
+    holds >= k points, then inflates it to a GUARANTEE radius rho_g with
+    rho_g*S + 1 > sqrt(2) * ((rho_hit+1)*S_hist - 1) >= d_k, using the
+    integer bound 1449/1024 > sqrt(2) — so no point outside the searched
+    disk can beat the provisional k-th neighbor.  One histogram shuffle +
+    one small collect, independent of corpus size.
+ 2. **Candidate join** (one shuffle): each query explodes its own
+    (2*rho_g+1)^2 cell offsets via F.sequence (per-row bounds — no driver
+    loop), equi-joins the corpus on the cell key, exact top-k by INTEGER
+    squared distance with total-order tie-break (d2, doc_id, span_pos) via
+    row_number.
 
-Determinism: integer distance, integer tie-break — bit-exact at any
-parallelism; the DuckDB oracle is a brute-force scan with the identical
-ordering, so results match row-for-row.
+Exactness: guaranteed by construction (step 1's radius bound), verified
+against brute force in tests and against a DuckDB brute-force oracle by the
+driver gate.  All-integer math -> bit-exact at any parallelism.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
 
 from ..config import DEFAULT_CELL_RES, GRID_BITS
+
+SQRT2_NUM = 1449  # 1449/1024 > sqrt(2): conservative integer inflation
+SQRT2_DEN = 1024
 
 
 def _topk(cand: DataFrame, k: int, tie_cols: list[str]) -> DataFrame:
@@ -37,36 +47,80 @@ def _topk(cand: DataFrame, k: int, tie_cols: list[str]) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def knn_bruteforce(
-    queries: DataFrame, corpus: DataFrame, k: int,
-    tie_cols: list[str] = ["doc_id", "span_pos"],
-) -> DataFrame:
-    """Exact baseline: full cross join + window top-k.  O(Q x N) — the
-    correctness oracle and the small-Q fallback."""
-    q = queries.select("query_id", F.col("qlat").alias("q_qlat"),
-                       F.col("qlon").alias("q_qlon"))
-    c = corpus.select(*tie_cols, "qlat", "qlon")
-    cand = F.broadcast(q).crossJoin(c).withColumn(
+def _scored(q: DataFrame, c: DataFrame) -> DataFrame:
+    return q.crossJoin(c).withColumn(
         "d2",
         (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
         + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
     )
-    return _topk(cand, k, tie_cols).select(
-        "query_id", *tie_cols, "d2", "rank"
-    )
+
+
+def knn_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int,
+    tie_cols: list[str] = ["doc_id", "span_pos"],
+) -> DataFrame:
+    """Exact baseline: broadcast queries x full corpus + window top-k.
+    O(Q x N) — correctness oracle and small-corpus fallback."""
+    q = F.broadcast(queries.select(
+        "query_id", F.col("qlat").alias("q_qlat"), F.col("qlon").alias("q_qlon")))
+    c = corpus.select(*tie_cols, "qlat", "qlon")
+    return _topk(_scored(q, c), k, tie_cols).select(
+        "query_id", *tie_cols, "d2", "rank")
+
+
+def _radius_planner(sat: np.ndarray, res_hist: int, res: int, k: int):
+    """Returns a pandas UDF computing the guarantee radius (in res-cells)
+    per query from the histogram SAT."""
+    n = 1 << res_hist
+    s_hist = 1 << (GRID_BITS - res_hist)
+    s_res = 1 << (GRID_BITS - res)
+    grid_cap = 1 << res  # full-grid radius cap
+
+    def disk_count(hy: int, hx: int, rho: int) -> int:
+        y0, y1 = max(hy - rho, 0), min(hy + rho, n - 1)
+        x0, x1 = max(hx - rho, 0), min(hx + rho, n - 1)
+        return (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+                - sat[y1 + 1, x0] + sat[y0, x0])
+
+    @F.pandas_udf(IntegerType())
+    def plan(qlat: pd.Series, qlon: pd.Series) -> pd.Series:
+        out = np.empty(len(qlat), dtype=np.int32)
+        ql = qlat.to_numpy(dtype=np.int64)
+        qn = qlon.to_numpy(dtype=np.int64)
+        for i in range(len(ql)):
+            hy, hx = int(ql[i]) >> (GRID_BITS - res_hist), int(qn[i]) >> (GRID_BITS - res_hist)
+            # binary search smallest rho_hit with disk count >= k
+            lo, hi = 0, n  # disk at rho=n covers the whole grid
+            if disk_count(hy, hx, hi) < k:
+                out[i] = grid_cap  # corpus smaller than k: search everything
+                continue
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if disk_count(hy, hx, mid) >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            rho_hit = lo
+            d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+            out[i] = min(d_max // s_res + 1, grid_cap)
+        return pd.Series(out)
+
+    return plan
 
 
 def knn_ring(
     queries: DataFrame, corpus: DataFrame, k: int,
     res: int = DEFAULT_CELL_RES,
     tie_cols: list[str] = ["doc_id", "span_pos"],
-    max_iters: int = 8,
+    res_hist: int | None = None,
+    max_rho: int = 64,
 ) -> DataFrame:
-    """Ring-expansion kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
-    qlat, qlon).  Returns (query_id, tie_cols..., d2, rank<=k)."""
+    """Cell ring kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
+    qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact."""
     spark = queries.sparkSession
+    if res_hist is None:
+        res_hist = min(res, 9)  # SAT is (2^rh)^2 int64: rh=9 -> 2 MB
     shift = GRID_BITS - res
-    cell_size = 1 << shift
 
     corp = corpus.select(
         *tie_cols, "qlat", "qlon",
@@ -74,53 +128,62 @@ def knn_ring(
         F.shiftright("qlon", shift).alias("ccx"),
     )
 
-    pending = queries.select("query_id", "qlat", "qlon")
-    done_parts: list[DataFrame] = []
-    rho = 1
-    for it in range(max_iters):
-        offs = [(dy, dx) for dy in range(-rho, rho + 1) for dx in range(-rho, rho + 1)]
-        off_df = F.broadcast(
-            spark.createDataFrame(offs, "dy int, dx int")
-        )
-        probe = (
-            pending.crossJoin(off_df)
-            .select(
-                "query_id",
-                F.col("qlat").alias("q_qlat"),
-                F.col("qlon").alias("q_qlon"),
-                (F.shiftright("qlat", shift) + F.col("dy")).alias("ccy"),
-                (F.shiftright("qlon", shift) + F.col("dx")).alias("ccx"),
-            )
-        )
-        cand = F.broadcast(probe).join(corp, ["ccy", "ccx"], "inner").withColumn(
-            "d2",
-            (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
-            + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
-        )
-        topk = _topk(cand, k, tie_cols)
-        # final iff k candidates found AND kth distance within guarantee radius
-        guard = rho * cell_size
-        stats = topk.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("d2").alias("dk")
-        ).withColumn(
-            "final", (F.col("n") >= k) & (F.col("dk") <= guard * guard)
-        )
-        finals = topk.join(stats.filter("final").select("query_id"), "query_id", "left_semi")
-        done_parts.append(finals.select("query_id", *tie_cols, "d2", "rank"))
-        pending = pending.join(
-            stats.filter("final").select("query_id"), "query_id", "left_anti"
-        )
-        # cheap driver-side emptiness probe ends the loop early
-        if pending.isEmpty():
-            break
-        rho *= 2
+    # --- phase 1: histogram -> SAT -> per-query guarantee radius ---
+    sh = GRID_BITS - res_hist
+    hist_rows = (
+        corp.groupBy(
+            F.shiftright("qlat", sh).alias("hy"),
+            F.shiftright("qlon", sh).alias("hx"),
+        ).agg(F.count("*").alias("n")).collect()
+    )
+    n = 1 << res_hist
+    grid = np.zeros((n, n), dtype=np.int64)
+    for r in hist_rows:
+        grid[r["hy"], r["hx"]] = r["n"]
+    sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+    np.cumsum(grid, axis=0, out=sat[1:, 1:])
+    np.cumsum(sat[1:, 1:], axis=1, out=sat[1:, 1:])
+    if int(sat[n, n]) < k:  # whole corpus smaller than k: no prune possible
+        return knn_bruteforce(queries, corpus, k, tie_cols)
+    plan = _radius_planner(sat, res_hist, res, k)
 
-    out = done_parts[0]
-    for p in done_parts[1:]:
-        out = out.unionByName(p)
-    if not pending.isEmpty():
-        out = out.unionByName(
-            knn_bruteforce(pending, corpus, k, tie_cols)
-            .select("query_id", *tie_cols, "d2", "rank")
+    q_all = queries.select(
+        "query_id",
+        F.col("qlat").alias("q_qlat"),
+        F.col("qlon").alias("q_qlon"),
+    ).withColumn("rho", plan(F.col("q_qlat"), F.col("q_qlon")))
+    # sparse-region queries (huge guarantee radius) would explode the
+    # candidate join; route them to the brute-force path instead
+    q = q_all.filter(F.col("rho") <= max_rho)
+    q_sparse = q_all.filter(F.col("rho") > max_rho)
+
+    # --- phase 2: one candidate join with per-query radius ---
+    probe = (
+        q.withColumn(
+            "ccy",
+            F.explode(F.sequence(
+                F.shiftright("q_qlat", shift) - F.col("rho"),
+                F.shiftright("q_qlat", shift) + F.col("rho"),
+            )),
         )
-    return out
+        .withColumn(
+            "ccx",
+            F.explode(F.sequence(
+                F.shiftright("q_qlon", shift) - F.col("rho"),
+                F.shiftright("q_qlon", shift) + F.col("rho"),
+            )),
+        )
+        .select("query_id", "q_qlat", "q_qlon", "ccy", "ccx")
+    )
+    cand = F.broadcast(probe).join(corp, ["ccy", "ccx"], "inner").withColumn(
+        "d2",
+        (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
+        + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
+    )
+    out = _topk(cand, k, tie_cols).select("query_id", *tie_cols, "d2", "rank")
+    sparse_out = _topk(
+        _scored(F.broadcast(q_sparse.drop("rho")),
+                corp.select(*tie_cols, "qlat", "qlon")),
+        k, tie_cols,
+    ).select("query_id", *tie_cols, "d2", "rank")
+    return out.unionByName(sparse_out)

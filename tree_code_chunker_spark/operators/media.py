@@ -1,0 +1,143 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas iterator
+UDFs, partition sizing) is real and tested; the actual codec work (JPEG
+decode, audio PCM decode, video demux) is STUBBED because no image/audio
+libraries exist in this container: `decode_fn=None` uses a deterministic
+fake decoder (content-hash-seeded) clearly marked below, and passing a real
+decode_fn (PIL/torchaudio/ffmpeg on a real cluster) swaps it in without any
+plan change.
+
+Schema contract:
+  media:    (media_ref string, kind string in {image,audio,video},
+             payload binary, meta struct<width:int,height:int,
+             sample_rate:int,n_frames:int,mime:string>)
+  features: (media_ref string, kind string, feature array<float>, ok boolean,
+             error string)
+
+Scale notes: payloads dominate bytes — mapInPandas with a bounded Arrow batch
+(session conf arrow.maxRecordsPerBatch) keeps executor memory flat; the
+feature output is narrow, so downstream joins/aggs never reshuffle payload
+bytes (project features BEFORE any join).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, kind string, payload binary, "
+    "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_ref string, kind string, feature array<float>, ok boolean, "
+    "error string"
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (codec libs absent in this container).
+
+    Produces a FEATURE_DIM float32 vector seeded by the payload's sha256 —
+    stable across runs/workers, so tests can assert exact values.  Replace
+    via decode_fn= with a real decoder on a real cluster.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def extract_media_features(df: DataFrame, decode_fn=None) -> DataFrame:
+    """media -> features via iterator mapInPandas (decoder init once per
+    task, reused across Arrow batches — the reference's parser-pool pattern,
+    parser.go:19-33, applied to codecs).  Per-row error capture: a failing
+    payload yields ok=false + error, never fails the job (≙ ChunkBatch
+    per-file error isolation, codechunk.go:363-375)."""
+    decode = decode_fn or _fake_decode
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks, errs = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    v = decode(bytes(payload) if payload is not None else b"", kind)
+                    feats.append([float(x) for x in v])
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # row-level isolation
+                    feats.append(None)
+                    oks.append(False)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "kind": pdf["kind"],
+                "feature": feats,
+                "ok": oks,
+                "error": errs,
+            })
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize_meta(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize PLAN (pure column math on metadata): target dims preserving
+    aspect ratio, capped at max_side.  The pixel work happens inside the
+    decode_fn on a real cluster; the plan column keeps it deterministic and
+    testable here."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side,
+        max_side / F.greatest(w, h).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return df.withColumns({
+        "target_width": F.floor(w * scale).cast("int"),
+        "target_height": F.floor(h * scale).cast("int"),
+    })
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling PLAN for video rows: explode sampled frame indices
+    (0, n, 2n, ...) as rows — the shuffle-free fan-out that downstream
+    frame decoders consume."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    idxs = F.when(
+        n > 0,
+        F.sequence(F.lit(0), n - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("frame_index", F.explode(idxs))
+        .select("media_ref", "frame_index")
+    )
+
+
+def synth_media(spark, refs_df: DataFrame) -> DataFrame:
+    """Deterministic media table from media_ref rows (payload = utf-8 of the
+    ref — a stand-in blob; meta derived from a hash).  Used by tests and the
+    media queries; real deployments read (ref -> blob) from object storage."""
+    h = F.abs(F.hash("media_ref"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3) + 1
+    )
+    return refs_df.select(
+        "media_ref",
+        kind.alias("kind"),
+        F.encode(F.col("media_ref"), "utf-8").alias("payload"),
+        F.struct(
+            (h % 1920 + 1).cast("int").alias("width"),
+            ((h / F.lit(7)).cast("long") % 1080 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            ((h / F.lit(13)).cast("long") % 300 + 1).cast("int").alias("n_frames"),
+            F.concat(F.lit("x-fake/"), kind).alias("mime"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,121 @@
+"""Raster/vector tile materialization at fixed zoom levels.
+
+north_star: "raster<->vector tile materialization at fixed zoom levels with
+deterministic tile assignment".  Assignment is pure integer column math
+(geo.tile_cols — whole-stage codegen, bit-exact); materialization is one
+groupBy per zoom:
+
+ * **vector tiles**: per (z,x,y), the list of features (doc_id, span_pos,
+   in-tile quantized coords), capped at max_features_per_tile by a
+   deterministic total order (row_number over (d2-free) key sort) — the cap
+   bounds tile payload size so a hot tile cannot OOM a task; dropped counts
+   are reported, never silent.
+ * **raster tiles**: per (z,x,y), a sub_bits x sub_bits count grid (the
+   rasterization), stored sparse as (pixel_index, count) pairs — dense
+   256x256 arrays would be mostly zeros at high zooms.
+
+Scale: one shuffle per zoom on the (z,x,y) key; hot tiles are exactly hot
+cells, so `salted_repartition` (operators/skew.py) applies when a census
+flags them; AQE handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import GRID_BITS, TILE_ZOOMS
+from .geo import tile_cols
+
+
+def assign_tiles(points: DataFrame, zooms: tuple[int, ...] = TILE_ZOOMS) -> DataFrame:
+    """points(qlat, qlon, ...) -> one row per (point, zoom) with z/x/y and
+    in-tile pixel offsets."""
+    parts = []
+    for z in zooms:
+        tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), z)
+        shift = GRID_BITS - z
+        parts.append(
+            points.withColumns({
+                "z": F.lit(z),
+                "x": tx,
+                "y": ty,
+                # offset of the point inside its tile, north-up pixel space
+                "in_x": F.col("qlon").bitwiseAND(F.lit((1 << shift) - 1)),
+                "in_y": (F.lit((1 << GRID_BITS) - 1) - F.col("qlat"))
+                .bitwiseAND(F.lit((1 << shift) - 1)),
+            })
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vector_tiles(
+    points: DataFrame,
+    zooms: tuple[int, ...] = TILE_ZOOMS,
+    max_features_per_tile: int = 10_000,
+    feature_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+) -> DataFrame:
+    """(z, x, y, features array<struct>, n_features, n_dropped)."""
+    t = assign_tiles(points, zooms)
+    w = Window.partitionBy("z", "x", "y").orderBy(
+        *[F.col(c).asc() for c in feature_cols]
+    )
+    ranked = t.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= max_features_per_tile)
+    agg = kept.groupBy("z", "x", "y").agg(
+        F.sort_array(
+            F.collect_list(F.struct(*feature_cols, "in_x", "in_y"))
+        ).alias("features"),
+    )
+    totals = t.groupBy("z", "x", "y").agg(F.count("*").alias("n_total"))
+    return (
+        agg.join(totals, ["z", "x", "y"])
+        .withColumn("n_features", F.size("features"))
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_features"))
+        .drop("n_total")
+    )
+
+
+def raster_tiles(
+    points: DataFrame,
+    zooms: tuple[int, ...] = TILE_ZOOMS,
+    sub_bits: int = 8,
+) -> DataFrame:
+    """(z, x, y, pixels array<struct<px:int,py:int,n:bigint>>, n_points) —
+    sparse 2^sub_bits x 2^sub_bits count raster per tile."""
+    t = assign_tiles(points, zooms)
+    # in-tile coords down-sampled to the raster grid; tiles at z with
+    # shift <= sub_bits already are at (or below) pixel resolution
+    def px(col, z):
+        shift = GRID_BITS - z
+        down = max(shift - sub_bits, 0)
+        return F.shiftright(col, down)
+
+    parts = []
+    for z in zooms:
+        parts.append(
+            t.filter(F.col("z") == z).withColumns({
+                "px": px(F.col("in_x"), z).cast("int"),
+                "py": px(F.col("in_y"), z).cast("int"),
+            })
+        )
+    tt = parts[0]
+    for p in parts[1:]:
+        tt = tt.unionByName(p)
+    pix = tt.groupBy("z", "x", "y", "px", "py").agg(F.count("*").alias("n"))
+    return (
+        pix.groupBy("z", "x", "y")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("px", "py", "n"))
+            ).alias("pixels"),
+            F.sum("n").alias("n_points"),
+        )
+    )
+
+
+def write_tiles(tiles: DataFrame, path: str) -> None:
+    """Partition layout a tile server would read: /z=<z>/x=<x>/ parquet."""
+    tiles.write.mode("overwrite").partitionBy("z", "x").parquet(path)

@@ -1,0 +1,65 @@
+"""Structured Streaming variants of the chunking pipeline.
+
+Reference streaming semantics to preserve (SURVEY.md §2.10):
+ * ChunkStream emits chunks incrementally with TotalChunks = -1 — a global
+   per-doc count is unknowable mid-stream (codechunk.go:284).  In Spark this
+   is exactly the rule that an unbounded stream cannot compute a global
+   aggregate without complete mode: `chunk_documents(..., streaming=True)`
+   stamps the -1 sentinel and is applied per micro-batch.
+ * ChunkBatchStream emits per-file results in completion order
+   (codechunk.go:394-503) — micro-batch output order is likewise
+   nondeterministic; tests stay order-insensitive.
+ * Cancellation/backpressure map to query.stop() and micro-batching.
+ * No event-time/watermark semantics exist in the reference; the engine's
+   resumability story is snapshot checkpointing (operators/checkpoint.py),
+   and streaming checkpointing below uses Spark's own checkpointLocation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.chunker import chunk_documents
+
+
+def stream_documents_from_parquet(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """File-source stream over a documents directory (one-time backfill via
+    Trigger.AvailableNow in run_stream_chunker)."""
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.parquet(path)
+        reader = reader.schema(static.schema)
+    return reader.parquet(path)
+
+
+def stream_chunk(docs_stream: DataFrame, max_size: int = 1500) -> DataFrame:
+    """Streaming chunker: same fold, total_chunks = -1 sentinel."""
+    return chunk_documents(docs_stream, max_size=max_size, streaming=True)
+
+
+def run_stream_chunker(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_size: int = 1500,
+    available_now: bool = True,
+):
+    """Start the streaming pipeline writing parquet with exactly-once
+    progress tracked in checkpoint_path; AvailableNow processes the current
+    backlog then stops (the batch-parity mode used by tests)."""
+    docs = stream_documents_from_parquet(spark, in_path)
+    chunks = stream_chunk(docs, max_size)
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -570,7 +570,156 @@ WHERE n_inter / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) >= 0.2
 """
 
 
+def q_string_funcs(spark, sf_dir):
+    """§2.9 scalar surface as pure column ops over synthetic paths/quoted
+    strings derived from documents (cleanSignature, stripQuotes,
+    getLastPathSegments, getLastSegment, null-on-empty)."""
+    from tree_code_chunker_spark.functions.columns import (
+        clean_signature_col,
+        last_path_segments_col,
+        last_segment_col,
+        nullif_empty_col,
+        strip_quotes_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("data/"), "source", F.lit("/"), F.col("lang"),
+                 F.lit("/d"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.concat(F.lit('"'), "source", F.lit('"')).alias("quoted"),
+        F.concat(F.lit("std::"), "lang", F.lit("::"), "source").alias("scoped"),
+        F.concat(F.lit("  fn  x( a ,\tb )\n ")).alias("messy_sig"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(F.col("lang"))
+        .alias("maybe_empty"),
+    )
+    return base.select(
+        "doc_id",
+        last_path_segments_col("path").alias("short_path"),
+        strip_quotes_col("quoted").alias("unquoted"),
+        last_segment_col("scoped").alias("tail_seg"),
+        clean_signature_col(F.col("messy_sig")).alias("clean_sig"),
+        nullif_empty_col("maybe_empty").alias("lang_or_null"),
+    )
+
+
+from tree_code_chunker_spark.functions.columns import (  # noqa: E402
+    clean_signature_sql,
+    last_path_segments_sql,
+    last_segment_sql,
+    nullif_empty_sql,
+    strip_quotes_sql,
+)
+
+SQL_STRING_FUNCS = f"""
+WITH base AS (
+  SELECT doc_id,
+         'data/' || source || '/' || lang || '/d' || CAST(doc_id AS VARCHAR)
+           || '.txt' AS path,
+         '"' || source || '"' AS quoted,
+         'std::' || lang || '::' || source AS scoped,
+         '  fn  x( a ,' || chr(9) || 'b )' || chr(10) || ' ' AS messy_sig,
+         CASE WHEN doc_id % 2 = 0 THEN '' ELSE lang END AS maybe_empty
+  FROM documents
+)
+SELECT doc_id,
+       {last_path_segments_sql('path')} AS short_path,
+       {strip_quotes_sql('quoted')} AS unquoted,
+       {last_segment_sql('scoped')} AS tail_seg,
+       {clean_signature_sql('messy_sig')} AS clean_sig,
+       {nullif_empty_sql('maybe_empty')} AS lang_or_null
+FROM base
+"""
+
+
+def q_tile_features(spark, sf_dir):
+    """Vector-tile feature rows at z=8 with a deterministic per-tile cap of
+    50 (rank by (doc_id, span_pos)) — the relational projection of
+    vector_tiles for the oracle gate."""
+    from tree_code_chunker_spark.operators.tiles import assign_tiles
+
+    pts = _points(spark, sf_dir)
+    t = assign_tiles(pts, zooms=(8,))
+    w = Window.partitionBy("z", "x", "y").orderBy("doc_id", "span_pos")
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            F.col("z").cast("long").alias("z"),
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            "doc_id", "span_pos",
+            F.col("in_x").cast("long").alias("in_x"),
+            F.col("in_y").cast("long").alias("in_y"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_TX8, _TY8 = tile_sql("qlat", "qlon", 8)
+SQL_TILE_FEATURES = f"""
+{SPANS_CTE}, {POINTS_SQL}, t AS (
+  SELECT doc_id, span_pos, qlat, qlon,
+         8 AS z, {_TX8} AS x, {_TY8} AS y,
+         qlon & {(1 << 8) - 1} AS in_x,
+         ({GRID_MAX} - qlat) & {(1 << 8) - 1} AS in_y
+  FROM points
+)
+SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       doc_id, span_pos, in_x, in_y, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY z, x, y ORDER BY doc_id, span_pos
+  ) AS rank FROM t
+)
+WHERE rank <= 50
+"""
+
+
 # ---- rows-only entries (no SQL oracle; pinned by pytest instead) ----
+
+
+def q_media_features(spark, sf_dir):
+    """Binary media plumbing: span media_refs -> synthetic blobs -> feature
+    vectors via the stub decoder (deterministic; codec swap-in point)."""
+    from tree_code_chunker_spark.operators.media import (
+        extract_media_features,
+        synth_media,
+    )
+
+    refs = _spans(spark, sf_dir).filter(F.col("kind") == "media") \
+        .select("media_ref").distinct()
+    feats = extract_media_features(synth_media(spark, refs))
+    return feats.select("media_ref", "kind", "ok",
+                        F.size("feature").alias("dim"))
+
+
+def q_media_frames(spark, sf_dir):
+    from tree_code_chunker_spark.operators.media import sample_frames, synth_media
+
+    refs = _spans(spark, sf_dir).filter(F.col("kind") == "media") \
+        .select("media_ref").distinct()
+    return sample_frames(synth_media(spark, refs), every_n=30)
+
+
+def q_chunk_context(spark, sf_dir):
+    """Fused chunk+context pipeline (entities/scope/siblings/imports +
+    formatting) — rows-only; semantics pinned by tests/test_entities.py."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    docs = spanify(_docs(spark, sf_dir))
+    out = chunk_documents_with_context(docs, max_size=600)
+    return out.select(
+        "doc_id", "chunk_index", "total_chunks", "lang",
+        F.length("contextualized_text").alias("ctx_len"),
+        F.size("entities").alias("n_entities"),
+        F.size("siblings").alias("n_siblings"),
+        F.size("imports").alias("n_imports"),
+        F.size("scope").alias("scope_depth"),
+    )
 
 
 def q_chunk_spans(spark, sf_dir):
@@ -642,10 +791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_chunks": q_total_chunks,
         "ann_cosine": q_ann_cosine,
         "ngram_jaccard": q_ngram_jaccard,
+        "string_funcs": q_string_funcs,
+        "tile_features": q_tile_features,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "chunk_context": q_chunk_context,
     }
 
 
@@ -667,4 +821,6 @@ def oracle_sql() -> dict[str, str]:
         "total_chunks": SQL_TOTAL_CHUNKS,
         "ann_cosine": SQL_ANN_COSINE,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "string_funcs": SQL_STRING_FUNCS,
+        "tile_features": SQL_TILE_FEATURES,
     }

@@ -677,6 +677,37 @@ WHERE rank <= 50
 """
 
 
+def q_embed_near_dup(spark, sf_dir):
+    from tree_code_chunker_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.2) \
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"), "sim")
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+         6) AS sim
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE round(
+         list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+         6) >= 0.2
+"""
+
+
 # ---- rows-only entries (no SQL oracle; pinned by pytest instead) ----
 
 
@@ -793,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
+        "embed_near_dup": q_embed_near_dup,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
@@ -823,4 +855,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,
+        "embed_near_dup": SQL_EMBED_NEAR_DUP,
     }

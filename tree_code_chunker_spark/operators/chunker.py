@@ -295,17 +295,29 @@ CHUNK_SCHEMA = (
     "byte_start bigint, byte_end bigint, line_start int, line_end int, "
     "nws_size int, is_partial boolean, "
     "spans array<struct<kind:string,text:string,media_ref:string,"
-    "order:int,part:int,parts:int>>"
+    "order:int,part:int,parts:int>>, error string"
 )
 
 
-def chunk_documents(df, max_size: int = DEFAULT_MAX_CHUNK_SIZE, streaming: bool = False):
+def chunk_documents(
+    df,
+    max_size: int = DEFAULT_MAX_CHUNK_SIZE,
+    streaming: bool = False,
+    options_col: str | None = None,
+):
     """documents(doc_id, spans) -> chunks DataFrame via mapInPandas.
 
     One doc row in -> N chunk rows out (UDTF-shaped, like reference
-    codechunk.go:43 Chunk: 1 file -> N chunks).  Per-row error isolation as in
-    ChunkBatch (codechunk.go:295-391): a failing document yields zero chunks
-    plus is recorded in an `error` column variant (see chunk_documents_safe).
+    codechunk.go:43 Chunk: 1 file -> N chunks).
+
+    Per-row error isolation as in ChunkBatch (codechunk.go:295-391,
+    codechunk_test.go:297-318: other rows still succeed): a failing document
+    yields one row with `error` set and chunk_index = -1; successful chunks
+    carry error = null — the job itself never fails on bad input.
+
+    Per-row option override (codechunk.go:342-359, zero-means-inherit): pass
+    options_col naming a struct column with a nullable `max_chunk_size`
+    field; null inherits the session-level max_size.
 
     streaming=True stamps total_chunks = -1 (the ChunkStream sentinel,
     codechunk.go:284) since a global per-doc count is unknown mid-stream.
@@ -314,24 +326,41 @@ def chunk_documents(df, max_size: int = DEFAULT_MAX_CHUNK_SIZE, streaming: bool 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans = list(spans)
-                chunks = chunk_spans_py(
-                    [s["kind"] for s in spans],
-                    [s["text"] for s in spans],
-                    [s["media_ref"] for s in spans],
-                    [s["offset"] for s in spans],
-                    max_size,
-                )
+            opts = pdf[options_col] if options_col is not None else None
+            for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
+                row_max = max_size
+                if opts is not None:
+                    o = opts.iloc[i]
+                    if o is not None and o.get("max_chunk_size") is not None:
+                        row_max = int(o["max_chunk_size"])
+                try:
+                    spans = list(spans)
+                    chunks = chunk_spans_py(
+                        [s["kind"] for s in spans],
+                        [s["text"] for s in spans],
+                        [s["media_ref"] for s in spans],
+                        [s["offset"] for s in spans],
+                        row_max,
+                    )
+                except Exception as e:  # row-level isolation
+                    rows.append({
+                        "doc_id": doc_id, "chunk_index": -1,
+                        "total_chunks": 0, "text": "", "byte_start": 0,
+                        "byte_end": 0, "line_start": 0, "line_end": 0,
+                        "nws_size": 0, "is_partial": False, "spans": [],
+                        "error": str(e)[:500],
+                    })
+                    continue
                 for c in chunks:
                     c["doc_id"] = doc_id
+                    c["error"] = None
                     if streaming:
                         c["total_chunks"] = -1
                     rows.append(c)
             cols = [
                 "doc_id", "chunk_index", "total_chunks", "text",
                 "byte_start", "byte_end", "line_start", "line_end",
-                "nws_size", "is_partial", "spans",
+                "nws_size", "is_partial", "spans", "error",
             ]
             yield pd.DataFrame(rows, columns=cols)
 

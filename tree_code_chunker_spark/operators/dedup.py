@@ -140,6 +140,35 @@ def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sk(F.col(text_col)).alias("simhash"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Exact all-pairs via a self cross join with JVM-side higher-order
+    functions — the oracle-checkable baseline.  At corpus scale, pre-bucket
+    with similarity.ann_lsh_topk and verify only candidates; this exact form
+    is for the build side / gold sets."""
+    from .similarity import _dot, _norm
+
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))), round_to),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.5,
                         max_gram_freq: int = 1000) -> DataFrame:

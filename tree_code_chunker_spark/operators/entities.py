@@ -79,6 +79,48 @@ _PATTERNS = {
 }
 _PATTERNS["javascript"] = _PATTERNS["typescript"]
 
+# P3: node-type -> entity-type inference with substring priority (reference
+# extract.go:245-268; truth table extract_test.go:396-434 pins that unknown
+# node types containing 'type' still map to 'type', and the priority order
+# function > method > class > interface > type > enum > import > export).
+_TYPE_PRIORITY = [
+    ("function", "function"),
+    ("method", "method"),
+    ("class", "class"),
+    ("interface", "interface"),
+    ("type", "type"),
+    ("enum", "enum"),
+    ("import", "import"),
+    ("export", "export"),
+]
+
+NODE_TYPE_MAP = {
+    # 24-entry exact map (extract.go:62-103), re-expressed for the engine
+    "function_declaration": "function", "function_definition": "function",
+    "function_item": "function", "arrow_function": "function",
+    "function_expression": "function", "method_declaration": "method",
+    "method_definition": "method", "class_declaration": "class",
+    "class_definition": "class", "class_specifier": "class",
+    "struct_item": "class", "struct_specifier": "class",
+    "interface_declaration": "interface", "trait_item": "interface",
+    "type_alias_declaration": "type", "type_declaration": "type",
+    "type_item": "type", "enum_declaration": "enum", "enum_item": "enum",
+    "enum_specifier": "enum", "import_statement": "import",
+    "import_declaration": "import", "use_declaration": "import",
+    "export_statement": "export",
+}
+
+
+def infer_entity_type(node_type: str) -> str | None:
+    """Exact map first, then substring fallback in priority order."""
+    if node_type in NODE_TYPE_MAP:
+        return NODE_TYPE_MAP[node_type]
+    for needle, etype in _TYPE_PRIORITY:
+        if needle in node_type:
+            return etype
+    return None
+
+
 _LANG_HINTS = [
     ("go", re.compile(r"^func\s|^type\s+\w+\s+struct", re.M)),
     ("rust", re.compile(r"^(?:pub\s+)?fn\s|^use\s+\w+::", re.M)),
@@ -445,8 +487,13 @@ def chunk_documents_with_context(
         ]
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                spans = list(row["spans"])
+            doc_ids = pdf["doc_id"].tolist()
+            span_lists = pdf["spans"].tolist()
+            paths = pdf[filepath_col].tolist() if filepath_col else [""] * len(doc_ids)
+            langs = pdf[lang_col].tolist() if lang_col else [None] * len(doc_ids)
+            for doc_id, spans, filepath, lang0 in zip(
+                    doc_ids, span_lists, paths, langs):
+                spans = list(spans)
                 kinds = [s["kind"] for s in spans]
                 texts = [s["text"] for s in spans]
                 refs = [s["media_ref"] for s in spans]
@@ -454,10 +501,9 @@ def chunk_documents_with_context(
                 chunks = chunk_spans_py(kinds, texts, refs, orders, max_size)
                 code_b, _, _ = serialize_document(kinds, texts, refs)
                 code = code_b.decode("utf-8", errors="replace")
-                filepath = (row[filepath_col] if filepath_col else "") or ""
-                lang = (row[lang_col] if lang_col else None) or \
-                    detect_language(code, filepath or None)
-                ents = parse_entities(code, lang, row["doc_id"])
+                filepath = filepath or ""
+                lang = lang0 or detect_language(code, filepath or None)
+                ents = parse_entities(code, lang, doc_id)
                 parents = assign_scope_parents(ents)
                 prev_text = None
                 for c in chunks:
@@ -488,7 +534,7 @@ def chunk_documents_with_context(
                     )
                     prev_text = c["text"]
                     rows.append({
-                        "doc_id": row["doc_id"],
+                        "doc_id": doc_id,
                         "chunk_index": c["chunk_index"],
                         "total_chunks": c["total_chunks"],
                         "text": c["text"],

@@ -119,7 +119,11 @@ def knn_ring(
     qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact."""
     spark = queries.sparkSession
     if res_hist is None:
-        res_hist = min(res, 9)  # SAT is (2^rh)^2 int64: rh=9 -> 2 MB
+        # coarse is better: rh=7 -> 16k histogram groups (cheap shuffle +
+        # collect) at the price of a somewhat larger guarantee radius; the
+        # candidate join absorbs that far more cheaply than a 200k-group
+        # histogram costs (measured: hist 3.2s at rh=9 vs ~0.4s at rh=7)
+        res_hist = min(res, 7)
     shift = GRID_BITS - res
 
     corp = corpus.select(
@@ -130,16 +134,16 @@ def knn_ring(
 
     # --- phase 1: histogram -> SAT -> per-query guarantee radius ---
     sh = GRID_BITS - res_hist
-    hist_rows = (
+    hist = (
         corp.groupBy(
             F.shiftright("qlat", sh).alias("hy"),
             F.shiftright("qlon", sh).alias("hx"),
-        ).agg(F.count("*").alias("n")).collect()
+        ).agg(F.count("*").alias("n")).toPandas()  # Arrow path: a plain
+        # collect() of ~10^5 histogram rows through py4j dominated kNN time
     )
     n = 1 << res_hist
     grid = np.zeros((n, n), dtype=np.int64)
-    for r in hist_rows:
-        grid[r["hy"], r["hx"]] = r["n"]
+    grid[hist["hy"].to_numpy(), hist["hx"].to_numpy()] = hist["n"].to_numpy()
     sat = np.zeros((n + 1, n + 1), dtype=np.int64)
     np.cumsum(grid, axis=0, out=sat[1:, 1:])
     np.cumsum(sat[1:, 1:], axis=1, out=sat[1:, 1:])
@@ -147,15 +151,28 @@ def knn_ring(
         return knn_bruteforce(queries, corpus, k, tie_cols)
     plan = _radius_planner(sat, res_hist, res, k)
 
-    q_all = queries.select(
-        "query_id",
-        F.col("qlat").alias("q_qlat"),
-        F.col("qlon").alias("q_qlon"),
-    ).withColumn("rho", plan(F.col("q_qlat"), F.col("q_qlon")))
+    # materialize the planned radii (query set is the SMALL side by design):
+    # one tiny job, then a literal DataFrame — keeps the pandas UDF out of
+    # the candidate join's DAG so no action re-evaluates it, and the join
+    # plan is pure JVM end-to-end
+    q_pd = (
+        queries.select(
+            "query_id",
+            F.col("qlat").alias("q_qlat"),
+            F.col("qlon").alias("q_qlon"),
+        )
+        .withColumn("rho", plan(F.col("q_qlat"), F.col("q_qlon")))
+        .toPandas()
+    )
+    qid_type = dict(queries.dtypes)["query_id"]
+    q_all = spark.createDataFrame(
+        q_pd, f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, rho int"
+    )
     # sparse-region queries (huge guarantee radius) would explode the
     # candidate join; route them to the brute-force path instead
     q = q_all.filter(F.col("rho") <= max_rho)
     q_sparse = q_all.filter(F.col("rho") > max_rho)
+    has_sparse = bool((q_pd["rho"] > max_rho).any())
 
     # --- phase 2: one candidate join with per-query radius ---
     probe = (
@@ -181,9 +198,12 @@ def knn_ring(
         + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
     )
     out = _topk(cand, k, tie_cols).select("query_id", *tie_cols, "d2", "rank")
-    sparse_out = _topk(
-        _scored(F.broadcast(q_sparse.drop("rho")),
-                corp.select(*tie_cols, "qlat", "qlon")),
-        k, tie_cols,
-    ).select("query_id", *tie_cols, "d2", "rank")
-    return out.unionByName(sparse_out)
+    # only pay the brute-force corpus scan if some query actually needs it
+    if has_sparse:
+        sparse_out = _topk(
+            _scored(F.broadcast(q_sparse.drop("rho")),
+                    corp.select(*tie_cols, "qlat", "qlon")),
+            k, tie_cols,
+        ).select("query_id", *tie_cols, "d2", "rank")
+        out = out.unionByName(sparse_out)
+    return out

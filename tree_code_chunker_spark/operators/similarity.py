@@ -94,6 +94,82 @@ def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
     return bucket
 
 
+def ivf_centroids(corpus: DataFrame, dim: int, n_lists: int = 64,
+                  vec_col: str = "embedding", sample: int = 10_000,
+                  iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Coarse quantizer for IVF: seeded mini k-means on a driver-side sample
+    (the standard IVF training recipe — train small, assign at scale)."""
+    pdf = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample).toPandas()
+    )
+    x = np.stack(pdf["v"].to_numpy())
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def _assign_udf(cent: np.ndarray, topn: int = 1):
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1)[:, :topn]
+        return pd.Series([row.tolist() for row in idx])
+
+    return assign
+
+
+def ann_ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_lists: int = 64, nprobe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: corpus bucketed once by nearest centroid (one narrow
+    assignment pass); each query probes its nprobe nearest lists; exact
+    cosine re-rank inside the candidates.  The inverted-list equi-join is
+    the only data-sized operation — the classic IVF scale path."""
+    cent = ivf_centroids(corpus, dim, n_lists, vec_col, seed=seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("list_id", _assign_udf(cent, 1)(F.col("cvec"))[0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("probes", _assign_udf(cent, nprobe)(F.col("qvec")))
+        .withColumn("list_id", F.explode("probes"))
+        .drop("probes")
+    )
+    cand = F.broadcast(q).join(c, "list_id", "inner").withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            SIM_ROUND,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", "sim").distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "embedding",

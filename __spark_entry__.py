@@ -677,6 +677,32 @@ WHERE rank <= 50
 """
 
 
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event_type (batch form of the
+    Structured Streaming windowed agg; streaming variant in
+    tree_code_chunker_spark/streaming)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+SQL_EVENT_WINDOWS = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 def q_embed_near_dup(spark, sf_dir):
     from tree_code_chunker_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -825,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
         "embed_near_dup": q_embed_near_dup,
+        "event_windows": q_event_windows,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
@@ -856,4 +883,5 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
+        "event_windows": SQL_EVENT_WINDOWS,
     }

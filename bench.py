@@ -50,10 +50,10 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     timed("chunk", lambda: chunks.count())
 
     # point corpus: exploded spans x REPLICATE deterministic sub-keys, so the
-    # spatial stages run at the sf0.1 target scale (~600k points,
+    # spatial stages run at the bench scale (~9.2M points,
     # BASELINE.md) instead of being fixed-overhead-dominated; still derived
     # 1:1 from the driver tables (no external data)
-    REPLICATE = 16
+    REPLICATE = 256
     base = spanify_exploded(docs).select(
         "doc_id", F.col("span_pos").cast("long").alias("span_pos"))
     keys = base.crossJoin(
@@ -69,16 +69,23 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     timings["geocode"] = 0.0
     timed("geocode", lambda: pts.count())
 
-    # HEADLINE: PIP join + tile rollup at ~600k points x 1000 polygons
-    polys = gen_polygons(spark, 1000, seed=43)
+    # HEADLINE: PIP join + tile rollup at ~9.2M points x 2000 polygons.
+    # Tiles: aggregate ONCE at the deepest zoom, then roll parents up from
+    # the child rollup (quadtree prefix: parent = child >> 4 for z-4 steps)
+    # — one scan of the point set instead of one per zoom.
+    polys = gen_polygons(spark, 2000, seed=43)
     t0 = time.perf_counter()
     pip_join(pts, polys).groupBy("polygon_id").agg(F.count("*").alias("n")).collect()
-    parts = []
-    for z in (4, 8, 12):
-        tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), z)
-        parts.append(pts.select(F.lit(z).alias("z"), tx.alias("x"), ty.alias("y")))
-    allz = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    allz.groupBy("z", "x", "y").agg(F.count("*").alias("n")).count()
+    tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), 12)
+    cur = pts.select(tx.alias("x"), ty.alias("y")) \
+        .groupBy("x", "y").agg(F.count("*").alias("n")).cache()
+    for z in (12, 8, 4):
+        cur.count()
+        if z > 4:
+            cur = cur.select(
+                F.shiftright("x", 4).alias("x"),
+                F.shiftright("y", 4).alias("y"), "n",
+            ).groupBy("x", "y").agg(F.sum("n").alias("n")).cache()
     headline = time.perf_counter() - t0
     timings["pip_tile"] = round(headline, 3)
 

@@ -1,0 +1,108 @@
+"""Single-session scaling measurement (the noise-robust variant).
+
+Separate-JVM runs (tools/scaling_bench.py) are at the mercy of this
+sandbox's hypervisor drift (3-5x minute-scale throughput swings measured),
+which swamps the signal.  Here both parallelism levels run back-to-back,
+INTERLEAVED (A B A B ...), inside ONE local[4N] session: the N-core level is
+emulated by giving the stage only N input partitions (tasks are Spark's unit
+of parallelism, so a 4-partition stage uses 4 cores).  Host drift then hits
+both levels equally and the ratio measures the ENGINE, not the weather.
+
+Writes the headline table appended to BENCH/BASELINE.md and prints one JSON
+line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+N = 4
+N4 = 16
+TRIALS = 3
+
+
+def main():
+    from tree_code_chunker_spark.operators.geo import derive_point_cols, tile_cols
+    from tree_code_chunker_spark.operators.pip import pip_join
+    from tree_code_chunker_spark.plans.session import get_spark
+    from tree_code_chunker_spark.sources.adapter import spanify_exploded
+    from tree_code_chunker_spark.sources.datagen import gen_polygons
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scaling-single", cores=N4,
+                      shuffle_partitions=N4 * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    base = spanify_exploded(docs).select(
+        "doc_id", F.col("span_pos").cast("long").alias("span_pos"))
+    keys = base.crossJoin(
+        spark.range(256).select(F.col("id").alias("rep"))
+    ).select("doc_id",
+             (F.col("span_pos") * 256 + F.col("rep")).alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id").cast("long"),
+                                   F.col("span_pos"))
+    pts = keys.select("doc_id", "span_pos", qlat.alias("qlat"),
+                      qlon.alias("qlon"))
+    pts_n = pts.repartition(N).cache()
+    pts_n4 = pts.repartition(N4 * 3).cache()
+    n_points = pts_n.count()
+    pts_n4.count()
+    polys = gen_polygons(spark, 2000, seed=43)
+
+    def headline(p):
+        t0 = time.perf_counter()
+        pip_join(p, polys).groupBy("polygon_id") \
+            .agg(F.count("*").alias("n")).collect()
+        tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), 12)
+        cur = p.select(tx.alias("x"), ty.alias("y")) \
+            .groupBy("x", "y").agg(F.count("*").alias("n"))
+        cur.count()
+        return time.perf_counter() - t0
+
+    headline(pts_n4)  # warm-up: codegen, python workers, broadcasts
+    times_n, times_n4 = [], []
+    for _ in range(TRIALS):  # interleaved so host drift cancels
+        times_n.append(headline(pts_n))
+        times_n4.append(headline(pts_n4))
+    t_n, t_n4 = min(times_n), min(times_n4)
+    dps_n, dps_n4 = n_docs / t_n, n_docs / t_n4
+    eff = (dps_n4 / dps_n) / 4
+    spark.stop()
+
+    md = f"""
+
+## Single-session interleaved measurement (noise-robust, authoritative)
+
+Separate-JVM level runs proved hostage to hypervisor drift (3-5x swings);
+this measurement runs both levels interleaved in ONE local[{N4}] session,
+emulating the N-core level with an {N}-partition stage (tasks are the unit
+of parallelism).  Best of {TRIALS} interleaved trials per level:
+
+| level | parallel tasks | headline sec | docs/sec | points/sec |
+|---|---|---|---|---|
+| N  | {N}  | {t_n:.2f} | {dps_n:.1f} | {n_points / t_n:,.0f} |
+| 4N | {N4} | {t_n4:.2f} | {dps_n4:.1f} | {n_points / t_n4:,.0f} |
+
+**scaling_efficiency (single-session) = {eff:.3f}**
+
+All trials: N={[round(t, 2) for t in times_n]},
+4N={[round(t, 2) for t in times_n4]} (seconds).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(json.dumps({"eff_single_session": round(eff, 3),
+                      "t_n": round(t_n, 2), "t_n4": round(t_n4, 2)}))
+
+
+if __name__ == "__main__":
+    main()

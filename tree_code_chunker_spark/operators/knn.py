@@ -161,6 +161,7 @@ def knn_ring(
             F.col("qlat").alias("q_qlat"),
             F.col("qlon").alias("q_qlon"),
         )
+        .coalesce(1)  # tiny side: one task, one Python worker spawn
         .withColumn("rho", plan(F.col("q_qlat"), F.col("q_qlon")))
         .toPandas()
     )

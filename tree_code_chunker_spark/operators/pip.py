@@ -27,12 +27,14 @@ boundary are inside, upper/right are outside (consistent tie-break).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
 
 from ..config import GRID_BITS
 from .geo import cell_at_res_col
 
-DEFAULT_COVER_RES = 6
+DEFAULT_COVER_RES = 7
 
 
 def polygon_cover(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
@@ -42,16 +44,16 @@ def polygon_cover(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFram
     superset of the true polygon cover; exactness is restored by step 3).
     """
     shift = GRID_BITS - res
-    v = F.explode("ring").alias("v")
-    bbox = (
-        polygons.select("polygon_id", v)
-        .groupBy("polygon_id")
-        .agg(
-            F.min("v.qlat").alias("min_qlat"),
-            F.max("v.qlat").alias("max_qlat"),
-            F.min("v.qlon").alias("min_qlon"),
-            F.max("v.qlon").alias("max_qlon"),
-        )
+    # bbox straight from the ring array (array_min over a projection) — a
+    # pure per-row expression: no explode, no groupBy, no shuffle, no AQE
+    # rounds on the (small but latency-critical) build side
+    ring = F.col("ring")
+    bbox = polygons.select(
+        "polygon_id",
+        F.array_min(F.transform(ring, lambda p: p["qlat"])).alias("min_qlat"),
+        F.array_max(F.transform(ring, lambda p: p["qlat"])).alias("max_qlat"),
+        F.array_min(F.transform(ring, lambda p: p["qlon"])).alias("min_qlon"),
+        F.array_max(F.transform(ring, lambda p: p["qlon"])).alias("max_qlon"),
     )
     return (
         bbox.select(
@@ -120,20 +122,136 @@ def _edges_col(ring):
     )
 
 
+def _crossing_pred(y1, x1, y2, x2, py, px):
+    straddles = (y1 > py) != (y2 > py)
+    dy = y2 - y1
+    lhs = (px - x1) * dy
+    rhs = (py - y1) * (x2 - x1)
+    return straddles & (F.when(dy > 0, lhs < rhs).otherwise(lhs > rhs))
+
+
 def _inside_col(edges, py, px):
     """Even-odd ray cast as a JVM higher-order expression — integer cross-
-    multiplication, bit-identical to ray_cast_np, zero Python in the plan."""
+    multiplication, bit-identical to ray_cast_np, zero Python in the plan.
+
+    NOTE: interpreted lambda evaluation (NamedLambdaVariable) contends
+    across threads in one JVM — measured 3x SLOWER at local[32] than
+    local[8].  Used only as the fallback for polygons with more edges than
+    the unrolled fast path covers."""
+
     def crossing(e):
-        y1, x1, y2, x2 = e["y1"], e["x1"], e["y2"], e["x2"]
-        straddles = (y1 > py) != (y2 > py)
-        dy = y2 - y1
-        lhs = (px - x1) * dy
-        rhs = (py - y1) * (x2 - x1)
-        return straddles & (
-            F.when(dy > 0, lhs < rhs).otherwise(lhs > rhs)
-        )
+        return _crossing_pred(e["y1"], e["x1"], e["y2"], e["x2"], py, px)
 
     return F.size(F.filter(edges, crossing)) % 2 == 1
+
+
+MAX_UNROLLED_EDGES = 32
+
+
+def _inside_col_unrolled(edges, py, px, max_edges: int = MAX_UNROLLED_EDGES):
+    """Ray cast as a FLAT codegen-friendly expression: the crossing test is
+    unrolled over element_at(i) terms (no lambda variables, so whole-stage
+    codegen applies and threads share nothing).  Exact for polygons with at
+    most max_edges edges; pip_join routes bigger rings to the HOF fallback.
+    """
+    total = F.lit(0)
+    for i in range(max_edges):
+        # F.get is null-safe out-of-bounds (element_at THROWS in ANSI mode
+        # even under a when() guard — evaluation is not short-circuited)
+        e = F.get(edges, i)
+        c = _crossing_pred(e["y1"], e["x1"], e["y2"], e["x2"], py, px)
+        total = total + F.when(c, 1).otherwise(0)  # null crossing -> 0
+    return total % 2 == 1
+
+
+def _classify_cells_np(ys: np.ndarray, xs: np.ndarray, res: int):
+    """Closed ring -> [(cov_cy, cov_cx, is_full)] over the bbox cells at
+    `res`, skipping fully-outside cells.  Conservative: a cell is 'full'
+    only if all 4 corners are inside AND no edge bbox overlaps it."""
+    shift = GRID_BITS - res
+    cell = 1 << shift
+    cy0, cy1 = int(ys.min()) >> shift, int(ys.max()) >> shift
+    cx0, cx1 = int(xs.min()) >> shift, int(xs.max()) >> shift
+    gy, gx = np.meshgrid(np.arange(cy0, cy1 + 1), np.arange(cx0, cx1 + 1),
+                         indexing="ij")
+    gy, gx = gy.ravel(), gx.ravel()
+    lo_y, hi_y = gy * cell, (gy + 1) * cell - 1
+    lo_x, hi_x = gx * cell, (gx + 1) * cell - 1
+    ey0 = np.minimum(ys[:-1], ys[1:])
+    ey1 = np.maximum(ys[:-1], ys[1:])
+    ex0 = np.minimum(xs[:-1], xs[1:])
+    ex1 = np.maximum(xs[:-1], xs[1:])
+    overlap = (
+        (lo_y[:, None] <= ey1[None, :]) & (hi_y[:, None] >= ey0[None, :])
+        & (lo_x[:, None] <= ex1[None, :]) & (hi_x[:, None] >= ex0[None, :])
+    ).any(axis=1)
+    corners_in = np.ones(len(gy), dtype=bool)
+    for py, px in ((lo_y, lo_x), (lo_y, hi_x), (hi_y, lo_x), (hi_y, hi_x)):
+        corners_in &= ray_cast_np(ys, xs, py, px)
+    full = corners_in & ~overlap
+    keep = full | overlap  # corners-out + no-overlap == fully outside
+    return list(zip(gy[keep].tolist(), gx[keep].tolist(), full[keep].tolist()))
+
+
+def polygon_cover_classified(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
+    """(polygon_id, ring) -> (polygon_id, cov_cy, cov_cx, is_full) cover rows,
+    THREE-way classified per cell (distributed, vectorized per polygon):
+
+      * full    — all 4 cell corners inside AND no edge bbox overlaps the
+                  cell: every point in the cell is inside => downstream can
+                  accept its points WITHOUT the exact test,
+      * boundary— some edge bbox overlaps the cell: exact test required,
+      * outside — corners outside, no edge overlap: DROPPED (bbox cover of
+                  concave/star shapes is full of these).
+
+    Conservative by construction (edge-bbox overlap over-approximates edge
+    crossing), so correctness never depends on the classification — only
+    candidate volume does.  This is the standard interior/boundary cover
+    split of spatial indexes (e.g. S2 region coverers).
+    """
+    from typing import Iterator
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_pid, out_cy, out_cx, out_full = [], [], [], []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                ys = np.array([v["qlat"] for v in ring], dtype=np.int64)
+                xs = np.array([v["qlon"] for v in ring], dtype=np.int64)
+                if len(ys) and (ys[0] != ys[-1] or xs[0] != xs[-1]):
+                    ys = np.append(ys, ys[0])
+                    xs = np.append(xs, xs[0])
+                for cy, cx, full in _classify_cells_np(ys, xs, res):
+                    out_pid.append(pid)
+                    out_cy.append(cy)
+                    out_cx.append(cx)
+                    out_full.append(full)
+            yield pd.DataFrame({
+                "polygon_id": out_pid, "cov_cy": out_cy,
+                "cov_cx": out_cx, "is_full": out_full,
+            })
+
+    return polygons.select("polygon_id", "ring").mapInPandas(
+        classify, "polygon_id string, cov_cy bigint, cov_cx bigint, is_full boolean"
+    )
+
+
+def _edge_tensor(pack: dict):
+    """polygon pack -> (ids, Y1, X1, Y2, X2) padded [P, E_max] int64 edge
+    matrices; padding rows are degenerate (y1==y2) so they never cross."""
+    ids = sorted(pack)
+    e_max = max((len(pack[p][0]) - 1) for p in ids) if ids else 1
+    P = len(ids)
+    # int32: grid coords are < 2^16; the kernel widens only the products
+    Y1 = np.zeros((P, e_max), dtype=np.int32)
+    X1 = np.zeros((P, e_max), dtype=np.int32)
+    Y2 = np.zeros((P, e_max), dtype=np.int32)
+    X2 = np.zeros((P, e_max), dtype=np.int32)
+    for i, pid in enumerate(ids):
+        ys, xs = pack[pid]
+        n = len(ys) - 1
+        Y1[i, :n], X1[i, :n] = ys[:-1], xs[:-1]
+        Y2[i, :n], X2[i, :n] = ys[1:], xs[1:]
+    return ids, Y1, X1, Y2, X2
 
 
 def pip_join(
@@ -141,6 +259,7 @@ def pip_join(
     polygons: DataFrame,
     res: int = DEFAULT_COVER_RES,
     keep_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    exact: str = "numpy",
 ) -> DataFrame:
     """points(qlat, qlon, ...) x polygons(polygon_id, ring) -> matches.
 
@@ -154,19 +273,112 @@ def pip_join(
     earlier pandas-UDF ray-cast was Arrow-transfer-bound and did not scale;
     ray_cast_np remains as the numpy oracle used by tests.)
     """
+    shift = GRID_BITS - res
     cover = polygon_cover(polygons, res)
+
+    if exact == "numpy":
+        # classified cover: FULL cells accept their points with no exact
+        # test; only BOUNDARY-cell candidates cross into the vectorized
+        # numpy exact test (one gather into broadcast padded edge tensors +
+        # one crossing evaluation per Arrow batch — no per-polygon grouping,
+        # no giant codegen expression: a 32-term unrolled JVM expression
+        # exceeded HotSpot's JIT method limit and ran interpreted, ~8x
+        # slower than this path)
+        spark = points.sparkSession
+        pack = _collect_polygon_pack(polygons)
+        ids, Y1, X1, Y2, X2 = _edge_tensor(pack)
+        b = spark.sparkContext.broadcast((Y1, X1, Y2, X2))
+        # classified cover straight from the collected pack: one local pass
+        # instead of a second Spark job + broadcast chain (build side is
+        # small by contract; polygon_cover_classified remains the
+        # distributed path for very large polygon sets)
+        cover_rows = []
+        for i, pid in enumerate(ids):
+            ys, xs = pack[pid]
+            for cy, cx, full in _classify_cells_np(ys, xs, res):
+                cover_rows.append((pid, i, cy, cx, full))
+        cover_ix = spark.createDataFrame(
+            cover_rows,
+            "polygon_id string, poly_ix int, cov_cy bigint, cov_cx bigint, "
+            "is_full boolean",
+        )
+
+        CHUNK = 1 << 16  # rows per cache tile
+
+        @F.pandas_udf(BooleanType())
+        def inside(poly_ix: pd.Series, qlat: pd.Series, qlon: pd.Series) -> pd.Series:
+            # cache-tiled kernel: the exact test is DRAM-bandwidth-bound at
+            # full batch width (measured: per-core throughput drops ~35%
+            # from 4 to 16 concurrent workers), so work in 64k-row tiles
+            # with int32 intermediates — every temporary stays cache-
+            # resident; only the two cross-products need int64.
+            y1, x1, y2, x2 = b.value  # int32 [P, E] edge tables
+            ix_all = poly_ix.to_numpy()
+            py_all = qlat.to_numpy(dtype=np.int32)
+            px_all = qlon.to_numpy(dtype=np.int32)
+            out = np.zeros(len(ix_all), dtype=bool)
+            for s in range(0, len(ix_all), CHUNK):
+                ix = ix_all[s:s + CHUNK]
+                py = py_all[s:s + CHUNK]
+                px = px_all[s:s + CHUNK]
+                crossings = np.zeros(len(ix), dtype=np.int32)
+                for e in range(y1.shape[1]):
+                    ey1 = y1[ix, e]
+                    ey2 = y2[ix, e]
+                    straddle = (ey1 > py) != (ey2 > py)
+                    if not straddle.any():
+                        continue
+                    ex1 = x1[ix, e]
+                    ex2 = x2[ix, e]
+                    dy = (ey2 - ey1).astype(np.int64)
+                    lhs = (px - ex1) * dy
+                    rhs = (py - ey1).astype(np.int64) * (ex2 - ex1)
+                    crossings += straddle & np.where(dy > 0, lhs < rhs, lhs > rhs)
+                out[s:s + CHUNK] = (crossings & 1).astype(bool)
+            return pd.Series(out)
+
+        cand = points.join(
+            F.broadcast(cover_ix),
+            (F.shiftright(points["qlat"], shift) == cover_ix["cov_cy"])
+            & (F.shiftright(points["qlon"], shift) == cover_ix["cov_cx"]),
+            "inner",
+        )
+        # single pass: full cells accept unconditionally; boundary cells by
+        # the exact test.  (The UDF is still evaluated on full-cell rows —
+        # Spark pulls Python UDFs out of when/or — but that is ~4% extra
+        # kernel work vs a SECOND broadcast-join pass for a separate
+        # accepted branch, which measured strictly worse.)
+        return cand.filter(
+            F.col("is_full") | inside("poly_ix", "qlat", "qlon")
+        ).select(*keep_cols, "polygon_id", "qlat", "qlon")
+
+    # JVM variants (kept for environments without Python workers): unrolled
+    # codegen expression for small rings, interpreted HOF for big ones
     edges = polygons.select(
         "polygon_id", _edges_col(F.col("ring")).alias("edges")
     )
     cover_e = cover.join(edges, "polygon_id")
-    shift = GRID_BITS - res
-    cand = points.join(
-        F.broadcast(cover_e),
-        (F.shiftright(points["qlat"], shift) == cover_e["cov_cy"])
-        & (F.shiftright(points["qlon"], shift) == cover_e["cov_cx"]),
-        "inner",
-    )
-    return (
-        cand.filter(_inside_col(F.col("edges"), F.col("qlat"), F.col("qlon")))
-        .select(*keep_cols, "polygon_id", "qlat", "qlon")
-    )
+
+    def cand_for(cov):
+        return points.join(
+            F.broadcast(cov),
+            (F.shiftright(points["qlat"], shift) == cov["cov_cy"])
+            & (F.shiftright(points["qlon"], shift) == cov["cov_cx"]),
+            "inner",
+        )
+
+    small = cover_e.filter(F.size("edges") <= MAX_UNROLLED_EDGES)
+    out = cand_for(small).filter(
+        _inside_col_unrolled(F.col("edges"), F.col("qlat"), F.col("qlon"))
+    ).select(*keep_cols, "polygon_id", "qlat", "qlon")
+
+    max_edges = polygons.select(
+        F.max(F.size(F.col("ring"))).alias("m")).first()["m"] or 0
+    if max_edges - 1 > MAX_UNROLLED_EDGES:
+        big = cover_e.filter(F.size("edges") > MAX_UNROLLED_EDGES)
+        out = out.unionByName(
+            cand_for(big).filter(
+                _inside_col(F.col("edges"), F.col("qlat"), F.col("qlon"))
+            ).select(*keep_cols, "polygon_id", "qlat", "qlon")
+        )
+    return out

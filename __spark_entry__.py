@@ -677,6 +677,41 @@ WHERE rank <= 50
 """
 
 
+def q_kring(spark, sf_dir):
+    """k=1 ring neighborhood per point at res 10 (H3 k-ring contract on the
+    Morton grid): 9 (point, neighbor-cell) rows, off-grid neighbors dropped."""
+    from tree_code_chunker_spark.operators.geo import kring_offsets
+
+    p = _points(spark, sf_dir).filter(F.col("span_pos") < 3)
+    offs = spark.createDataFrame(kring_offsets(1), "dy int, dx int")
+    shift = 6  # GRID_BITS - res, res=10
+    n_cells = 1 << 10
+    j = p.crossJoin(F.broadcast(offs))
+    return (
+        j.select(
+            "doc_id", "span_pos",
+            (F.shiftright("qlat", shift) + F.col("dy")).alias("ncy"),
+            (F.shiftright("qlon", shift) + F.col("dx")).alias("ncx"),
+        )
+        .filter((F.col("ncy") >= 0) & (F.col("ncy") < n_cells)
+                & (F.col("ncx") >= 0) & (F.col("ncx") < n_cells))
+        .select("doc_id", "span_pos",
+                (F.col("ncy") * n_cells + F.col("ncx")).alias("neighbor_cell"))
+    )
+
+
+SQL_KRING = f"""
+{SPANS_CTE}, {POINTS_SQL}, offs(dy, dx) AS (VALUES
+  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT doc_id, span_pos,
+       ((qlat >> 6) + dy) * 1024 + ((qlon >> 6) + dx) AS neighbor_cell
+FROM points CROSS JOIN offs
+WHERE span_pos < 3
+  AND (qlat >> 6) + dy >= 0 AND (qlat >> 6) + dy < 1024
+  AND (qlon >> 6) + dx >= 0 AND (qlon >> 6) + dx < 1024
+"""
+
+
 def q_event_windows(spark, sf_dir):
     """Tumbling 1-hour event-time windows per event_type (batch form of the
     Structured Streaming windowed agg; streaming variant in
@@ -852,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_features": q_tile_features,
         "embed_near_dup": q_embed_near_dup,
         "event_windows": q_event_windows,
+        "kring": q_kring,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
@@ -884,4 +920,5 @@ def oracle_sql() -> dict[str, str]:
         "tile_features": SQL_TILE_FEATURES,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "event_windows": SQL_EVENT_WINDOWS,
+        "kring": SQL_KRING,
     }

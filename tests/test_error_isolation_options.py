@@ -87,3 +87,13 @@ def test_embedding_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_progress_accumulator(spark):
+    """A5: per-document progress counting (reference codechunk.go:377-382)."""
+    from tree_code_chunker_spark.sources.datagen import gen_documents
+
+    acc = spark.sparkContext.accumulator(0)
+    docs = gen_documents(spark, 15, seed=3)
+    chunk_documents(docs, progress=acc).count()
+    assert acc.value == 15

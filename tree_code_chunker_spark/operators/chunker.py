@@ -304,6 +304,7 @@ def chunk_documents(
     max_size: int = DEFAULT_MAX_CHUNK_SIZE,
     streaming: bool = False,
     options_col: str | None = None,
+    progress=None,
 ):
     """documents(doc_id, spans) -> chunks DataFrame via mapInPandas.
 
@@ -321,6 +322,10 @@ def chunk_documents(
 
     streaming=True stamps total_chunks = -1 (the ChunkStream sentinel,
     codechunk.go:284) since a global per-doc count is unknown mid-stream.
+
+    progress: optional Spark accumulator incremented once per processed
+    document (≙ reference ChunkBatch's mutex-protected completed counter +
+    OnProgress callback, codechunk.go:377-382 — A5).
     """
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -357,6 +362,8 @@ def chunk_documents(
                     if streaming:
                         c["total_chunks"] = -1
                     rows.append(c)
+                if progress is not None:
+                    progress.add(1)
             cols = [
                 "doc_id", "chunk_index", "total_chunks", "text",
                 "byte_start", "byte_end", "line_start", "line_end",

@@ -126,7 +126,14 @@ RECTS_SQL = "rects(polygon_id, y0, x0, y1, x1) AS (VALUES " + ", ".join(
 # ------------------------------------------------------------- queries ----
 
 
+def _utc(spark):
+    # timestamp semantics must match the (naive) DuckDB oracle regardless of
+    # the driver session's default timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_tpch_pricing(spark, sf_dir):
+    _utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -716,6 +723,7 @@ def q_event_windows(spark, sf_dir):
     """Tumbling 1-hour event-time windows per event_type (batch form of the
     Structured Streaming windowed agg; streaming variant in
     tree_code_chunker_spark/streaming)."""
+    _utc(spark)
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = F.window("ts", "1 hour")
     return (

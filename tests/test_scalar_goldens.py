@@ -183,3 +183,30 @@ def test_extract_import_symbols(text, lang, want_names, want_source):
     assert [n for n, _ in got] == want_names
     if want_source is not None:
         assert got[0][1] == want_source
+
+
+# reference signature_test.go:90-194 — Python (contains), Rust/Java (exact),
+# driven through the line-grammar extractor end-to-end
+@pytest.mark.parametrize(
+    "code,lang,want,exact",
+    [
+        ("def hello():\n    pass", "python", "def hello()", False),
+        ("def add(a: int, b: int) -> int:\n    return a + b", "python",
+         "def add(a: int, b: int)", False),
+        ("class User:\n    pass", "python", "class User", False),
+        ("fn hello() {}", "rust", "fn hello()", True),
+        ("fn add(a: i32, b: i32) -> i32 { a + b }", "rust",
+         "fn add(a: i32, b: i32) -> i32", True),
+        ("struct Point { x: i32, y: i32 }", "rust", "struct Point", True),
+        ("class Main { void hello() {} }", "java", "class Main", True),
+    ],
+)
+def test_entity_signature_goldens(code, lang, want, exact):
+    from tree_code_chunker_spark.operators.entities import parse_entities
+
+    ents = parse_entities(code, lang)
+    assert ents, f"no entities for {code!r}"
+    if exact:
+        assert ents[0]["signature"] == want
+    else:
+        assert want in ents[0]["signature"]

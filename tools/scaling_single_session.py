@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 N = 4
 N4 = 16
-TRIALS = 3
+TRIALS = 5
 
 
 def main():
@@ -70,13 +70,18 @@ def main():
         return time.perf_counter() - t0
 
     headline(pts_n4)  # warm-up: codegen, python workers, broadcasts
-    times_n, times_n4 = [], []
-    for _ in range(TRIALS):  # interleaved so host drift cancels
-        times_n.append(headline(pts_n))
-        times_n4.append(headline(pts_n4))
+    times_n, times_n4, ratios = [], [], []
+    for _ in range(TRIALS):  # adjacent-in-time pairs: drift cancels per pair
+        a = headline(pts_n)
+        b = headline(pts_n4)
+        times_n.append(a)
+        times_n4.append(b)
+        ratios.append(a / b)
+    ratios_sorted = sorted(ratios)
+    med_ratio = ratios_sorted[len(ratios_sorted) // 2]
+    eff = med_ratio / 4
     t_n, t_n4 = min(times_n), min(times_n4)
     dps_n, dps_n4 = n_docs / t_n, n_docs / t_n4
-    eff = (dps_n4 / dps_n) / 4
     spark.stop()
 
     md = f"""
@@ -86,20 +91,34 @@ def main():
 Separate-JVM level runs proved hostage to hypervisor drift (3-5x swings);
 this measurement runs both levels interleaved in ONE local[{N4}] session,
 emulating the N-core level with an {N}-partition stage (tasks are the unit
-of parallelism).  Best of {TRIALS} interleaved trials per level:
+of parallelism).  Efficiency = MEDIAN of per-pair speedups / 4 (each N
+trial is paired with the 4N trial run immediately after it, so host drift
+cancels pairwise); {TRIALS} pairs:
 
-| level | parallel tasks | headline sec | docs/sec | points/sec |
+| level | parallel tasks | best headline sec | docs/sec | points/sec |
 |---|---|---|---|---|
 | N  | {N}  | {t_n:.2f} | {dps_n:.1f} | {n_points / t_n:,.0f} |
 | 4N | {N4} | {t_n4:.2f} | {dps_n4:.1f} | {n_points / t_n4:,.0f} |
 
-**scaling_efficiency (single-session) = {eff:.3f}**
+**scaling_efficiency (single-session, median-of-pairs) = {eff:.3f}**
 
-All trials: N={[round(t, 2) for t in times_n]},
-4N={[round(t, 2) for t in times_n4]} (seconds).
+Trials: N={[round(t, 2) for t in times_n]},
+4N={[round(t, 2) for t in times_n4]} (s);
+per-pair speedups {[round(r, 2) for r in ratios]}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Single-session interleaved measurement"
+    with open(path) as f:
+        cur = f.read()
+    if marker in cur:  # replace the previous section, keep what follows it
+        head = cur[:cur.index(marker)].rstrip() + "\n"
+        tail_ix = cur.find("\n## ", cur.index(marker) + 1)
+        tail = cur[tail_ix:] if tail_ix != -1 else ""
+        cur = head + md + tail
+    else:
+        cur = cur + md
+    with open(path, "w") as f:
+        f.write(cur)
     print(json.dumps({"eff_single_session": round(eff, 3),
                       "t_n": round(t_n, 2), "t_n4": round(t_n4, 2)}))
 

@@ -190,7 +190,7 @@ def _classify_cells_np(ys: np.ndarray, xs: np.ndarray, res: int):
         corners_in &= ray_cast_np(ys, xs, py, px)
     full = corners_in & ~overlap
     keep = full | overlap  # corners-out + no-overlap == fully outside
-    return list(zip(gy[keep].tolist(), gx[keep].tolist(), full[keep].tolist()))
+    return gy[keep], gx[keep], full[keep]
 
 
 def polygon_cover_classified(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
@@ -220,11 +220,11 @@ def polygon_cover_classified(polygons: DataFrame, res: int = DEFAULT_COVER_RES) 
                 if len(ys) and (ys[0] != ys[-1] or xs[0] != xs[-1]):
                     ys = np.append(ys, ys[0])
                     xs = np.append(xs, xs[0])
-                for cy, cx, full in _classify_cells_np(ys, xs, res):
-                    out_pid.append(pid)
-                    out_cy.append(cy)
-                    out_cx.append(cx)
-                    out_full.append(full)
+                cy, cx, full = _classify_cells_np(ys, xs, res)
+                out_pid.extend([pid] * len(cy))
+                out_cy.extend(cy.tolist())
+                out_cx.extend(cx.tolist())
+                out_full.extend(full.tolist())
             yield pd.DataFrame({
                 "polygon_id": out_pid, "cov_cy": out_cy,
                 "cov_cx": out_cx, "is_full": out_full,
@@ -292,13 +292,27 @@ def pip_join(
         # instead of a second Spark job + broadcast chain (build side is
         # small by contract; polygon_cover_classified remains the
         # distributed path for very large polygon sets)
-        cover_rows = []
+        parts = []
         for i, pid in enumerate(ids):
             ys, xs = pack[pid]
-            for cy, cx, full in _classify_cells_np(ys, xs, res):
-                cover_rows.append((pid, i, cy, cx, full))
+            cy, cx, full = _classify_cells_np(ys, xs, res)
+            if not len(cy):
+                continue
+            parts.append(pd.DataFrame({
+                "polygon_id": pid,
+                "poly_ix": np.int32(i),
+                "cov_cy": cy.astype(np.int64),
+                "cov_cx": cx.astype(np.int64),
+                "is_full": full,
+            }))
+        cover_pdf = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"polygon_id": [], "poly_ix": [], "cov_cy": [],
+                          "cov_cx": [], "is_full": []})
+        # Arrow-path createDataFrame: a tuple-list of ~10^5 cover rows went
+        # through py4j row-by-row and put seconds of SERIAL time in front of
+        # every pip_join call
         cover_ix = spark.createDataFrame(
-            cover_rows,
+            cover_pdf,
             "polygon_id string, poly_ix int, cov_cy bigint, cov_cx bigint, "
             "is_full boolean",
         )

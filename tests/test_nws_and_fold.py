@@ -140,3 +140,18 @@ def test_serialize_offsets():
     assert doc == b"ab\n<media:r>\ncd"
     assert starts.tolist() == [0, 3, 13]
     assert ends.tolist() == [2, 12, 15]
+
+
+def test_split_media_span_fragments_restore_payload():
+    # a multi-line media_ref forces W2 to split the media span across
+    # windows; fragments must keep their byte-slice text so concatenation in
+    # (chunk_index, part) order restores the payload for EVERY kind
+    ref = "\n".join(f"seg{i}" + "y" * 20 for i in range(10))
+    out = chunk_spans_py(["media"], [""], [ref], [0], 40)
+    frags = sorted(
+        ((c["chunk_index"], s["part"], s) for c in out for s in c["spans"]),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert frags[0][2]["parts"] == len(frags) > 1
+    assert "".join(t[2]["text"] for t in frags) == "<media:" + ref + ">"
+    assert all(t[2]["media_ref"] == ref for t in frags)

@@ -262,11 +262,15 @@ def chunk_spans_py(
             if parts == 1:
                 frag_text = texts[idx] if kinds[idx] == "text" else ""
             else:
+                # split spans (text OR media) keep the byte-slice fragment so
+                # concatenation in (chunk_index, part) order restores the
+                # payload — the span-sequence equality invariant holds for
+                # every kind, not just text
                 frag_text = code[s:e].decode("utf-8", errors="replace")
             spans.append(
                 {
                     "kind": kinds[idx],
-                    "text": frag_text if kinds[idx] == "text" else "",
+                    "text": frag_text,
                     "media_ref": refs[idx] if kinds[idx] == "media" else "",
                     "order": orders[idx],
                     "part": part,

@@ -28,12 +28,42 @@ from pyspark.sql.types import ArrayType, LongType
 MERSENNE_P = (1 << 61) - 1
 N_PERM_DEFAULT = 64
 
+_P61 = np.uint64(MERSENNE_P)
+
 
 def _perm_table(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, MERSENNE_P, size=n_perm, dtype=np.int64)
     b = rng.randint(0, MERSENNE_P, size=n_perm, dtype=np.int64)
     return a, b
+
+
+def _mod61(v: np.ndarray) -> np.ndarray:
+    """v (uint64, any value) -> v mod (2^61 - 1), pure uint64 numpy.
+
+    Mersenne fold: 2^61 ≡ 1 (mod p), so v = hi*2^61 + lo ≡ hi + lo; the
+    folded value is < p + 8, so one conditional subtract finishes."""
+    v = (v >> np.uint64(61)) + (v & _P61)
+    return np.where(v >= _P61, v - _P61, v)
+
+
+def _mulmod61(x, y: np.ndarray) -> np.ndarray:
+    """(x * y) mod (2^61 - 1) for x, y < 2^61 - 1 — 32-bit limb schoolbook
+    with Mersenne folds, entirely in uint64 (no Python bigints, no overflow:
+    every intermediate is < 2^64)."""
+    x = np.uint64(x) if np.isscalar(x) or getattr(x, "ndim", 1) == 0 else x
+    x0 = x & np.uint64(0xFFFFFFFF)
+    x1 = x >> np.uint64(32)          # < 2^29
+    y0 = y & np.uint64(0xFFFFFFFF)
+    y1 = y >> np.uint64(32)          # < 2^29
+    # x*y = x1y1*2^64 + (x1y0 + x0y1)*2^32 + x0y0 ;  2^64 ≡ 8 (mod p)
+    t1 = _mod61(x1 * y1 * np.uint64(8))              # x1y1 < 2^58, *8 < 2^61
+    mid = _mod61(x1 * y0 + x0 * y1)                  # < 2^62, fits
+    m1 = mid >> np.uint64(29)                        # < 2^32
+    m0 = mid & np.uint64((1 << 29) - 1)
+    t2 = _mod61(m1 + (m0 << np.uint64(32)))          # m0*2^32 ≡ via 2^61 split
+    t3 = _mod61(x0 * y0)                             # < 2^64, fits exactly
+    return (t1 + t2 + t3) % _P61                     # sum < 3p < 2^63
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -58,42 +88,92 @@ def shingle_hashes_np(text: str, n: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def _minhash_batch(texts: list[str], a_m: np.ndarray, b_m: np.ndarray,
+                   shingle_n: int) -> np.ndarray:
+    """Signatures for a whole Arrow batch: [n_docs, n_perm] int64.
+
+    sig[d, j] = min over shingles h of (a_j * h + b_j) mod (2^61 - 1).
+    The permutation pass is batch-vectorized: all docs' shingle hashes are
+    concatenated once, reduced mod p once, and each permutation is one
+    uint64 mulmod over the whole batch + a segmented min (reduceat) — no
+    per-row Python, no object-dtype bigint arithmetic."""
+    n_perm = len(a_m)
+    hs_list = [shingle_hashes_np(t or "", shingle_n) for t in texts]
+    sizes = np.fromiter((len(h) for h in hs_list), np.int64, len(hs_list))
+    # shingle_hashes_np pads short/empty text to >= 1 shingle, so every
+    # segment is non-empty and reduceat is well-defined
+    all_h = (np.concatenate(hs_list) if hs_list
+             else np.empty(0, dtype=np.uint64))
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    hmod = _mod61(all_h)
+    out = np.empty((len(texts), n_perm), dtype=np.int64)
+    for j in range(n_perm):
+        vals = _mulmod61(a_m[j], hmod) + b_m[j]
+        vals = np.where(vals >= _P61, vals - _P61, vals)
+        out[:, j] = np.minimum.reduceat(vals, offsets).astype(np.int64)
+    return out
+
+
 def minhash_signature_np(text: str, n_perm: int = N_PERM_DEFAULT,
                          shingle_n: int = 5, seed: int = 42) -> np.ndarray:
+    """Single-doc reference form of the batch kernel (tests/oracles)."""
     a, b = _perm_table(n_perm, seed)
-    sh = shingle_hashes_np(text, shingle_n).astype(np.int64)
-    if len(sh) == 0:
-        return np.zeros(n_perm, dtype=np.int64)
-    # (a*h + b) mod p, vectorized over perms x shingles (python ints avoid
-    # int64 overflow; n_perm x |shingles| stays small per doc)
-    vals = (sh[None, :].astype(object) * a[:, None] + b[:, None]) % MERSENNE_P
-    return vals.min(axis=1).astype(np.int64)
+    return _minhash_batch([text], a.astype(np.uint64), b.astype(np.uint64),
+                          shingle_n)[0]
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_perm: int = N_PERM_DEFAULT, shingle_n: int = 5,
                        seed: int = 42) -> DataFrame:
+    a, b = _perm_table(n_perm, seed)
+    a_m, b_m = a.astype(np.uint64), b.astype(np.uint64)
+
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: minhash_signature_np(t or "", n_perm, shingle_n, seed).tolist()
-        )
+        mat = _minhash_batch(texts.tolist(), a_m, b_m, shingle_n)
+        return pd.Series(list(mat))
 
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
-    """(id_a, id_b) candidate near-dup pairs, id_a < id_b, deduped."""
-    n_perm = N_PERM_DEFAULT
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs, id_a < id_b, deduped.
+
+    n_perm must match the signature length produced by minhash_signatures
+    (fail-fast per row via assert_true) and divide evenly into bands —
+    a silently short slice would make every band key collide and degenerate
+    the candidate set toward all-pairs.
+
+    The band key is the '_'-joined decimal minima of the band's slice (an
+    explicit, oracle-expressible formula — not an opaque builtin hash); the
+    candidate join is an equi-join on (band_id, band_key), never all-pairs.
+    """
+    if n_perm % bands != 0:
+        raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
     rows_per_band = n_perm // bands
-    banded = sigs.select(
+    checked = sigs.withColumn(
+        "_chk",
+        F.assert_true(
+            F.size("sig") == F.lit(n_perm),
+            F.lit(f"minhash signature length != n_perm={n_perm}"),
+        ),
+    )
+    banded = checked.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                lambda b: F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
             )
-        ).alias("band_id", "band_hash"),
+        ).alias("band_id", "band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -101,7 +181,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -109,33 +189,66 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a64_tokens_np(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a 64-bit of each token, vectorized over the token axis: one
+    uint64 xor-mul per BYTE POSITION (tokens are short), never per token."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), np.int64, n)
+    data = np.frombuffer(b"".join(tokens), dtype=np.uint8).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    for pos in range(int(lens.max())):
+        active = lens > pos
+        h[active] = (h[active] ^ data[starts[active] + pos]) * FNV_PRIME
+    return h
+
+
 def _fnv1a64(tok: str) -> int:
     """FNV-1a 64-bit hash (public constants), as a Python int < 2^64."""
-    h = 14695981039346656037
-    for ch in tok.encode("utf-8"):
-        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return h
+    return int(_fnv1a64_tokens_np([tok.encode("utf-8")])[0])
+
+
+def _simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """SimHash sketches for a batch of token lists -> int64 array.
+
+    One flat FNV pass over every token in the batch, then a segmented ±1
+    bit-vote (reduceat) — zero per-row Python."""
+    counts = np.fromiter((len(t) for t in token_lists), np.int64,
+                         len(token_lists))
+    flat = [t.encode("utf-8") for lst in token_lists for t in lst]
+    hs = _fnv1a64_tokens_np(flat)
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = np.where(
+        ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool), 1, -1
+    ).astype(np.int32)
+    out = np.zeros(len(token_lists), dtype=np.uint64)
+    nonempty = counts > 0
+    if nonempty.any():
+        offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=offs[1:])
+        acc = np.add.reduceat(votes, offs, axis=0)
+        packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        out[nonempty] = packed
+    return out.view(np.int64)
 
 
 def simhash_np(tokens: list[str], bits: int = 64) -> int:
     """64-bit SimHash over the token multiset, returned as signed int64."""
-    if not tokens:
-        return 0
-    hs = np.array([_fnv1a64(t) for t in tokens], dtype=np.uint64)
-    shifts = np.arange(bits, dtype=np.uint64)
-    bitm = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = np.where(bitm == 1, 1, -1).sum(axis=0)
-    out = 0
-    for i in range(bits):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 64) if out >= 1 << 63 else out  # reinterpret signed
+    assert bits == 64
+    return int(_simhash_batch([list(tokens)])[0])
 
 
 def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     @F.pandas_udf(LongType())
     def sk(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash_np((t or "").split()))
+        return pd.Series(_simhash_batch([(t or "").split() for t in texts]))
 
     return df.select(F.col(id_col).alias("id"), sk(F.col(text_col)).alias("simhash"))
 

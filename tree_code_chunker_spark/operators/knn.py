@@ -114,6 +114,7 @@ def knn_ring(
     tie_cols: list[str] = ["doc_id", "span_pos"],
     res_hist: int | None = None,
     max_rho: int = 64,
+    broadcast_cap_rows: int = 4_000_000,
 ) -> DataFrame:
     """Cell ring kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
     qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact."""
@@ -193,7 +194,14 @@ def knn_ring(
         )
         .select("query_id", "q_qlat", "q_qlon", "ccy", "ccx")
     )
-    cand = F.broadcast(probe).join(corp, ["ccy", "ccx"], "inner").withColumn(
+    # the exploded probe is (2*rho+1)^2 rows per query — broadcast only while
+    # the estimated exploded size fits comfortably in memory; past the cap,
+    # fall back to a shuffle equi-join on the cell key (same result, bounded
+    # memory; a huge query set should not be able to OOM the driver)
+    rho_col = q_pd["rho"].to_numpy()
+    est_exploded = int(((2 * rho_col[rho_col <= max_rho] + 1) ** 2).sum())
+    probe_side = F.broadcast(probe) if est_exploded <= broadcast_cap_rows else probe
+    cand = probe_side.join(corp, ["ccy", "ccx"], "inner").withColumn(
         "d2",
         (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
         + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),

@@ -24,7 +24,6 @@ bytes (project features BEFORE any join).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -43,18 +42,58 @@ FEATURE_SCHEMA = (
 
 FEATURE_DIM = 16
 
+# deterministic stand-in math, shared by Spark, numpy, and the DuckDB oracle:
+# poly31 byte hash mod 2^31-1 seeds every derived value; feature components
+# are 20-bit fixed-point fractions, EXACTLY representable in float32 so the
+# three backends agree bit-for-bit.
+POLY_MOD = 2147483647  # 2^31 - 1
+FEAT_MULT = 1000003
+FEAT_STEP = 7919
+FEAT_FRAC_BITS = 20
+
+
+def poly31_bytes(payload: bytes) -> int:
+    """acc = (acc*31 + byte) mod (2^31-1) over the payload bytes — the
+    oracle-expressible content hash (numpy Horner, no per-byte Python)."""
+    acc = 0
+    if payload:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        for b in arr.astype(np.int64):  # short stand-in blobs; scalar Horner
+            acc = (acc * 31 + int(b)) % POLY_MOD
+    return acc
+
+
+def poly31_col(col) -> F.Column:
+    """Spark column mirror of poly31_bytes for ASCII string content."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(POLY_MOD),
+    )
+
+
+def poly31_sql(expr: str) -> str:
+    """DuckDB SQL mirror of poly31_bytes for ASCII string content."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_split_to_array({expr}, ''), "
+        f"c -> unicode(c)::BIGINT)), (a, b) -> (a * 31 + b) % {POLY_MOD})"
+    )
+
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """DETERMINISTIC FAKE decoder (codec libs absent in this container).
 
-    Produces a FEATURE_DIM float32 vector seeded by the payload's sha256 —
-    stable across runs/workers, so tests can assert exact values.  Replace
-    via decode_fn= with a real decoder on a real cluster.
+    feature[i] = ((seed*FEAT_MULT + i*FEAT_STEP) mod 2^20) / 2^20 with
+    seed = poly31(payload) — stable across runs/workers AND expressible in
+    the DuckDB oracle, so the driver gate checks the full decode->feature
+    path, not just row counts.  Replace via decode_fn= with a real decoder
+    (PIL/torchaudio/ffmpeg) on a real cluster; the plan is unchanged.
     """
-    h = hashlib.sha256(payload or b"").digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    seed = poly31_bytes(payload or b"")
+    ks = (seed * FEAT_MULT + np.arange(FEATURE_DIM, dtype=np.int64) * FEAT_STEP) \
+        % (1 << FEAT_FRAC_BITS)
+    return (ks / float(1 << FEAT_FRAC_BITS)).astype(np.float32)
 
 
 def extract_media_features(df: DataFrame, decode_fn=None) -> DataFrame:
@@ -123,11 +162,12 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
 
 def synth_media(spark, refs_df: DataFrame) -> DataFrame:
     """Deterministic media table from media_ref rows (payload = utf-8 of the
-    ref — a stand-in blob; meta derived from a hash).  Used by tests and the
-    media queries; real deployments read (ref -> blob) from object storage."""
-    h = F.abs(F.hash("media_ref"))
+    ref — a stand-in blob; meta derived from the poly31 content hash so the
+    DuckDB oracle can mirror every field).  Used by tests and the media
+    queries; real deployments read (ref -> blob) from object storage."""
+    h = poly31_col(F.col("media_ref"))
     kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3) + 1
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3 + 1).cast("int")
     )
     return refs_df.select(
         "media_ref",
@@ -141,3 +181,15 @@ def synth_media(spark, refs_df: DataFrame) -> DataFrame:
             F.concat(F.lit("x-fake/"), kind).alias("mime"),
         ).alias("meta"),
     )
+
+
+def synth_media_meta_sql(href: str = "h") -> dict[str, str]:
+    """DuckDB expressions mirroring synth_media's derived fields, given a
+    CTE column `href` holding poly31(media_ref)."""
+    kind = (f"(['image','audio','video'])[CAST({href} % 3 + 1 AS INT)]")
+    return {
+        "kind": kind,
+        "width": f"CAST({href} % 1920 + 1 AS INT)",
+        "height": f"CAST(({href} // 7) % 1080 + 1 AS INT)",
+        "n_frames": f"CAST(({href} // 13) % 300 + 1 AS INT)",
+    }

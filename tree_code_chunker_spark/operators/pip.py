@@ -109,8 +109,22 @@ def ray_cast_np(ys: np.ndarray, xs: np.ndarray, py: np.ndarray, px: np.ndarray) 
     return inside
 
 
+def _closed_ring_col(ring):
+    """Normalize ring closure (append first vertex when the ring is open) so
+    the JVM exact path never silently drops the closing edge — keeps it
+    consistent with the numpy path, which closes defensively."""
+    first = F.element_at(ring, 1)
+    last = F.element_at(ring, -1)
+    return F.when(
+        (first["qlat"] == last["qlat"]) & (first["qlon"] == last["qlon"]),
+        ring,
+    ).otherwise(F.concat(ring, F.array(first)))
+
+
 def _edges_col(ring):
-    """ring array<struct<qlat,qlon>> (closed) -> array<struct<y1,x1,y2,x2>>."""
+    """ring array<struct<qlat,qlon>> -> array<struct<y1,x1,y2,x2>> (closure
+    normalized first)."""
+    ring = _closed_ring_col(ring)
     return F.transform(
         F.sequence(F.lit(0), F.size(ring) - 2),
         lambda i: F.struct(

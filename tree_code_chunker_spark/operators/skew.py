@@ -28,17 +28,23 @@ def hot_keys(df: DataFrame, key: str, threshold_rows: int) -> DataFrame:
 
 
 def with_salt(df: DataFrame, key: str, hot: DataFrame, n_salts: int,
-              salt_col: str = "_salt") -> DataFrame:
+              salt_col: str = "_salt",
+              salt_from: list[str] | None = None) -> DataFrame:
     """Add a salt column: 0 for cold keys, hash-spread 0..n_salts-1 for hot
-    keys (deterministic — salt from a row hash, not rand())."""
+    keys (deterministic — salt from a row hash, not rand()).
+
+    salt_from: columns whose hash spreads rows WITHIN a hot key — pass a
+    narrow row-identity subset (e.g. doc_id, span_pos) instead of the default
+    all-columns hash, which needlessly hashes wide payload columns."""
     hot_marked = F.broadcast(hot.select(key).withColumn("_is_hot", F.lit(True)))
+    salt_cols = salt_from if salt_from is not None else df.columns
     return (
         df.join(hot_marked, key, "left")
         .withColumn(
             salt_col,
             F.when(
                 F.col("_is_hot").isNotNull(),
-                F.pmod(F.hash(*df.columns), F.lit(n_salts)),
+                F.pmod(F.hash(*salt_cols), F.lit(n_salts)),
             ).otherwise(F.lit(0)),
         )
         .drop("_is_hot")
@@ -54,10 +60,20 @@ def replicate_for_salt(small: DataFrame, n_salts: int,
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int,
-                threshold_rows: int = 100_000, how: str = "inner") -> DataFrame:
-    """big ⋈ small on `key` with hot-key salting; output == plain join."""
+                threshold_rows: int = 100_000, how: str = "inner",
+                salt_from: list[str] | None = None) -> DataFrame:
+    """big ⋈ small on `key` with hot-key salting.
+
+    Output == plain join for how in {'inner', 'left'} ONLY: the small side is
+    replicated n_salts times, so an unmatched small-side row would appear
+    n_salts times under 'right'/'full' — those modes are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "the replicated build side would duplicate unmatched rows"
+        )
     hot = hot_keys(big, key, threshold_rows)
-    big_s = with_salt(big, key, hot, n_salts)
+    big_s = with_salt(big, key, hot, n_salts, salt_from=salt_from)
     small_s = replicate_for_salt(small, n_salts)
     out = big_s.join(small_s, [key, "_salt"], how)
     return out.drop("_salt")

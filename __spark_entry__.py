@@ -777,12 +777,14 @@ WHERE round(
 """
 
 
-# ---- rows-only entries (no SQL oracle; pinned by pytest instead) ----
+# ---- formerly rows-only entries, now DuckDB-mirrored ----
 
 
 def q_media_features(spark, sf_dir):
     """Binary media plumbing: span media_refs -> synthetic blobs -> feature
-    vectors via the stub decoder (deterministic; codec swap-in point)."""
+    vectors via the stub decoder (deterministic poly31 formula; codec
+    swap-in point).  feat_sum checks the full decode path value-exactly:
+    components are 20-bit fixed-point fractions, exact in float32/double."""
     from tree_code_chunker_spark.operators.media import (
         extract_media_features,
         synth_media,
@@ -791,8 +793,45 @@ def q_media_features(spark, sf_dir):
     refs = _spans(spark, sf_dir).filter(F.col("kind") == "media") \
         .select("media_ref").distinct()
     feats = extract_media_features(synth_media(spark, refs))
-    return feats.select("media_ref", "kind", "ok",
-                        F.size("feature").alias("dim"))
+    return feats.select(
+        "media_ref", "kind", "ok",
+        F.size("feature").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0), lambda a, x: a + x,
+            ), 6,
+        ).alias("feat_sum"),
+    )
+
+
+from tree_code_chunker_spark.operators.media import (  # noqa: E402
+    FEAT_FRAC_BITS,
+    FEAT_MULT,
+    FEAT_STEP,
+    FEATURE_DIM,
+    poly31_sql,
+    synth_media_meta_sql,
+)
+
+_MEDIA_META = synth_media_meta_sql("h")
+_MEDIA_HASHED = f"""refs AS (
+  SELECT DISTINCT media_ref FROM spans WHERE kind = 'media'
+), hashed AS (
+  SELECT media_ref, {poly31_sql('media_ref')} AS h FROM refs
+)"""
+
+SQL_MEDIA_FEATURES = f"""
+{SPANS_CTE}, {_MEDIA_HASHED}
+SELECT media_ref,
+       {_MEDIA_META['kind']} AS kind,
+       TRUE AS ok,
+       CAST({FEATURE_DIM} AS BIGINT) AS dim,
+       round(list_aggregate(list_transform(generate_series(0, {FEATURE_DIM - 1}),
+             i -> ((h * {FEAT_MULT} + i * {FEAT_STEP}) % {1 << FEAT_FRAC_BITS})
+                  / {float(1 << FEAT_FRAC_BITS)}), 'sum'), 6) AS feat_sum
+FROM hashed
+"""
 
 
 def q_media_frames(spark, sf_dir):
@@ -801,6 +840,18 @@ def q_media_frames(spark, sf_dir):
     refs = _spans(spark, sf_dir).filter(F.col("kind") == "media") \
         .select("media_ref").distinct()
     return sample_frames(synth_media(spark, refs), every_n=30)
+
+
+SQL_MEDIA_FRAMES = f"""
+{SPANS_CTE}, {_MEDIA_HASHED}
+SELECT media_ref, CAST(f AS INT) AS frame_index
+FROM (
+  SELECT media_ref,
+         unnest(generate_series(0, CAST({_MEDIA_META['n_frames']} AS BIGINT) - 1, 30)) AS f
+  FROM hashed
+  WHERE {_MEDIA_META['kind']} = 'video'
+)
+"""
 
 
 def q_chunk_context(spark, sf_dir):
@@ -835,11 +886,48 @@ def q_chunk_spans(spark, sf_dir):
 
 
 def q_pip_raycast(spark, sf_dir):
-    """Ray-cast PIP against concave/convex synthetic polygons — pinned by
-    tests against the numpy brute-force oracle."""
+    """Ray-cast PIP against concave/convex synthetic polygons — checked
+    against both the numpy brute-force pytest oracle and the DuckDB
+    even-odd crossing SQL below (same half-open integer edge convention)."""
     pts = _points(spark, sf_dir)
     polys = gen_polygons(spark, 20, seed=43)
     return pip_join(pts, polys).select("doc_id", "span_pos", "polygon_id")
+
+
+def _pip_raycast_edges_sql() -> str:
+    """Closed-ring edge VALUES table for the same deterministic polygons the
+    Spark query builds (sources/datagen.py polygon_rings, seed pinned)."""
+    from tree_code_chunker_spark.sources.datagen import polygon_rings
+
+    rows = []
+    for pid, ring in polygon_rings(20, seed=43):
+        for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]):
+            rows.append(f"('{pid}', {y1}, {x1}, {y2}, {x2})")
+    return ("edges(polygon_id, y1, x1, y2, x2) AS (VALUES "
+            + ", ".join(rows) + ")")
+
+
+# even-odd ray cast, identical half-open rule to pip.ray_cast_np: an edge
+# crosses iff (y1 > py) != (y2 > py) and the integer cross-multiplication
+# test (px-x1)*dy < (py-y1)*dx for dy > 0, '>' for dy < 0 (no divisions —
+# bit-exact; coords < 2^16 so every product fits BIGINT)
+SQL_PIP_RAYCAST = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_pip_raycast_edges_sql()}
+SELECT doc_id, span_pos, polygon_id
+FROM (
+  SELECT p.doc_id, p.span_pos, e.polygon_id,
+         sum(CASE WHEN ((e.y1 > p.qlat) <> (e.y2 > p.qlat))
+                   AND ((e.y2 > e.y1 AND
+                         (p.qlon - e.x1) * (e.y2 - e.y1)
+                           < (p.qlat - e.y1) * (e.x2 - e.x1))
+                     OR (e.y2 < e.y1 AND
+                         (p.qlon - e.x1) * (e.y2 - e.y1)
+                           > (p.qlat - e.y1) * (e.x2 - e.x1)))
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM points p CROSS JOIN edges e
+  GROUP BY p.doc_id, p.span_pos, e.polygon_id
+) WHERE crossings % 2 = 1
+"""
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -848,9 +936,107 @@ def q_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=16)
 
 
+def _minhash_lsh_sql() -> str:
+    """DuckDB mirror of the full MinHash+LSH pipeline: 5-char shingles ->
+    64-bit wrapping polynomial hash (HUGEINT with explicit mod 2^64 per
+    step, = numpy uint64 wrap) -> 64 (a*h+b) mod (2^61-1) permutation
+    minima (the a/b table is embedded verbatim from _perm_table(64, 42)) ->
+    16 bands of 4 joined as decimal strings -> banded equi-join.
+
+    ASCII-only corpus assumption (verified for the driver tables): the
+    engine shingles UTF-8 BYTES, the mirror shingles codepoints."""
+    from tree_code_chunker_spark.operators.dedup import MERSENNE_P, _perm_table
+
+    a, b = _perm_table(64, seed=42)
+    perm_vals = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(64)
+    )
+    M = 1099511628211  # FNV prime, the polynomial base
+    W = 1 << 64
+    return f"""
+WITH pt(j, a, b) AS (VALUES {perm_vals}),
+cps AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''),
+                        c -> unicode(c)::HUGEINT) AS cp
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         CASE WHEN len(cp) >= 5 THEN cp
+              ELSE cp || list_transform(generate_series(1, 5 - len(cp)),
+                                        x -> 0::HUGEINT)
+         END AS cp
+  FROM cps
+), sh AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(cp) - 4),
+             i -> ((((cp[i] * {M} + cp[i+1]) % {W}
+                     * {M} + cp[i+2]) % {W}
+                     * {M} + cp[i+3]) % {W}
+                     * {M} + cp[i+4]) % {W})) AS h
+    FROM padded
+  )
+), mins AS (
+  SELECT s.doc_id, p.j, min((p.a * s.h + p.b) % {MERSENNE_P}) AS m
+  FROM sh s CROSS JOIN pt p
+  GROUP BY s.doc_id, p.j
+), bands AS (
+  SELECT doc_id, j // 4 AS band_id,
+         string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM mins GROUP BY doc_id, j // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+  AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH = _minhash_lsh_sql()
+
+
 def q_simhash(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return simhash_sketches(d, "doc_id", "text")
+
+
+# FNV-1a 64 per whitespace-split token (xor low byte, wrapping multiply ==
+# HUGEINT mod 2^64), then the ±1 bit vote per bit position, packed back to a
+# signed BIGINT exactly like numpy's uint64 view
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(regexp_split_to_array(tok, ''),
+                       c -> unicode(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT
+    ) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bits
+  GROUP BY doc_id, b
+), packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(b AS INT))
+                  ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(p.s, 0::HUGEINT)
+            - CASE WHEN COALESCE(p.s, 0::HUGEINT)
+                        >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT
+                   ELSE 0::HUGEINT END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+"""
 
 
 # -------------------------------------------------------------- contract ----
@@ -929,4 +1115,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "event_windows": SQL_EVENT_WINDOWS,
         "kring": SQL_KRING,
+        "pip_raycast": SQL_PIP_RAYCAST,
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "simhash": SQL_SIMHASH,
+        "media_features": SQL_MEDIA_FEATURES,
+        "media_frames": SQL_MEDIA_FRAMES,
     }

@@ -75,11 +75,13 @@ def gen_documents(spark: SparkSession, n_docs: int, seed: int = 42,
     return spark.createDataFrame(rows, schema)
 
 
-def gen_polygons(spark: SparkSession, n_polygons: int, seed: int = 43) -> DataFrame:
-    """Integer-grid polygons: convex (regular n-gon) and concave (star)
-    mixes; polygon 0 always covers hot cell 0 (skew path, FIXTURES.md §2)."""
+def polygon_rings(n_polygons: int, seed: int = 43) -> list[tuple[str, list]]:
+    """Pure-python ring generator: [(polygon_id, [(qlat, qlon), ...closed])].
+
+    Shared by gen_polygons (Spark) and the pip_raycast DuckDB oracle, which
+    embeds the SAME closed rings as an edge VALUES table."""
     rng = np.random.RandomState(seed)
-    rows = []
+    out = []
     for p in range(n_polygons):
         if p == 0:
             cy, cx = HOT_CENTERS[0]
@@ -98,7 +100,15 @@ def gen_polygons(spark: SparkSession, n_polygons: int, seed: int = 43) -> DataFr
             qlon = int(np.clip(cx + r * np.cos(a), 0, 65535))
             ring.append((qlat, qlon))
         ring.append(ring[0])
-        rows.append((f"poly{p:05d}", ring, f"cat{p % 7}"))
+        out.append((f"poly{p:05d}", ring))
+    return out
+
+
+def gen_polygons(spark: SparkSession, n_polygons: int, seed: int = 43) -> DataFrame:
+    """Integer-grid polygons: convex (regular n-gon) and concave (star)
+    mixes; polygon 0 always covers hot cell 0 (skew path, FIXTURES.md §2)."""
+    rows = [(pid, ring, f"cat{i % 7}")
+            for i, (pid, ring) in enumerate(polygon_rings(n_polygons, seed))]
     schema = ("polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>, "
               "category string")
     return spark.createDataFrame(rows, schema)

@@ -854,35 +854,226 @@ FROM (
 """
 
 
+CHUNK_CONTEXT_MAX = 150  # multiple chunks per doc -> the overlap block of
+# FormatChunkWithContext is actually exercised, not just the identity path
+
+
 def q_chunk_context(spark, sf_dir):
-    """Fused chunk+context pipeline (entities/scope/siblings/imports +
-    formatting) — rows-only; semantics pinned by tests/test_entities.py."""
+    """Fused chunk+context pipeline (detect-language, entities/scope/
+    siblings/imports + formatting).  The DuckDB mirror re-runs the fold
+    CTEs, mirrors detect_language via the shared RE2 hint patterns, and
+    rebuilds the overlap-block formatting; this word-soup corpus detects as
+    'unknown' everywhere (no line-grammar matches), so the entity counts
+    pin the empty-context identity path — the entity grammar itself is
+    pinned by the reference goldens in tests/test_entities.py."""
     from tree_code_chunker_spark.operators.entities import (
         chunk_documents_with_context,
     )
 
     docs = spanify(_docs(spark, sf_dir))
-    out = chunk_documents_with_context(docs, max_size=600)
+    out = chunk_documents_with_context(docs, max_size=CHUNK_CONTEXT_MAX)
     return out.select(
         "doc_id", "chunk_index", "total_chunks", "lang",
-        F.length("contextualized_text").alias("ctx_len"),
-        F.size("entities").alias("n_entities"),
-        F.size("siblings").alias("n_siblings"),
-        F.size("imports").alias("n_imports"),
-        F.size("scope").alias("scope_depth"),
+        F.length("contextualized_text").cast("long").alias("ctx_len"),
+        F.size("entities").cast("long").alias("n_entities"),
+        F.size("siblings").cast("long").alias("n_siblings"),
+        F.size("imports").cast("long").alias("n_imports"),
+        F.size("scope").cast("long").alias("scope_depth"),
     )
 
 
+from tree_code_chunker_spark.operators.entities import (  # noqa: E402
+    detect_language_col,
+    detect_language_sql,
+)
+
+# SQL_CHUNK_CONTEXT is assembled after _chunk_fold_ctes is defined (below)
+
+
+def q_detect_lang(spark, sf_dir):
+    """S6 DetectLanguage as a pure JVM column op: a deterministic marker
+    line per doc (cycling the 6 grammars + one prose line) prepended to the
+    doc text, classified by the shared hint patterns."""
+    markers = F.array(
+        F.lit("func main() {"),
+        F.lit("pub fn run() {"),
+        F.lit("def handler(x):"),
+        F.lit("public class Main {"),
+        F.lit("export interface Shape {"),
+        F.lit("const x = 1"),
+        F.lit("plain prose line"),
+    )
+    d = _docs(spark, sf_dir)
+    code = F.concat(
+        F.element_at(markers, (F.col("doc_id") % 7 + 1).cast("int")),
+        F.lit("\n"), F.col("text"),
+    )
+    return d.select("doc_id", detect_language_col(code).alias("lang_detected"))
+
+
+_MARKERS_SQL = ("(['func main() {', 'pub fn run() {', 'def handler(x):', "
+                "'public class Main {', 'export interface Shape {', "
+                "'const x = 1', 'plain prose line'])")
+
+SQL_DETECT_LANG = f"""
+WITH coded AS (
+  SELECT doc_id,
+         {_MARKERS_SQL}[CAST(doc_id % 7 + 1 AS INT)] || chr(10) || text AS code
+  FROM documents
+)
+SELECT doc_id, {detect_language_sql('code')} AS lang_detected FROM coded
+"""
+
+
+CHUNK_SPANS_MAX = 40  # small enough that W1 packing, W3 merges AND the
+# W2 oversized branch (span nws up to ~50 in this corpus) all fire
+
+
 def q_chunk_spans(spark, sf_dir):
-    """The real chunker (W1-W4 fold) over adapter spans — data-dependent
-    sequential fold, not SQL-expressible; exactness pinned by
+    """The real chunker (W1-W4 fold) over adapter spans, at a max_size that
+    exercises every branch of the window algebra.  The DuckDB mirror
+    re-expresses the data-dependent fold as two recursive CTEs (W1 greedy
+    assignment incl. the single-line oversized case, then the W3 merge
+    pass) + the W4 rebuild; exactness is additionally pinned by
     tests/test_spark_e2e.py against the naive Python oracle."""
     docs = spanify(_docs(spark, sf_dir))
-    c = chunk_documents(docs, max_size=1500)
+    c = chunk_documents(docs, max_size=CHUNK_SPANS_MAX)
     return c.select(
         "doc_id", "chunk_index", "total_chunks", "byte_start", "byte_end",
         "line_start", "line_end", "nws_size", "is_partial", "text",
     )
+
+
+def _chunk_fold_ctes(max_size: int) -> str:
+    """WITH RECURSIVE CTE chain computing the W1+W2(single-line)+W3+W4 fold
+    over the adapter spans — the SQL mirror of chunker.chunk_spans_py; ends
+    at `rebuilt(doc_id, chunk_index, total_chunks, byte_start, text,
+    nws_size, is_partial, raw_end, code)` for callers to SELECT from.
+
+    State recurrence (validated row-for-row against the Python fold):
+      after span i: (wid, sz_open, closed) with seed (-1, 0, true);
+        sz > max            -> wid+1, own closed PARTIAL window (a span is
+                               one line here: W2 emits it whole)
+        closed or overflow  -> wid+1 opens with sz
+        else                -> join wid, sz_open += sz
+    then the merge pass folds adjacent windows while acc + next <= max.
+    Line numbers count real newlines in the serialized doc; a partial
+    window's line_end uses the UNtrimmed end (the reference LineRanges
+    override), others the trimmed end.
+    """
+    return f"""
+WITH RECURSIVE spans AS ({spanify_sql()}),
+sp AS (
+  SELECT doc_id, span_pos,
+         CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
+              ELSE text END AS payload
+  FROM spans
+),
+szd AS (
+  SELECT doc_id, span_pos, payload, length(payload) AS plen,
+         {nws_count_sql('payload')} AS sz,
+         CAST(COALESCE(SUM(length(payload) + 1) OVER (
+           PARTITION BY doc_id ORDER BY span_pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS bstart
+  FROM sp
+),
+codes AS (
+  SELECT doc_id, string_agg(payload, chr(10) ORDER BY span_pos) AS code
+  FROM sp GROUP BY doc_id
+),
+w1 AS (
+  SELECT doc_id, -1 AS span_pos, -1 AS wid, 0 AS sz_open,
+         TRUE AS closed, FALSE AS part
+  FROM (SELECT DISTINCT doc_id FROM sp)
+  UNION ALL
+  SELECT s.doc_id, s.span_pos,
+         CASE WHEN s.sz > {max_size} OR w.closed
+                   OR w.sz_open + s.sz > {max_size}
+              THEN w.wid + 1 ELSE w.wid END,
+         CASE WHEN s.sz > {max_size} THEN 0
+              WHEN w.closed OR w.sz_open + s.sz > {max_size} THEN s.sz
+              ELSE w.sz_open + s.sz END,
+         s.sz > {max_size},
+         s.sz > {max_size}
+  FROM w1 w JOIN szd s
+    ON s.doc_id = w.doc_id AND s.span_pos = w.span_pos + 1
+),
+assigned AS (
+  SELECT w.doc_id, w.span_pos, w.wid, w.part, s.sz, s.bstart, s.plen
+  FROM w1 w JOIN szd s USING (doc_id, span_pos)
+),
+wins AS (
+  SELECT doc_id, wid, sum(sz) AS wsize, bool_or(part) AS wpart,
+         min(bstart) AS wstart, max(bstart + plen) AS wend_raw
+  FROM assigned GROUP BY doc_id, wid
+),
+w3 AS (
+  SELECT doc_id, wid, 0 AS mwin, wsize AS acc FROM wins WHERE wid = 0
+  UNION ALL
+  SELECT n.doc_id, n.wid,
+         CASE WHEN p.acc + n.wsize <= {max_size} THEN p.mwin
+              ELSE p.mwin + 1 END,
+         CASE WHEN p.acc + n.wsize <= {max_size} THEN p.acc + n.wsize
+              ELSE n.wsize END
+  FROM w3 p JOIN wins n ON n.doc_id = p.doc_id AND n.wid = p.wid + 1
+),
+merged AS (
+  SELECT w.doc_id, m.mwin, min(w.wstart) AS bs, max(w.wend_raw) AS raw_end,
+         sum(w.wsize) AS nws_size, bool_or(w.wpart) AS is_partial
+  FROM wins w JOIN w3 m USING (doc_id, wid)
+  GROUP BY w.doc_id, m.mwin
+),
+rebuilt AS (
+  SELECT m.doc_id, m.mwin AS chunk_index,
+         CAST(count(*) OVER (PARTITION BY m.doc_id) AS INT) AS total_chunks,
+         m.bs AS byte_start,
+         rtrim(substr(c.code, CAST(m.bs + 1 AS INT),
+                      CAST(m.raw_end - m.bs AS INT)), chr(10)) AS text,
+         m.nws_size, m.is_partial, m.raw_end, c.code
+  FROM merged m JOIN codes c USING (doc_id)
+)
+"""
+
+
+SQL_CHUNK_SPANS = _chunk_fold_ctes(CHUNK_SPANS_MAX) + """
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index, total_chunks,
+       byte_start,
+       CAST(byte_start + length(text) AS BIGINT) AS byte_end,
+       CAST(length(substr(code, 1, CAST(byte_start AS INT)))
+            - length(replace(substr(code, 1, CAST(byte_start AS INT)),
+                             chr(10), '')) AS INT) AS line_start,
+       CAST(length(substr(code, 1, CAST(CASE WHEN is_partial THEN raw_end
+                    ELSE byte_start + length(text) END AS INT)))
+            - length(replace(substr(code, 1,
+                    CAST(CASE WHEN is_partial THEN raw_end
+                         ELSE byte_start + length(text) END AS INT)),
+                             chr(10), '')) AS INT) AS line_end,
+       CAST(nws_size AS INT) AS nws_size, is_partial, text
+FROM rebuilt
+"""
+
+
+# chunk k>0 prepends '# ...' / last-10-lines-of-prev / '# ---'; with an
+# empty context and no filepath, chunk 0 formats to the raw text verbatim
+SQL_CHUNK_CONTEXT = _chunk_fold_ctes(CHUNK_CONTEXT_MAX) + f"""
+, ctx AS (
+  SELECT doc_id, chunk_index, total_chunks, text, code,
+         lag(text) OVER (PARTITION BY doc_id ORDER BY chunk_index) AS prev
+  FROM rebuilt
+)
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index, total_chunks,
+       {detect_language_sql('code')} AS lang,
+       CAST(CASE WHEN chunk_index = 0 OR prev IS NULL OR length(prev) = 0
+            THEN length(text)
+            ELSE length('# ...' || chr(10)
+                 || array_to_string(string_split(prev, chr(10))[-10:], chr(10))
+                 || chr(10) || '# ---' || chr(10) || text)
+       END AS BIGINT) AS ctx_len,
+       0::BIGINT AS n_entities, 0::BIGINT AS n_siblings,
+       0::BIGINT AS n_imports, 0::BIGINT AS scope_depth
+FROM ctx
+"""
 
 
 def q_pip_raycast(spark, sf_dir):
@@ -1082,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "event_windows": q_event_windows,
         "kring": q_kring,
+        "detect_lang": q_detect_lang,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
@@ -1115,6 +1307,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "event_windows": SQL_EVENT_WINDOWS,
         "kring": SQL_KRING,
+        "detect_lang": SQL_DETECT_LANG,
+        "chunk_spans": SQL_CHUNK_SPANS,
+        "chunk_context": SQL_CHUNK_CONTEXT,
         "pip_raycast": SQL_PIP_RAYCAST,
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,

@@ -121,14 +121,20 @@ def infer_entity_type(node_type: str) -> str | None:
     return None
 
 
-_LANG_HINTS = [
-    ("go", re.compile(r"^func\s|^type\s+\w+\s+struct", re.M)),
-    ("rust", re.compile(r"^(?:pub\s+)?fn\s|^use\s+\w+::", re.M)),
-    ("python", re.compile(r"^def\s|^class\s+\w+.*:\s*$|^from\s+\w+\s+import", re.M)),
-    ("java", re.compile(r"^public\s+(?:class|int|void|String)", re.M)),
-    ("typescript", re.compile(r"^(?:export\s+)?(?:function|interface)\s|: number|: string", re.M)),
-    ("javascript", re.compile(r"^function\s|^const\s+\w+\s*=", re.M)),
+# S6 DetectLanguage marker heuristics, shared verbatim by three regex
+# engines: Python re (re.M), Spark/Java rlike and DuckDB RE2 (both via the
+# (?m) inline flag) — only portable constructs (\s, \w, non-capturing
+# groups, ^/$ multiline) are used so all three agree.
+LANG_HINT_PATTERNS = [
+    ("go", r"^func\s|^type\s+\w+\s+struct"),
+    ("rust", r"^(?:pub\s+)?fn\s|^use\s+\w+::"),
+    ("python", r"^def\s|^class\s+\w+.*:\s*$|^from\s+\w+\s+import"),
+    ("java", r"^public\s+(?:class|int|void|String)"),
+    ("typescript", r"^(?:export\s+)?(?:function|interface)\s|: number|: string"),
+    ("javascript", r"^function\s|^const\s+\w+\s*="),
 ]
+
+_LANG_HINTS = [(lang, re.compile(p, re.M)) for lang, p in LANG_HINT_PATTERNS]
 
 
 def detect_language(text: str, path: str | None = None) -> str:
@@ -145,6 +151,26 @@ def detect_language(text: str, path: str | None = None) -> str:
         if rx.search(text):
             return lang
     return "unknown"
+
+
+def detect_language_col(code):
+    """Spark-column form of the marker heuristic (JVM rlike, no Python):
+    first matching hint in LANG_HINT_PATTERNS order, else 'unknown'."""
+    from pyspark.sql import functions as F
+
+    out = F.lit("unknown")
+    for lang, pat in reversed(LANG_HINT_PATTERNS):
+        out = F.when(code.rlike("(?m)" + pat), F.lit(lang)).otherwise(out)
+    return out
+
+
+def detect_language_sql(code_expr: str) -> str:
+    """DuckDB SQL mirror of detect_language_col (RE2 (?m) flag)."""
+    whens = " ".join(
+        f"WHEN regexp_matches({code_expr}, '(?m){p}') THEN '{lang}'"
+        for lang, p in LANG_HINT_PATTERNS
+    )
+    return f"(CASE {whens} ELSE 'unknown' END)"
 
 
 def _body_end_brace(lines: list[str], start_ix: int) -> int:

@@ -176,3 +176,191 @@ def test_detect_language():
     assert detect_language("def f():\n    pass") == "python"
     assert detect_language("whatever", "x/y/z.rs") == "rust"
     assert detect_language("no markers at all") == "unknown"
+
+
+def test_anonymous_and_arrow_functions():
+    """extract.go:179-181 + :271-306: arrow functions and function
+    expressions map to 'function'; nameless forms get '<anonymous>'."""
+    code = "\n".join([
+        "const add = (a, b) => a + b",
+        "var mul = function(a, b) { return a * b }",
+        "(function() {",
+        "  run()",
+        "})()",
+        "() => {}",
+        "function named() {}",
+        "export const go = async (x) => x",
+    ])
+    ents = parse_entities(code, "javascript")
+    got = [(e["name"], e["type"]) for e in ents]
+    assert ("add", "function") in got
+    assert ("mul", "function") in got
+    assert ("named", "function") in got
+    assert ("go", "function") in got
+    assert got.count(("<anonymous>", "function")) == 2  # IIFE + bare arrow
+
+
+def test_parse_error_for_unbalanced():
+    from tree_code_chunker_spark.operators.entities import parse_error_for
+
+    ok = "func main() {\n    x := 1\n}"
+    assert parse_error_for(ok, "go") is None
+    bad = "func main() {\n    x := 1\n"  # unclosed brace
+    err = parse_error_for(bad, "go")
+    assert err == {"message": "parse error in source code",
+                   "recoverable": True}
+    # premature close
+    assert parse_error_for("}\nfunc f() {}", "go") is not None
+    # unknown grammar -> no parse, no error struct
+    assert parse_error_for("anything {", "unknown") is None
+
+
+def test_parse_error_attached_to_all_chunks(spark):
+    """codechunk.go:97-101: the recoverable error is stamped on EVERY chunk
+    of the document; extraction still proceeds (tolerant grammar)."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    bad_code = "func broken() {\n" + "\n".join(
+        f"    v{i} := compute({i})" for i in range(40)
+    )  # unclosed body, ~40 lines so several chunks at max_size=100
+    good_code = "func fine() {\n    return\n}"
+    df = spark.createDataFrame(
+        [("bad", [{"kind": "text", "text": bad_code, "media_ref": "",
+                   "offset": 0}]),
+         ("good", [{"kind": "text", "text": good_code, "media_ref": "",
+                    "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = chunk_documents_with_context(df, max_size=100).collect()
+    bad_rows = [r for r in rows if r["doc_id"] == "bad"]
+    assert len(bad_rows) > 1
+    for r in bad_rows:
+        assert r["parse_error"]["message"] == "parse error in source code"
+        assert r["parse_error"]["recoverable"] is True
+    assert any(e["name"] == "broken" for r in bad_rows for e in r["entities"])
+    assert all(r["parse_error"] is None
+               for r in rows if r["doc_id"] == "good")
+
+
+def test_sibling_detail_none(spark):
+    """codechunk.go:653-657 / coverage_test.go:1707-1708: SiblingDetailNone
+    returns empty siblings, session-level and per-row."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    code = "func a() {}\nfunc b() {}\nfunc c() {}"
+    span = [{"kind": "text", "text": code, "media_ref": "", "offset": 0}]
+    df = spark.createDataFrame(
+        [("d1", span)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    with_sibs = chunk_documents_with_context(df, max_size=10).collect()
+    assert any(len(r["siblings"]) > 0 for r in with_sibs)
+    none = chunk_documents_with_context(
+        df, max_size=10, sibling_detail="none").collect()
+    assert all(len(r["siblings"]) == 0 for r in none)
+    # entities/scope untouched by the sibling switch
+    assert any(len(r["entities"]) > 0 for r in none)
+
+
+def test_per_row_option_merge_all_six_fields(spark):
+    """codechunk.go:341-358: MaxChunkSize/OverlapLines merge when > 0,
+    ContextMode/SiblingDetail/Language when non-empty, and FilterImports is
+    overwritten UNCONDITIONALLY whenever an options struct is present."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    code = ('import "strings"\n'
+            "func used() { strings.Join(nil, \"\") }\n"
+            "func helper() {}\nfunc other() {}")
+    span = [{"kind": "text", "text": code, "media_ref": "", "offset": 0}]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>, options struct<"
+              "max_chunk_size:int, overlap_lines:int, context_mode:string,"
+              "sibling_detail:string, language:string, filter_imports:boolean>")
+    rows = [
+        ("inherit", span, None),
+        ("zeros", span,  # zero/empty values all inherit...
+         {"max_chunk_size": 0, "overlap_lines": 0, "context_mode": "",
+          "sibling_detail": "", "language": "", "filter_imports": None}),
+        ("override", span,
+         {"max_chunk_size": 25, "overlap_lines": 1, "context_mode": "full",
+          "sibling_detail": "none", "language": "python",
+          "filter_imports": True}),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = chunk_documents_with_context(
+        df, max_size=1000, filter_imports=True, options_col="options",
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # inherit: no struct -> session values (filter_imports=True keeps only
+    # imports matched by chunk entities)
+    assert by["inherit"][0]["total_chunks"] == 1
+    assert by["inherit"][0]["lang"] == "go"
+    # zeros: ...EXCEPT filter_imports, which the bare struct resets to
+    # false (the reference quirk) -> the unused import now shows up
+    assert by["zeros"][0]["total_chunks"] == 1
+    assert len(by["zeros"][0]["imports"]) >= len(by["inherit"][0]["imports"])
+    assert by["zeros"][0]["lang"] == "go"
+    # override: tiny windows, forced language, no siblings
+    assert by["override"][0]["total_chunks"] > 1
+    assert by["override"][0]["lang"] == "python"
+    assert all(len(r["siblings"]) == 0 for r in by["override"])
+
+
+def test_chunk_bytes_matches_string_path(spark):
+    """S2 ChunkBytes (codechunk.go:52-58): a bytes-sourced doc chunks
+    identically to the same content arriving as a text span."""
+    from tree_code_chunker_spark.operators.chunker import (
+        chunk_documents,
+        chunk_documents_binary,
+    )
+
+    text = "\n".join(f"line {i} of the payload body" for i in range(60))
+    bin_df = spark.createDataFrame(
+        [("d1", bytearray(text.encode("utf-8")))],
+        "doc_id string, payload binary",
+    )
+    str_df = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": text, "media_ref": "",
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cols = ["doc_id", "chunk_index", "total_chunks", "text", "byte_start",
+            "byte_end", "line_start", "line_end", "nws_size", "is_partial"]
+    got = [tuple(r[c] for c in cols)
+           for r in chunk_documents_binary(bin_df, max_size=200).collect()]
+    want = [tuple(r[c] for c in cols)
+            for r in chunk_documents(str_df, max_size=200).collect()]
+    assert sorted(got) == sorted(want) and len(got) > 1
+
+
+def test_detect_language_col_agrees_with_python(spark):
+    """S6: the JVM column classifier and the Python heuristic agree on the
+    shared hint patterns."""
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.entities import detect_language_col
+
+    samples = [
+        "func main() {\n\tx := 1\n}",
+        "pub fn run() -> i64 { 1 }",
+        "def handler(x):\n    return x",
+        "public class Main { }",
+        "export interface Shape { x: number }",
+        "const x = 1",
+        "just some plain words",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "code string")
+    got = [r["lang"] for r in
+           df.select(detect_language_col(F.col("code")).alias("lang")).collect()]
+    assert got == [detect_language(s) for s in samples]

@@ -39,6 +39,8 @@ class ChunkOptions:
     sibling_detail: str = DEFAULT_SIBLING_DETAIL
     filter_imports: bool = DEFAULT_FILTER_IMPORTS
     overlap_lines: int = DEFAULT_OVERLAP_LINES
+    language: str | None = None  # forced language; None/"" = auto-detect
+    # (types.go:174 Language, merged per file at codechunk.go:352-354)
 
     def merged(self, **overrides) -> "ChunkOptions":
         """Field-wise merge: None means inherit (codechunk.go:737-760)."""

@@ -32,8 +32,35 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 
-from ..config import DEFAULT_MAX_CHUNK_SIZE
+from ..config import DEFAULT_MAX_CHUNK_SIZE, ChunkOptions
 from ..functions.nws import count_nws, nws_cumsum, nws_range
+
+
+def merge_row_options(base: ChunkOptions, row_opts) -> ChunkOptions:
+    """Reference per-file option merge (codechunk.go:341-358), field for
+    field: MaxChunkSize/OverlapLines inherit unless > 0, ContextMode/
+    SiblingDetail/Language inherit unless non-empty, and FilterImports is
+    overwritten UNCONDITIONALLY whenever a per-row options struct is present
+    (the reference quirk — a bare struct resets it to its zero value false).
+
+    row_opts: a mapping-like row (pandas struct cell) or None."""
+    if row_opts is None:
+        return base
+    get = row_opts.get
+    kw = {}
+    v = get("max_chunk_size")
+    if v is not None and int(v) > 0:
+        kw["max_chunk_size"] = int(v)
+    v = get("overlap_lines")
+    if v is not None and int(v) > 0:
+        kw["overlap_lines"] = int(v)
+    for field in ("context_mode", "sibling_detail", "language"):
+        v = get(field)
+        if v:
+            kw[field] = str(v)
+    fi = get("filter_imports")
+    kw["filter_imports"] = bool(fi) if fi is not None else False
+    return base.merged(**kw)
 
 MEDIA_TOKEN_FMT = "<media:{ref}>"
 SPAN_SEP = "\n"
@@ -344,12 +371,11 @@ def chunk_documents(
             # the chunk stage's time at small doc sizes)
             out: dict[str, list] = {c: [] for c in cols}
             opts = pdf[options_col] if options_col is not None else None
+            base = ChunkOptions(max_chunk_size=max_size)
             for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
                 row_max = max_size
                 if opts is not None:
-                    o = opts.iloc[i]
-                    if o is not None and o.get("max_chunk_size") is not None:
-                        row_max = int(o["max_chunk_size"])
+                    row_max = merge_row_options(base, opts.iloc[i]).max_chunk_size
                 try:
                     spans = list(spans)
                     chunks = chunk_spans_py(
@@ -387,3 +413,27 @@ def chunk_documents(
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(fn, schema=CHUNK_SCHEMA)
+
+
+def chunk_documents_binary(
+    df,
+    payload_col: str = "payload",
+    max_size: int = DEFAULT_MAX_CHUNK_SIZE,
+    **kw,
+):
+    """S2 ChunkBytes analog (codechunk.go:52-58): documents arriving as a
+    raw BYTES column instead of pre-split spans.  The payload is decoded
+    (UTF-8) and wrapped as a single text span entirely in JVM column ops —
+    no extra Python pass — then flows through the same chunk fold, so a
+    bytes-sourced document produces chunks identical to the string path."""
+    from pyspark.sql import functions as F
+
+    spans = F.array(F.struct(
+        F.lit("text").alias("kind"),
+        F.decode(F.col(payload_col), "UTF-8").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    ))
+    docs = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     spans.alias("spans"))
+    return chunk_documents(docs, max_size=max_size, **kw)

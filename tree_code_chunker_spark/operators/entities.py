@@ -58,6 +58,17 @@ _PATTERNS = {
         (re.compile(r"^(?:export\s+)?interface\s+(\w+)"), "interface"),
         (re.compile(r"^(?:export\s+)?enum\s+(\w+)"), "enum"),
         (re.compile(r"^(?:export\s+)?type\s+(\w+)"), "type"),
+        # arrow functions / function expressions bound to a declarator take
+        # its name (extract.go:271-306 name search); NODE_TYPE_MAP maps
+        # arrow_function/function_expression -> 'function' (extract.go:66-67)
+        (re.compile(r"^(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*"
+                    r"(?:async\s+)?(?:\([^)]*\)|\w+)\s*=>"), "function"),
+        (re.compile(r"^(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*"
+                    r"(?:async\s+)?function\b"), "function"),
+        # nameless function expression / arrow at line start: the 3-tier
+        # name search finds nothing -> '<anonymous>' (extract.go:179-181)
+        (re.compile(r"^\(?\s*(?:async\s+)?function\s*\("), "function"),
+        (re.compile(r"^\([^)]*\)\s*=>"), "function"),
         (re.compile(r"^import\b"), "import"),
         (re.compile(r"^export\b"), "export"),
     ],
@@ -173,6 +184,32 @@ def detect_language_sql(code_expr: str) -> str:
     return f"(CASE {whens} ELSE 'unknown' END)"
 
 
+def parse_error_for(code: str, lang: str) -> dict | None:
+    """Recoverable parse-error detection, the line-grammar analog of
+    tree-sitter's RootNode().HasError() (parser.go:57-66): unbalanced or
+    prematurely-closed braces/parens flag the document.  Mirrors the
+    reference contract that the error is attached per document with
+    Recoverable=true (extraction still proceeds on the tolerant grammar,
+    like tree-sitter's error recovery — parser_test.go:83-100)."""
+    if lang not in _PATTERNS:
+        return None  # no grammar -> no parse (reference: unsupported lang)
+    pairs = "{}()" if lang != "python" else "()"
+    depth = {o: 0 for o in pairs[::2]}
+    bad = False
+    for ch in code:
+        i = pairs.find(ch)
+        if i < 0:
+            continue
+        o = pairs[i - i % 2]
+        depth[o] += 1 if i % 2 == 0 else -1
+        if depth[o] < 0:
+            bad = True
+            break
+    if bad or any(v != 0 for v in depth.values()):
+        return {"message": "parse error in source code", "recoverable": True}
+    return None
+
+
 def _body_end_brace(lines: list[str], start_ix: int) -> int:
     """Index of the last line of a brace-delimited body starting at
     start_ix (depth scan; returns start_ix if no opening brace)."""
@@ -259,7 +296,9 @@ def parse_entities(code: str, lang: str, doc_id: str = "") -> list[dict]:
                 name = m.group(2)
                 end_ix = _body_end_indent(lines, ix, indent)
             else:
-                name = m.group(1)
+                # patterns without a capture group are nameless constructs
+                # (anonymous function expressions / arrows) -> '<anonymous>'
+                name = m.group(1) if rx.groups else ""
                 end_ix = _body_end_brace(lines, ix)
             bs, be = offs[ix], offs[end_ix] + len(lines[end_ix].encode("utf-8"))
             text = "\n".join(lines[ix:end_ix + 1])
@@ -481,7 +520,8 @@ ENRICHED_SCHEMA = (
     "distance:int>>, "
     "imports array<struct<name:string,source:string>>, "
     "spans array<struct<kind:string,text:string,media_ref:string,"
-    "order:int,part:int,parts:int>>"
+    "order:int,part:int,parts:int>>, "
+    "parse_error struct<message:string,recoverable:boolean>"
 )
 
 
@@ -491,25 +531,41 @@ def chunk_documents_with_context(
     overlap_lines: int = 10,
     context_mode: str = "full",
     filter_imports: bool = False,
+    sibling_detail: str = "signatures",
+    language: str | None = None,
     filepath_col: str | None = None,
     lang_col: str | None = None,
+    options_col: str | None = None,
 ):
     """Fused pipeline: chunk (W1-W4) + entities + scope + context + format,
     ONE mapInPandas pass per document (SURVEY.md §4.2: fuse the pandas UDFs
     to cross the JVM<->Python boundary once).
 
-    Input: documents (doc_id, spans[, filepath][, lang]).  Output: one row
-    per chunk with full nested context (schema ≙ reference CodeChunk,
-    types.go:142-150).
+    Input: documents (doc_id, spans[, filepath][, lang][, options]).
+    Output: one row per chunk with full nested context (schema ≙ reference
+    CodeChunk, types.go:142-150) + the per-doc recoverable parse_error
+    struct stamped on every chunk (codechunk.go:97-101).
+
+    options_col names a struct column carrying per-row overrides of ALL six
+    ChunkOptions fields with the reference merge semantics
+    (codechunk.go:341-358, see chunker.merge_row_options); sibling_detail
+    'none' returns empty siblings (codechunk.go:653-657).
     """
-    from .chunker import chunk_spans_py, serialize_document
+    from ..config import ChunkOptions
+    from .chunker import chunk_spans_py, merge_row_options, serialize_document
+
+    base = ChunkOptions(
+        max_chunk_size=max_size, overlap_lines=overlap_lines,
+        context_mode=context_mode, filter_imports=filter_imports,
+        sibling_detail=sibling_detail, language=language,
+    )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "doc_id", "chunk_index", "total_chunks", "text",
             "contextualized_text", "byte_start", "byte_end", "line_start",
             "line_end", "nws_size", "is_partial", "lang", "scope",
-            "entities", "siblings", "imports", "spans",
+            "entities", "siblings", "imports", "spans", "parse_error",
         ]
         for pdf in batches:
             rows = []
@@ -517,24 +573,29 @@ def chunk_documents_with_context(
             span_lists = pdf["spans"].tolist()
             paths = pdf[filepath_col].tolist() if filepath_col else [""] * len(doc_ids)
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(doc_ids)
-            for doc_id, spans, filepath, lang0 in zip(
-                    doc_ids, span_lists, paths, langs):
+            row_opts = pdf[options_col].tolist() if options_col else [None] * len(doc_ids)
+            for doc_id, spans, filepath, lang0, ro in zip(
+                    doc_ids, span_lists, paths, langs, row_opts):
+                o = merge_row_options(base, ro)
                 spans = list(spans)
                 kinds = [s["kind"] for s in spans]
                 texts = [s["text"] for s in spans]
                 refs = [s["media_ref"] for s in spans]
                 orders = [s["offset"] for s in spans]
-                chunks = chunk_spans_py(kinds, texts, refs, orders, max_size)
+                chunks = chunk_spans_py(kinds, texts, refs, orders,
+                                        o.max_chunk_size)
                 code_b, _, _ = serialize_document(kinds, texts, refs)
                 code = code_b.decode("utf-8", errors="replace")
                 filepath = filepath or ""
-                lang = lang0 or detect_language(code, filepath or None)
+                lang = (o.language or lang0
+                        or detect_language(code, filepath or None))
                 ents = parse_entities(code, lang, doc_id)
+                perr = parse_error_for(code, lang)
                 parents = assign_scope_parents(ents)
                 prev_text = None
                 for c in chunks:
                     bs, be = c["byte_start"], c["byte_end"]
-                    if context_mode == "none":
+                    if o.context_mode == "none":
                         scope, ce, sibs, imps = [], [], [], []
                     else:
                         scope = [
@@ -543,16 +604,17 @@ def chunk_documents_with_context(
                             for e in scope_chain_at(ents, parents, bs)
                         ]
                         ce = entities_in_range(ents, bs, be)
-                        sibs = siblings_for(ents, bs, be)
-                        imps = relevant_imports(ce, ents, filter_imports)
-                    ov = overlap_from_prev(prev_text, overlap_lines) \
+                        sibs = ([] if o.sibling_detail == "none"
+                                else siblings_for(ents, bs, be))
+                        imps = relevant_imports(ce, ents, o.filter_imports)
+                    ov = overlap_from_prev(prev_text, o.overlap_lines) \
                         if c["chunk_index"] > 0 else ""
                     # ContextModeNone zeroes the whole context INCLUDING the
                     # filepath header; formatting is still applied so the
                     # overlap block survives (codechunk.go:161-185)
                     ctext = format_chunk_with_context(
                         c["text"],
-                        "" if context_mode == "none" else filepath,
+                        "" if o.context_mode == "none" else filepath,
                         scope,
                         [{"name": e["name"], "type": e["type"],
                           "signature": e["signature"]} for e in ce],
@@ -581,6 +643,7 @@ def chunk_documents_with_context(
                         "siblings": sibs,
                         "imports": imps,
                         "spans": c["spans"],
+                        "parse_error": perr,
                     })
             yield pd.DataFrame(rows, columns=cols)
 

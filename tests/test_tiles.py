@@ -64,3 +64,29 @@ def test_tiles_deterministic_across_parallelism(spark):
         (r["z"], r["x"], r["y"], tuple(tuple(f) for f in r["features"]),
          r["n_dropped"]) for r in rows)
     assert norm(a) == norm(b)
+
+
+def test_vector_tiles_salted_cap_matches_unsalted(spark):
+    """The two-phase hot-tile cap must be output-identical to the plain
+    single-window cap (the global deterministic top-N is a subset of the
+    union of per-salt top-Ns)."""
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.tiles import vector_tiles
+
+    # one hot tile (all rows in tile 0/0 at z=4) + scattered cold rows
+    rows = [(f"d{i:05d}", i, i % 97, i % 89) for i in range(3000)]
+    rows += [(f"s{i:05d}", i, (i * 733) % 65536, (i * 577) % 65536)
+             for i in range(500)]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long")
+    plain = vector_tiles(pts, zooms=(4,), max_features_per_tile=50,
+                         salt_threshold_rows=None)
+    salted = vector_tiles(pts, zooms=(4,), max_features_per_tile=50,
+                          salt_threshold_rows=1000, n_salts=8)
+    cols = ["z", "x", "y", "features", "n_features", "n_dropped"]
+    a = sorted(tuple(r[c] for c in cols) for r in plain.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in salted.collect())
+    assert a == b
+    hot = [r for r in salted.collect() if r["n_dropped"] > 0]
+    assert hot  # the hot tile actually overflowed the cap

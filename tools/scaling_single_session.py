@@ -31,10 +31,11 @@ TRIALS = 5
 
 def main():
     from tree_code_chunker_spark.operators.geo import derive_point_cols, tile_cols
+    from tree_code_chunker_spark.operators.knn import knn_ring
     from tree_code_chunker_spark.operators.pip import pip_join
     from tree_code_chunker_spark.plans.session import get_spark
     from tree_code_chunker_spark.sources.adapter import spanify_exploded
-    from tree_code_chunker_spark.sources.datagen import gen_polygons
+    from tree_code_chunker_spark.sources.datagen import gen_knn_queries, gen_polygons
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scaling-single", cores=N4,
@@ -59,6 +60,8 @@ def main():
     pts_n4.count()
     polys = gen_polygons(spark, 2000, seed=43)
 
+    knn_queries = gen_knn_queries(spark, 50, seed=44)
+
     def headline(p):
         t0 = time.perf_counter()
         pip_join(p, polys).groupBy("polygon_id") \
@@ -69,18 +72,33 @@ def main():
         cur.count()
         return time.perf_counter() - t0
 
+    def knn_stage(p):
+        t0 = time.perf_counter()
+        knn_ring(knn_queries, p, k=5, res=10).count()
+        return time.perf_counter() - t0
+
     headline(pts_n4)  # warm-up: codegen, python workers, broadcasts
+    knn_stage(pts_n4)
     times_n, times_n4, ratios = [], [], []
+    knn_n, knn_n4, knn_ratios = [], [], []
     for _ in range(TRIALS):  # adjacent-in-time pairs: drift cancels per pair
         a = headline(pts_n)
         b = headline(pts_n4)
         times_n.append(a)
         times_n4.append(b)
         ratios.append(a / b)
+        ka = knn_stage(pts_n)
+        kb = knn_stage(pts_n4)
+        knn_n.append(ka)
+        knn_n4.append(kb)
+        knn_ratios.append(ka / kb)
     ratios_sorted = sorted(ratios)
     med_ratio = ratios_sorted[len(ratios_sorted) // 2]
     eff = med_ratio / 4
+    knn_med = sorted(knn_ratios)[len(knn_ratios) // 2]
+    knn_eff = knn_med / 4
     t_n, t_n4 = min(times_n), min(times_n4)
+    tk_n, tk_n4 = min(knn_n), min(knn_n4)
     dps_n, dps_n4 = n_docs / t_n, n_docs / t_n4
     spark.stop()
 
@@ -95,16 +113,22 @@ of parallelism).  Efficiency = MEDIAN of per-pair speedups / 4 (each N
 trial is paired with the 4N trial run immediately after it, so host drift
 cancels pairwise); {TRIALS} pairs:
 
-| level | parallel tasks | best headline sec | docs/sec | points/sec |
-|---|---|---|---|---|
-| N  | {N}  | {t_n:.2f} | {dps_n:.1f} | {n_points / t_n:,.0f} |
-| 4N | {N4} | {t_n4:.2f} | {dps_n4:.1f} | {n_points / t_n4:,.0f} |
+| stage | level | parallel tasks | best sec | docs/sec | points/sec |
+|---|---|---|---|---|---|
+| pip+tile | N  | {N}  | {t_n:.2f} | {dps_n:.1f} | {n_points / t_n:,.0f} |
+| pip+tile | 4N | {N4} | {t_n4:.2f} | {dps_n4:.1f} | {n_points / t_n4:,.0f} |
+| knn      | N  | {N}  | {tk_n:.2f} | — | {n_points / tk_n:,.0f} |
+| knn      | 4N | {N4} | {tk_n4:.2f} | — | {n_points / tk_n4:,.0f} |
 
 **scaling_efficiency (single-session, median-of-pairs) = {eff:.3f}**
+(knn stage: median-of-pairs efficiency {knn_eff:.3f})
 
-Trials: N={[round(t, 2) for t in times_n]},
+Trials pip+tile: N={[round(t, 2) for t in times_n]},
 4N={[round(t, 2) for t in times_n4]} (s);
 per-pair speedups {[round(r, 2) for r in ratios]}.
+Trials knn: N={[round(t, 2) for t in knn_n]},
+4N={[round(t, 2) for t in knn_n4]} (s);
+per-pair speedups {[round(r, 2) for r in knn_ratios]}.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "## Single-session interleaved measurement"
@@ -120,7 +144,10 @@ per-pair speedups {[round(r, 2) for r in ratios]}.
     with open(path, "w") as f:
         f.write(cur)
     print(json.dumps({"eff_single_session": round(eff, 3),
-                      "t_n": round(t_n, 2), "t_n4": round(t_n4, 2)}))
+                      "knn_eff": round(knn_eff, 3),
+                      "t_n": round(t_n, 2), "t_n4": round(t_n4, 2),
+                      "knn_t_n": round(tk_n, 2),
+                      "knn_t_n4": round(tk_n4, 2)}))
 
 
 if __name__ == "__main__":

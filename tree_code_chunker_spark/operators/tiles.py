@@ -56,20 +56,63 @@ def vector_tiles(
     zooms: tuple[int, ...] = TILE_ZOOMS,
     max_features_per_tile: int = 10_000,
     feature_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    salt_threshold_rows: int | None = 200_000,
+    n_salts: int = 16,
 ) -> DataFrame:
-    """(z, x, y, features array<struct>, n_features, n_dropped)."""
+    """(z, x, y, features array<struct>, n_features, n_dropped).
+
+    Skew handling (north_rule "hot cells handled explicitly"): the per-tile
+    cap is a row_number window — on a hot tile that is ONE task scanning
+    every row.  When a census (skew.hot_keys over the tile key) flags tiles
+    above salt_threshold_rows, hot tiles take a TWO-PHASE cap: rank within
+    (tile, salt) and keep max_features per salt — the global deterministic
+    top-N is a subset of the union of per-salt top-Ns, so phase 2's final
+    rank over <= n_salts * max_features survivors is exact and small.  Cold
+    tiles keep the single-pass rank.  Output is identical with or without
+    salting (tests pin this); salt_threshold_rows=None disables the census.
+    """
     t = assign_tiles(points, zooms)
     w = Window.partitionBy("z", "x", "y").orderBy(
         *[F.col(c).asc() for c in feature_cols]
     )
-    ranked = t.withColumn("_rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("_rn") <= max_features_per_tile)
+    totals = t.groupBy("z", "x", "y").agg(F.count("*").alias("n_total"))
+    if salt_threshold_rows is not None:
+        # census straight off `totals` (needed for accounting anyway — a
+        # partial-agg groupBy, no extra full sort); only HOT-tile rows pay
+        # the two-phase path, cold rows keep the single window untouched
+        hot_set = F.broadcast(
+            totals.filter(F.col("n_total") > salt_threshold_rows)
+            .select("z", "x", "y").withColumn("_hot", F.lit(True))
+        )
+        t2 = t.join(hot_set, ["z", "x", "y"], "left")
+        cold = t2.filter(F.col("_hot").isNull()).drop("_hot")
+        hot_rows = t2.filter(F.col("_hot").isNotNull()).drop("_hot")
+        w_salt = Window.partitionBy("z", "x", "y", "_salt").orderBy(
+            *[F.col(c).asc() for c in feature_cols]
+        )
+        hot_pre = (
+            hot_rows.withColumn(
+                "_salt", F.pmod(F.hash(*feature_cols), F.lit(n_salts)))
+            .withColumn("_prn", F.row_number().over(w_salt))
+            .filter(F.col("_prn") <= max_features_per_tile)
+            .drop("_salt", "_prn")
+        )  # <= n_salts * max survivors per hot tile: phase 2 is small+exact
+        kept = (
+            cold.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_features_per_tile)
+            .unionByName(
+                hot_pre.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_features_per_tile)
+            )
+        )
+    else:
+        kept = t.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") <= max_features_per_tile)
     agg = kept.groupBy("z", "x", "y").agg(
         F.sort_array(
             F.collect_list(F.struct(*feature_cols, "in_x", "in_y"))
         ).alias("features"),
     )
-    totals = t.groupBy("z", "x", "y").agg(F.count("*").alias("n_total"))
     return (
         agg.join(totals, ["z", "x", "y"])
         .withColumn("n_features", F.size("features"))

@@ -376,8 +376,12 @@ def pip_join(
         # Spark pulls Python UDFs out of when/or — but that is ~4% extra
         # kernel work vs a SECOND broadcast-join pass for a separate
         # accepted branch, which measured strictly worse.)
+        # grid coords are < 2^16, so the UDF inputs are cast int32 — halves
+        # the Arrow transfer of the candidate stream, which is DRAM-bound
         return cand.filter(
-            F.col("is_full") | inside("poly_ix", "qlat", "qlon")
+            F.col("is_full")
+            | inside("poly_ix", F.col("qlat").cast("int"),
+                     F.col("qlon").cast("int"))
         ).select(*keep_cols, "polygon_id", "qlat", "qlon")
 
     # JVM variants (kept for environments without Python workers): unrolled

@@ -63,3 +63,79 @@ def test_span_sequence_preserved(doc, max_size):
             recon = ("".join(f["text"] for f in fs)
                      if fs[0]["parts"] > 1 else fs[0]["text"])
             assert recon == texts[o]
+
+
+def test_w1_w3_recurrence_model_matches_fold():
+    """The chunk_spans DuckDB oracle re-expresses the fold as a state
+    recurrence (__spark_entry__._chunk_fold_ctes).  Pin that model against
+    chunk_spans_py on randomized span sequences (ASCII, no intra-span
+    newlines — the adapter's span shape) so the oracle's foundation is
+    guarded beyond the driver data."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.chunker import (
+        chunk_spans_py,
+        span_payload,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        n = int(rng.randint(1, 15))
+        max_size = int(rng.randint(5, 80))
+        kinds, texts, refs = [], [], []
+        for i in range(n):
+            if rng.rand() < 0.25:
+                kinds.append("media")
+                texts.append("")
+                refs.append("r" * int(rng.randint(0, 60)) or "r")
+            else:
+                kinds.append("text")
+                texts.append(" ".join(
+                    "w" * int(rng.randint(1, 9))
+                    for _ in range(int(rng.randint(1, 12)))))
+                refs.append("")
+        orders = list(range(n))
+        want = chunk_spans_py(kinds, texts, refs, orders, max_size)
+
+        # the oracle's recurrence
+        def nws(s):
+            return sum(1 for b in s.encode() if b > 32)
+
+        sizes = [nws(span_payload(k, t, r))
+                 for k, t, r in zip(kinds, texts, refs)]
+        wid, sz_open, closed = -1, 0, True
+        w_of, partial = [], []
+        for sz in sizes:
+            if sz > max_size:
+                wid += 1
+                sz_open, closed = 0, True
+                w_of.append(wid)
+                partial.append(True)
+            elif closed or sz_open + sz > max_size:
+                wid += 1
+                sz_open, closed = sz, False
+                w_of.append(wid)
+                partial.append(False)
+            else:
+                sz_open += sz
+                w_of.append(wid)
+                partial.append(False)
+        ws = [0] * (wid + 1)
+        for i, w in enumerate(w_of):
+            ws[w] += sizes[i]
+        mwin_of, m, acc = [0], 0, ws[0]
+        for w in range(1, wid + 1):
+            if acc + ws[w] <= max_size:
+                acc += ws[w]
+            else:
+                m, acc = m + 1, ws[w]
+            mwin_of.append(m)
+
+        got_groups = {}
+        for i in range(n):
+            got_groups.setdefault(mwin_of[w_of[i]], []).append(i)
+        assert len(want) == m + 1, (trial, max_size)
+        for c in want:
+            members = got_groups[c["chunk_index"]]
+            assert c["nws_size"] == sum(sizes[i] for i in members)
+            assert c["is_partial"] == any(partial[i] for i in members)

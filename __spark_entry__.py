@@ -684,6 +684,37 @@ WHERE rank <= 50
 """
 
 
+def q_raster_pixels(spark, sf_dir):
+    """Raster tile materialization + the raster->vector inverse: sparse
+    per-pixel count rasters at z=8, re-vectorized to (z,x,y,px,py,n) rows —
+    the full raster<->vector round trip under one oracle."""
+    from tree_code_chunker_spark.operators.tiles import (
+        raster_tiles,
+        raster_to_vector,
+    )
+
+    pts = _points(spark, sf_dir)
+    r = raster_to_vector(raster_tiles(pts, zooms=(8,), sub_bits=8))
+    return r.select(
+        F.col("z").cast("long").alias("z"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_RASTER_PIXELS = f"""
+{SPANS_CTE}, {POINTS_SQL}
+SELECT 8::BIGINT AS z, x, y, px, py, count(*) AS n FROM (
+  SELECT (qlon >> 8) AS x, (({GRID_MAX} - qlat) >> 8) AS y,
+         qlon & 255 AS px, ({GRID_MAX} - qlat) & 255 AS py
+  FROM points
+) GROUP BY x, y, px, py
+"""
+
+
 def q_kring(spark, sf_dir):
     """k=1 ring neighborhood per point at res 10 (H3 k-ring contract on the
     Morton grid): 9 (point, neighbor-cell) rows, off-grid neighbors dropped."""
@@ -1273,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "event_windows": q_event_windows,
         "kring": q_kring,
+        "raster_pixels": q_raster_pixels,
         "detect_lang": q_detect_lang,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
@@ -1307,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "event_windows": SQL_EVENT_WINDOWS,
         "kring": SQL_KRING,
+        "raster_pixels": SQL_RASTER_PIXELS,
         "detect_lang": SQL_DETECT_LANG,
         "chunk_spans": SQL_CHUNK_SPANS,
         "chunk_context": SQL_CHUNK_CONTEXT,

@@ -90,3 +90,22 @@ def test_vector_tiles_salted_cap_matches_unsalted(spark):
     assert a == b
     hot = [r for r in salted.collect() if r["n_dropped"] > 0]
     assert hot  # the hot tile actually overflowed the cap
+
+
+def test_raster_to_vector_roundtrip_conserves_counts(spark):
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.tiles import (
+        raster_tiles,
+        raster_to_vector,
+    )
+
+    rows = [(f"d{i}", i, (i * 733) % 65536, (i * 577) % 65536)
+            for i in range(2000)]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long")
+    r = raster_tiles(pts, zooms=(4, 8), sub_bits=8)
+    v = raster_to_vector(r)
+    per_zoom = {row["z"]: row["s"] for row in
+                v.groupBy("z").agg(F.sum("n").alias("s")).collect()}
+    assert per_zoom == {4: 2000, 8: 2000}  # every point re-vectorized once

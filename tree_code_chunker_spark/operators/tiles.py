@@ -159,6 +159,25 @@ def raster_tiles(
     )
 
 
+def raster_to_vector(rasters: DataFrame, min_count: int = 1) -> DataFrame:
+    """Inverse materialization (the '<->' in raster<->vector): sparse raster
+    tiles back to per-pixel feature rows (z, x, y, px, py, n) — e.g. to
+    re-vectorize a heatmap above a threshold.  Pure explode, no shuffle."""
+    return (
+        rasters.select(
+            "z", "x", "y",
+            F.explode("pixels").alias("p"),
+        )
+        .select(
+            "z", "x", "y",
+            F.col("p.px").alias("px"),
+            F.col("p.py").alias("py"),
+            F.col("p.n").alias("n"),
+        )
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def write_tiles(tiles: DataFrame, path: str) -> None:
     """Partition layout a tile server would read: /z=<z>/x=<x>/ parquet."""
     tiles.write.mode("overwrite").partitionBy("z", "x").parquet(path)

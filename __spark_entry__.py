@@ -1158,12 +1158,12 @@ def q_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=16)
 
 
-def _minhash_lsh_sql() -> str:
-    """DuckDB mirror of the full MinHash+LSH pipeline: 5-char shingles ->
-    64-bit wrapping polynomial hash (HUGEINT with explicit mod 2^64 per
+def _minhash_ctes() -> str:
+    """DuckDB CTE chain for the full MinHash+LSH pipeline: 5-char shingles
+    -> 64-bit wrapping polynomial hash (HUGEINT with explicit mod 2^64 per
     step, = numpy uint64 wrap) -> 64 (a*h+b) mod (2^61-1) permutation
     minima (the a/b table is embedded verbatim from _perm_table(64, 42)) ->
-    16 bands of 4 joined as decimal strings -> banded equi-join.
+    16 bands of 4 joined as decimal strings.  Ends at `bands`.
 
     ASCII-only corpus assumption (verified for the driver tables): the
     engine shingles UTF-8 BYTES, the mirror shingles codepoints."""
@@ -1175,8 +1175,7 @@ def _minhash_lsh_sql() -> str:
     )
     M = 1099511628211  # FNV prime, the polynomial base
     W = 1 << 64
-    return f"""
-WITH pt(j, a, b) AS (VALUES {perm_vals}),
+    return f"""pt(j, a, b) AS (VALUES {perm_vals}),
 cps AS (
   SELECT doc_id,
          list_transform(regexp_split_to_array(text, ''),
@@ -1207,15 +1206,53 @@ cps AS (
   SELECT doc_id, j // 4 AS band_id,
          string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
   FROM mins GROUP BY doc_id, j // 4
-)
+)"""
+
+
+_MINHASH_PAIRS_SELECT = """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
   AND a.doc_id < b.doc_id
 """
 
+SQL_MINHASH_LSH = "WITH " + _minhash_ctes() + _MINHASH_PAIRS_SELECT
 
-SQL_MINHASH_LSH = _minhash_lsh_sql()
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING end-to-end: MinHash -> LSH candidate pairs ->
+    connected components -> canonical doc per cluster (min doc_id).  The
+    DuckDB mirror chains the MinHash CTEs into a recursive reachability
+    CTE; the Spark side is iterative min-label propagation with
+    localCheckpoint-bounded lineage."""
+    from tree_code_chunker_spark.operators.dedup import connected_components
+
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, bands=16)
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        d.select("doc_id").join(cc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("label", F.col("doc_id")).cast("long")
+            .alias("cluster_rep"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTERS = ("WITH RECURSIVE " + _minhash_ctes() + f"""
+, pairs AS ({_MINHASH_PAIRS_SELECT}),
+sym(s, d) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.d, r.label FROM reach r JOIN sym s ON s.s = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node
+""")
 
 
 def q_simhash(spark, sf_dir):
@@ -1309,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1345,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_context": SQL_CHUNK_CONTEXT,
         "pip_raycast": SQL_PIP_RAYCAST,
         "minhash_lsh": SQL_MINHASH_LSH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frames": SQL_MEDIA_FRAMES,

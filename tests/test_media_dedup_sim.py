@@ -144,3 +144,16 @@ def test_ivf_topk_self_retrieval(spark):
     got = {r["query_id"]: r["vec_id"] for r in
            ann_ivf_topk(q, df, k=1, dim=16, n_lists=8, nprobe=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # self is always in its own list
+
+
+def test_connected_components_min_label(spark):
+    from tree_code_chunker_spark.operators.dedup import connected_components
+
+    # chain 1-2-3, pair 10-11, plus an edge ordering that needs >1 round
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (5, 6), (4, 5)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["label"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4}

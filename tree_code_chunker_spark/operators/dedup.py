@@ -253,6 +253,62 @@ def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sk(F.col(text_col)).alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph -> (node, label)
+    with label = min node id in the component (the canonical duplicate to
+    KEEP; everything else in the cluster is droppable).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels, so convergence needs component-
+    diameter rounds (near-dup clusters are shallow).  localCheckpoint cuts
+    the per-round lineage — the round-1 kNN lesson: an iterative loop of
+    joins otherwise re-evaluates its whole history every action.  At
+    10^12-doc scale swap in the large-star/small-star formulation; the
+    round structure (join + groupBy-min per iteration) is the same.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.select(F.col("node").alias("src"),
+                                     F.col("label").alias("src_label")), "src")
+            .groupBy("dst").agg(F.min("src_label").alias("nbr_label"))
+            .select(F.col("dst").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     round_to: int = 6,

@@ -46,6 +46,8 @@ from tree_code_chunker_spark.operators.knn import knn_ring
 from tree_code_chunker_spark.operators.pip import pip_join
 from tree_code_chunker_spark.operators.similarity import cosine_topk
 from tree_code_chunker_spark.operators.textstats import (
+    bpe_token_count_col,
+    bpe_token_count_sql,
     fingerprint_col,
     lang_id_col,
     lang_id_sql,
@@ -322,6 +324,7 @@ def q_text_stats(spark, sf_dir):
         "doc_id",
         nws_count_col(t).cast("long").alias("nws"),
         token_count_col(t).cast("long").alias("n_tokens"),
+        bpe_token_count_col(t).cast("long").alias("n_bpe_tokens"),
         quality_score_col(t).alias("quality"),
         lang_id_col(t).alias("lang_guess"),
     )
@@ -331,6 +334,7 @@ SQL_TEXT_STATS = f"""
 SELECT doc_id,
        {nws_count_sql('text')} AS nws,
        CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+       CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_bpe_tokens,
        {quality_score_sql('text')} AS quality,
        {lang_id_sql('text')} AS lang_guess
 FROM documents

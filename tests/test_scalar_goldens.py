@@ -210,3 +210,33 @@ def test_entity_signature_goldens(code, lang, want, exact):
         assert ents[0]["signature"] == want
     else:
         assert want in ents[0]["signature"]
+
+
+def test_bpe_token_count_goldens(spark):
+    """GPT-2-style pre-tokenizer count: Java (Spark) and RE2 (DuckDB)
+    engines must agree; values pinned on punctuation-heavy goldens."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.textstats import (
+        bpe_token_count_col,
+        bpe_token_count_sql,
+    )
+
+    samples = {
+        "hello, world! it's 42 tokens?": 9,
+        "a.b.c": 5,
+        "": 0,
+        "   ": 0,
+        "code(x,y)": 6,
+        "don't stop... #hash_tag 3.14!": 12,
+    }
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r[0] for r in
+           df.select(bpe_token_count_col(F.col("s"))).collect()]
+    assert got == list(samples.values())
+    con = duckdb.connect()
+    q = bpe_token_count_sql("s")
+    for s, want in samples.items():
+        assert con.execute(f"SELECT {q} FROM (SELECT ? AS s)",
+                           [s]).fetchone()[0] == want

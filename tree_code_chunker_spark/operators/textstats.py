@@ -42,6 +42,29 @@ def token_count_sql(text: str) -> str:
             f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END")
 
 
+# GPT-2-style pre-tokenizer shape (public knowledge): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.  Only portable
+# regex constructs so the Java (Spark) and RE2 (DuckDB) engines agree.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count (whitespace tokenization over-merges punctuation;
+    this is the regex-pretokenizer estimate an LLM-data pipeline budgets
+    with).  JVM regexp_count — zero Python."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL string-literal quoting
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
 def quality_score_col(text: Column) -> Column:
     """Deterministic quality score in [0,1]: mean of three ratio features
     (length saturation, alpha ratio, mean-word-length band)."""

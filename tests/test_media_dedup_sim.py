@@ -157,3 +157,55 @@ def test_connected_components_min_label(spark):
     got = {r["node"]: r["label"]
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4}
+
+
+def test_mersenne_mulmod_matches_bigint_reference():
+    """The uint64 limb kernels must equal Python bigint arithmetic across
+    the full operand range (randomized)."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.dedup import (
+        MERSENNE_P,
+        _mod61,
+        _mulmod61,
+    )
+
+    rng = np.random.RandomState(123)
+    x = rng.randint(0, MERSENNE_P, 5000).astype(np.uint64)
+    y = rng.randint(0, MERSENNE_P, 5000).astype(np.uint64)
+    got = _mulmod61(x, y).astype(object)
+    want = (x.astype(object) * y.astype(object)) % MERSENNE_P
+    assert (got == want).all()
+    v = (rng.randint(0, 2**62, 5000).astype(np.uint64) * np.uint64(4)
+         + rng.randint(0, 4, 5000).astype(np.uint64))
+    assert (_mod61(v).astype(object) == (v.astype(object) % MERSENNE_P)).all()
+
+
+def test_minhash_signature_matches_bigint_reference():
+    from tree_code_chunker_spark.operators.dedup import (
+        MERSENNE_P,
+        _perm_table,
+        minhash_signature_np,
+        shingle_hashes_np,
+    )
+
+    a, b = _perm_table(64)
+    for text in ["hello world this is a test doc", "", "ab",
+                 "the quick brown fox " * 20]:
+        sh = shingle_hashes_np(text)
+        want = [min((int(ai) * int(h) + int(bi)) % MERSENNE_P for h in sh)
+                for ai, bi in zip(a, b)]
+        assert list(minhash_signature_np(text)) == want
+
+
+def test_fnv_vectorized_matches_byte_loop():
+    from tree_code_chunker_spark.operators.dedup import _fnv1a64
+
+    def ref(tok):
+        h = 14695981039346656037
+        for ch in tok.encode():
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    for t in ["hello", "a", "über", "x" * 100, "mixed 123 !@#"]:
+        assert _fnv1a64(t) == ref(t)

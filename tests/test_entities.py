@@ -364,3 +364,25 @@ def test_detect_language_col_agrees_with_python(spark):
     got = [r["lang"] for r in
            df.select(detect_language_col(F.col("code")).alias("lang")).collect()]
     assert got == [detect_language(s) for s in samples]
+
+
+def test_context_pipeline_error_isolation(spark):
+    """A poisoned row (spans = null) must not fail the fused context job;
+    other docs still succeed (ChunkBatch semantics for the fused path)."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    df = spark.createDataFrame(
+        [("good", [{"kind": "text", "text": "func a() {}", "media_ref": "",
+                    "offset": 0}]),
+         ("bad", None)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = {r["doc_id"]: r for r in
+            chunk_documents_with_context(df, max_size=100).collect()}
+    assert rows["good"]["error"] is None
+    assert rows["good"]["contextualized_text"]
+    assert rows["bad"]["error"] is not None
+    assert rows["bad"]["chunk_index"] == -1

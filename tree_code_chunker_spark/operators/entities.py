@@ -521,7 +521,8 @@ ENRICHED_SCHEMA = (
     "imports array<struct<name:string,source:string>>, "
     "spans array<struct<kind:string,text:string,media_ref:string,"
     "order:int,part:int,parts:int>>, "
-    "parse_error struct<message:string,recoverable:boolean>"
+    "parse_error struct<message:string,recoverable:boolean>, "
+    "error string"
 )
 
 
@@ -566,7 +567,22 @@ def chunk_documents_with_context(
             "contextualized_text", "byte_start", "byte_end", "line_start",
             "line_end", "nws_size", "is_partial", "lang", "scope",
             "entities", "siblings", "imports", "spans", "parse_error",
+            "error",
         ]
+
+        def error_row(doc_id, e):
+            # per-row isolation, same contract as chunk_documents: a bad
+            # document yields ONE error row, the job never fails
+            # (ChunkBatch semantics, codechunk.go:363-375)
+            return {
+                "doc_id": doc_id, "chunk_index": -1, "total_chunks": 0,
+                "text": "", "contextualized_text": "", "byte_start": 0,
+                "byte_end": 0, "line_start": 0, "line_end": 0,
+                "nws_size": 0, "is_partial": False, "lang": "",
+                "scope": [], "entities": [], "siblings": [], "imports": [],
+                "spans": [], "parse_error": None, "error": str(e)[:500],
+            }
+
         for pdf in batches:
             rows = []
             doc_ids = pdf["doc_id"].tolist()
@@ -576,6 +592,14 @@ def chunk_documents_with_context(
             row_opts = pdf[options_col].tolist() if options_col else [None] * len(doc_ids)
             for doc_id, spans, filepath, lang0, ro in zip(
                     doc_ids, span_lists, paths, langs, row_opts):
+                try:
+                    rows.extend(one_doc(doc_id, spans, filepath, lang0, ro))
+                except Exception as e:  # row-level isolation
+                    rows.append(error_row(doc_id, e))
+            yield pd.DataFrame(rows, columns=cols)
+
+    def one_doc(doc_id, spans, filepath, lang0, ro):
+                doc_rows = []
                 o = merge_row_options(base, ro)
                 spans = list(spans)
                 kinds = [s["kind"] for s in spans]
@@ -621,7 +645,7 @@ def chunk_documents_with_context(
                         imps, sibs, ov,
                     )
                     prev_text = c["text"]
-                    rows.append({
+                    doc_rows.append({
                         "doc_id": doc_id,
                         "chunk_index": c["chunk_index"],
                         "total_chunks": c["total_chunks"],
@@ -644,7 +668,8 @@ def chunk_documents_with_context(
                         "imports": imps,
                         "spans": c["spans"],
                         "parse_error": perr,
+                        "error": None,
                     })
-            yield pd.DataFrame(rows, columns=cols)
+                return doc_rows
 
     return df.mapInPandas(fn, schema=ENRICHED_SCHEMA)

@@ -386,3 +386,31 @@ def test_context_pipeline_error_isolation(spark):
     assert rows["good"]["contextualized_text"]
     assert rows["bad"]["error"] is not None
     assert rows["bad"]["chunk_index"] == -1
+
+
+def test_spark_chunker_facade_merge_quirks(spark):
+    """Chunker.Chunk merge (codechunk.go:737-758): filter_imports overrides
+    ONLY when true — unlike the batch merge's unconditional overwrite."""
+    from tree_code_chunker_spark.api import SparkChunker, is_language_supported
+    from tree_code_chunker_spark.config import ChunkOptions
+
+    c = SparkChunker(ChunkOptions(max_chunk_size=100, filter_imports=True))
+    # zero/empty/false all inherit the instance defaults
+    m = c.merged(max_chunk_size=0, context_mode="", filter_imports=False)
+    assert m.max_chunk_size == 100 and m.filter_imports is True
+    m2 = c.merged(max_chunk_size=30, language="go")
+    assert m2.max_chunk_size == 30 and m2.language == "go"
+
+    assert is_language_supported("go") and not is_language_supported("en")
+
+    code = "func a() {}\nfunc b() {}"
+    df = spark.createDataFrame(
+        [("d", [{"kind": "text", "text": code, "media_ref": "",
+                 "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = c.chunk(df, max_chunk_size=10).collect()
+    assert len(out) == 2  # tiny override produced multiple chunks
+    ctx = c.chunk_with_context(df).collect()
+    assert ctx[0]["lang"] == "go" and len(ctx[0]["entities"]) > 0

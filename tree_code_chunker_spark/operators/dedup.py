@@ -267,6 +267,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     10^12-doc scale swap in the large-star/small-star formulation; the
     round structure (join + groupBy-min per iteration) is the same.
     """
+    converged = False
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
@@ -305,7 +306,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent non-converged return would hand back labels that are NOT
+        # component minima — fail loudly instead (raise max_iter, or use a
+        # star-contraction variant for graphs with diameter > max_iter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     return labels
 
 

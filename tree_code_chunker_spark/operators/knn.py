@@ -9,8 +9,8 @@ round and was ~20x slower):
 
  1. **Radius planning** (tiny): a cell-count histogram of the corpus at
     res_hist is collected once and turned into a summed-area table (SAT) —
-    O(1) "how many corpus points within Chebyshev radius rho" per query.  A
-    vectorized pandas UDF binary-searches the smallest rho_hit whose disk
+    O(1) "how many corpus points within Chebyshev radius rho" per query.
+    Driver-side numpy binary-searches the smallest rho_hit whose disk
     holds >= k points, then inflates it to a GUARANTEE radius rho_g with
     rho_g*S + 1 > sqrt(2) * ((rho_hit+1)*S_hist - 1) >= d_k, using the
     integer bound 1449/1024 > sqrt(2) — so no point outside the searched
@@ -30,9 +30,7 @@ driver gate.  All-integer math -> bit-exact at any parallelism.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import IntegerType
 
 from ..config import DEFAULT_CELL_RES, GRID_BITS
 
@@ -68,9 +66,12 @@ def knn_bruteforce(
         "query_id", *tie_cols, "d2", "rank")
 
 
-def _radius_planner(sat: np.ndarray, res_hist: int, res: int, k: int):
-    """Returns a pandas UDF computing the guarantee radius (in res-cells)
-    per query from the histogram SAT."""
+def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
+                  res_hist: int, res: int, k: int) -> np.ndarray:
+    """Guarantee radius (in res-cells) per query from the histogram SAT —
+    plain numpy, run ON THE DRIVER: the query set is the small side by
+    contract and the SAT already lives there, so shipping 50 rows to an
+    executor python worker was one whole Spark job of pure fixed cost."""
     n = 1 << res_hist
     s_hist = 1 << (GRID_BITS - res_hist)
     s_res = 1 << (GRID_BITS - res)
@@ -82,30 +83,25 @@ def _radius_planner(sat: np.ndarray, res_hist: int, res: int, k: int):
         return (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
                 - sat[y1 + 1, x0] + sat[y0, x0])
 
-    @F.pandas_udf(IntegerType())
-    def plan(qlat: pd.Series, qlon: pd.Series) -> pd.Series:
-        out = np.empty(len(qlat), dtype=np.int32)
-        ql = qlat.to_numpy(dtype=np.int64)
-        qn = qlon.to_numpy(dtype=np.int64)
-        for i in range(len(ql)):
-            hy, hx = int(ql[i]) >> (GRID_BITS - res_hist), int(qn[i]) >> (GRID_BITS - res_hist)
-            # binary search smallest rho_hit with disk count >= k
-            lo, hi = 0, n  # disk at rho=n covers the whole grid
-            if disk_count(hy, hx, hi) < k:
-                out[i] = grid_cap  # corpus smaller than k: search everything
-                continue
-            while lo < hi:
-                mid = (lo + hi) // 2
-                if disk_count(hy, hx, mid) >= k:
-                    hi = mid
-                else:
-                    lo = mid + 1
-            rho_hit = lo
-            d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
-            out[i] = min(d_max // s_res + 1, grid_cap)
-        return pd.Series(out)
-
-    return plan
+    out = np.empty(len(qlat), dtype=np.int32)
+    for i in range(len(qlat)):
+        hy = int(qlat[i]) >> (GRID_BITS - res_hist)
+        hx = int(qlon[i]) >> (GRID_BITS - res_hist)
+        # binary search smallest rho_hit with disk count >= k
+        lo, hi = 0, n  # disk at rho=n covers the whole grid
+        if disk_count(hy, hx, hi) < k:
+            out[i] = grid_cap  # corpus smaller than k: search everything
+            continue
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if disk_count(hy, hx, mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        rho_hit = lo
+        d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+        out[i] = min(d_max // s_res + 1, grid_cap)
+    return out
 
 
 def knn_ring(
@@ -150,22 +146,19 @@ def knn_ring(
     np.cumsum(sat[1:, 1:], axis=1, out=sat[1:, 1:])
     if int(sat[n, n]) < k:  # whole corpus smaller than k: no prune possible
         return knn_bruteforce(queries, corpus, k, tie_cols)
-    plan = _radius_planner(sat, res_hist, res, k)
 
-    # materialize the planned radii (query set is the SMALL side by design):
-    # one tiny job, then a literal DataFrame — keeps the pandas UDF out of
-    # the candidate join's DAG so no action re-evaluates it, and the join
-    # plan is pure JVM end-to-end
-    q_pd = (
-        queries.select(
-            "query_id",
-            F.col("qlat").alias("q_qlat"),
-            F.col("qlon").alias("q_qlon"),
-        )
-        .coalesce(1)  # tiny side: one task, one Python worker spawn
-        .withColumn("rho", plan(F.col("q_qlat"), F.col("q_qlon")))
-        .toPandas()
-    )
+    # plan the radii on the DRIVER (query set is the SMALL side by design):
+    # one tiny collect, numpy planning in-process, then a literal DataFrame
+    # — no executor python worker, no UDF in the candidate join's DAG, and
+    # the join plan is pure JVM end-to-end
+    q_pd = queries.select(
+        "query_id",
+        F.col("qlat").alias("q_qlat"),
+        F.col("qlon").alias("q_qlon"),
+    ).toPandas()
+    q_pd["rho"] = plan_radii_np(
+        sat, q_pd["q_qlat"].to_numpy(np.int64),
+        q_pd["q_qlon"].to_numpy(np.int64), res_hist, res, k)
     qid_type = dict(queries.dtypes)["query_id"]
     q_all = spark.createDataFrame(
         q_pd, f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, rho int"

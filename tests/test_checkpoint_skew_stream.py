@@ -168,3 +168,41 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     # A's second session and B's only session stay in state (no later
     # watermark to time them out in a single AvailableNow pass).
     assert ("A", 3) in got
+
+
+def test_stream_chunk_per_row_options(spark, tmp_path):
+    """ChunkBatchStream honors per-file options (codechunk.go:445-463):
+    the streaming fold must apply a row's max_chunk_size override."""
+    from tree_code_chunker_spark.streaming.stream_chunk import stream_chunk
+
+    text = "\n".join("word " * 10 for _ in range(20))  # ~1000 NWS
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>, "
+              "options struct<max_chunk_size:int>")
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [("small", [{"kind": "text", "text": text, "media_ref": "",
+                     "offset": 0}], {"max_chunk_size": 100}),
+         ("inherit", [{"kind": "text", "text": text, "media_ref": "",
+                       "offset": 0}], None)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_chunk(stream, max_size=1500, options_col="options")
+    q = (out.writeStream.format("memory").queryName("sc_opts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sc_opts").collect()
+    n = {}
+    for r in rows:
+        n[r["doc_id"]] = n.get(r["doc_id"], 0) + 1
+        assert r["total_chunks"] == -1  # stream sentinel
+    assert n["small"] > 1 and n["inherit"] == 1
+
+
+def test_rebuild_text_empty_window():
+    from tree_code_chunker_spark.operators.chunker import _Window, rebuild_text
+
+    assert rebuild_text(_Window(), b"abc") == ("", 0, 0, 0, 0)

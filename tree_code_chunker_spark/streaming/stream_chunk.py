@@ -36,9 +36,13 @@ def stream_documents_from_parquet(
     return reader.parquet(path)
 
 
-def stream_chunk(docs_stream: DataFrame, max_size: int = 1500) -> DataFrame:
-    """Streaming chunker: same fold, total_chunks = -1 sentinel."""
-    return chunk_documents(docs_stream, max_size=max_size, streaming=True)
+def stream_chunk(docs_stream: DataFrame, max_size: int = 1500,
+                 options_col: str | None = None) -> DataFrame:
+    """Streaming chunker: same fold, total_chunks = -1 sentinel.  Per-row
+    option structs flow through exactly as in the batch path (reference
+    ChunkBatchStream honors per-file options — codechunk.go:445-463)."""
+    return chunk_documents(docs_stream, max_size=max_size, streaming=True,
+                           options_col=options_col)
 
 
 def run_stream_chunker(

@@ -414,3 +414,24 @@ def test_spark_chunker_facade_merge_quirks(spark):
     assert len(out) == 2  # tiny override produced multiple chunks
     ctx = c.chunk_with_context(df).collect()
     assert ctx[0]["lang"] == "go" and len(ctx[0]["entities"]) > 0
+
+
+def test_detect_language_extension_table_full():
+    """Full reference extension table (languages.go:18-32,
+    languages_test.go path variants incl. case-insensitive ext)."""
+    cases = {
+        "src/index.ts": "typescript", "src/component.tsx": "typescript",
+        "m.mts": "typescript", "m.cts": "typescript",
+        "app.js": "javascript", "component.jsx": "javascript",
+        "module.mjs": "javascript", "script.cjs": "javascript",
+        "main.py": "python", "types.pyi": "python",
+        "/absolute/path/to/file.ts": "typescript",
+        "./relative/path/file.py": "python",
+        "file.go": "go", "../parent/file.rs": "rust",
+        "deeply/nested/path/to/file.java": "java",
+        "UPPER.GO": "go",
+    }
+    for path, want in cases.items():
+        assert detect_language("", path) == want, path
+    # unknown extension falls back to the marker heuristic
+    assert detect_language("plain words here", "notes.txt") == "unknown"

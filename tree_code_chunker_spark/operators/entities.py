@@ -153,8 +153,12 @@ def detect_language(text: str, path: str | None = None) -> str:
     marker heuristic otherwise (the engine's docs carry no path)."""
     if path:
         ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
-        by_ext = {"go": "go", "py": "python", "ts": "typescript", "tsx": "typescript",
-                  "js": "javascript", "jsx": "javascript", "mjs": "javascript",
+        # full reference extension table (languages.go:18-32)
+        by_ext = {"go": "go", "py": "python", "pyi": "python",
+                  "ts": "typescript", "tsx": "typescript",
+                  "mts": "typescript", "cts": "typescript",
+                  "js": "javascript", "jsx": "javascript",
+                  "mjs": "javascript", "cjs": "javascript",
                   "rs": "rust", "java": "java"}
         if ext in by_ext:
             return by_ext[ext]

@@ -435,3 +435,34 @@ def test_detect_language_extension_table_full():
         assert detect_language("", path) == want, path
     # unknown extension falls back to the marker heuristic
     assert detect_language("plain words here", "notes.txt") == "unknown"
+
+
+def test_context_mode_none_zeroes_context_but_keeps_overlap(spark):
+    """ContextModeNone (coverage_test.go:1854-1877 + codechunk.go:161-185):
+    scope/entities/siblings/imports all empty AND the filepath header is
+    suppressed, but the overlap block still survives formatting."""
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    code = "func a() {}\n" + "\n".join(
+        f"func f{i}() {{ x := {i} }}" for i in range(20))
+    df = spark.createDataFrame(
+        [("d", [{"kind": "text", "text": code, "media_ref": "",
+                 "offset": 0}], "pkg/main.go")],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, path string",
+    )
+    rows = sorted(
+        chunk_documents_with_context(
+            df, max_size=80, context_mode="none", filepath_col="path",
+        ).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert len(rows) > 1
+    for r in rows:
+        assert r["scope"] == [] and r["entities"] == []
+        assert r["siblings"] == [] and r["imports"] == []
+        assert "main.go" not in r["contextualized_text"]  # no path header
+    assert rows[0]["contextualized_text"] == rows[0]["text"]  # identity
+    assert rows[1]["contextualized_text"].startswith("# ...\n")  # overlap

@@ -545,6 +545,69 @@ WHERE rank <= 5
 """
 
 
+def q_ann_ivf_flat(spark, sf_dir):
+    """IVF-flat ANN (deterministic sampled centroids): the full
+    scale-path topology — assign / probe nprobe lists / exact re-rank —
+    under an exact DuckDB oracle, not just the brute-force baseline."""
+    from tree_code_chunker_spark.operators.similarity import ivf_flat_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = ivf_flat_topk(queries, e, k=5, stride=25, nprobe=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_L2_SQL = ("round(list_reduce(list_transform(list_zip({a}, {b}), "
+           "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6)")
+_COS_SQL = ("round(list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> p[1] * p[2]), (x, y) -> x + y) "
+            "/ (sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            "(x, y) -> x + y)) "
+            "* sqrt(list_reduce(list_transform({b}, x -> x * x), "
+            "(x, y) -> x + y))), 6)")
+
+SQL_ANN_IVF_FLAT = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS list_id, v AS centv FROM vecs WHERE vec_id % 25 = 0
+), inv AS (
+  SELECT vec_id, cvec, list_id FROM (
+    SELECT c.vec_id, c.v AS cvec, t.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_L2_SQL.format(a='c.v', b='t.centv')} ASC,
+                      t.list_id ASC) AS rn
+    FROM vecs c CROSS JOIN cents t
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, list_id FROM (
+    SELECT a.vec_id AS query_id, a.v AS qvec, t.list_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_L2_SQL.format(a='a.v', b='t.centv')} ASC,
+                      t.list_id ASC) AS rn
+    FROM vecs a CROSS JOIN cents t WHERE a.vec_id < 10
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT DISTINCT p.query_id, i.vec_id,
+         {_COS_SQL.format(a='p.qvec', b='i.cvec')} AS sim
+  FROM probes p JOIN inv i USING (list_id)
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2,
@@ -1339,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_lag": q_overlap_lag,
         "total_chunks": q_total_chunks,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf_flat": q_ann_ivf_flat,
         "ngram_jaccard": q_ngram_jaccard,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
@@ -1375,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_lag": SQL_OVERLAP_LAG,
         "total_chunks": SQL_TOTAL_CHUNKS,
         "ann_cosine": SQL_ANN_COSINE,
+        "ann_ivf_flat": SQL_ANN_IVF_FLAT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,

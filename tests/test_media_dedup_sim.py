@@ -209,3 +209,21 @@ def test_fnv_vectorized_matches_byte_loop():
 
     for t in ["hello", "a", "über", "x" * 100, "mixed 123 !@#"]:
         assert _fnv1a64(t) == ref(t)
+
+
+def test_ivf_flat_self_retrieval_and_centroid_lists(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.similarity import ivf_flat_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((100, 16))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    out = ivf_flat_topk(q, df, k=1, stride=10, nprobe=2).collect()
+    got = {r["query_id"]: (r["vec_id"], r["sim"]) for r in out}
+    # a query is always in its own assigned list -> retrieves itself
+    assert {k: v[0] for k, v in got.items()} == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert all(abs(v[1] - 1.0) < 1e-6 for v in got.values())

@@ -170,6 +170,76 @@ def ann_ivf_topk(
     )
 
 
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_flat_topk(
+    queries: DataFrame, corpus: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    stride: int = 16, nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN with DETERMINISTIC sampled centroids: every stride-th
+    corpus vector (by id) is a list centroid — the same inverted-list
+    topology as ann_ivf_topk (assign once, probe nprobe lists, exact
+    re-rank inside candidates) but with a closed-form training step, so the
+    ENTIRE ANN path is oracle-expressible and driver-verified, not just
+    the brute-force baseline.  (k-means training only changes WHERE the
+    centroids sit, not the plan shape; swap ivf_centroids in when recall
+    tuning matters more than verifiability.)
+
+    Determinism: assignment distance and re-rank similarity are rounded to
+    6 dp before ranking with id tie-breaks, so Spark and the DuckDB mirror
+    rank identically despite float summation-order differences."""
+    c_all = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    cents = c_all.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("list_id"), F.col("cvec").alias("centv"))
+    # one assignment pass: corpus x broadcast centroids, nearest by L2
+    assigned = c_all.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.round(_l2(F.col("cvec"), F.col("centv")), SIM_ROUND))
+    w_a = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("list_id").asc())
+    inv = (
+        assigned.withColumn("_rn", F.row_number().over(w_a))
+        .filter(F.col("_rn") == 1).select("vec_id", "cvec", "list_id")
+    )
+    q_all = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    q_assigned = q_all.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.round(_l2(F.col("qvec"), F.col("centv")), SIM_ROUND))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("list_id").asc())
+    probes = (
+        q_assigned.withColumn("_rn", F.row_number().over(w_q))
+        .filter(F.col("_rn") <= nprobe).select("query_id", "qvec", "list_id")
+    )
+    cand = F.broadcast(probes).join(inv, "list_id", "inner").withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            SIM_ROUND,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", "sim").distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -233,8 +233,10 @@ def ivf_flat_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
+    # no distinct needed: each vector lives in exactly one inverted list and
+    # a query's probe lists are distinct, so (query_id, vec_id) is unique
     return (
-        cand.select("query_id", "vec_id", "sim").distinct()
+        cand.select("query_id", "vec_id", "sim")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -206,3 +206,51 @@ def test_rebuild_text_empty_window():
     from tree_code_chunker_spark.operators.chunker import _Window, rebuild_text
 
     assert rebuild_text(_Window(), b"abc") == ("", 0, 0, 0, 0)
+
+
+def test_sessionize_no_rewind_on_late_events(spark, tmp_path):
+    """A late-but-admitted event (earlier than the stored session `last`
+    from a prior micro-batch, within the gap) must not move the session
+    boundary backward — a rewound `last` would make the next on-time event
+    exceed the gap measured from the stale point and spuriously split one
+    session into two."""
+    import os
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, minutes, mtime):
+        rows = [("A", (base + pd.Timedelta(minutes=m)).to_pydatetime(), 1.0)
+                for m in minutes]
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        ).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        return p
+
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    # batch 1: events at 0 and 20 min  -> state (s=0, last=20, n=2)
+    # batch 2: late event at 10 min (within gap of last=20) + on-time at
+    # 45 min.  45-20=25 <= 30 gap -> still ONE open session (n=4, never
+    # emitted).  Rewound state (last=10) would see 45-10=35 > 30 and emit
+    # a spurious closed session.
+    write_batch("late_in/b1", [0, 20], 1_000_000)
+    write_batch("late_in/b2", [10, 45], 1_000_100)
+
+    schema = "event_type string, ts timestamp, value double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = sessionize_stream(stream, session_gap_s=1800)
+    q = (out.writeStream.format("memory").queryName("sess_late")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_late"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_late").collect()
+    assert got == []

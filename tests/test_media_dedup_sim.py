@@ -1,6 +1,7 @@
 """Media plumbing, dedup operators, similarity search — Spark tests."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from tree_code_chunker_spark.operators.dedup import (
@@ -227,3 +228,14 @@ def test_ivf_flat_self_retrieval_and_centroid_lists(spark):
     # a query is always in its own assigned list -> retrieves itself
     assert {k: v[0] for k, v in got.items()} == {0: 0, 1: 1, 2: 2, 3: 3}
     assert all(abs(v[1] - 1.0) < 1e-6 for v in got.values())
+
+
+def test_lsh_length_guard_not_prunable(spark):
+    """The signature-length fail-fast must survive Catalyst column pruning:
+    wrong-length sigs raise instead of collapsing every band key to the
+    same value (the degenerate all-pairs failure)."""
+    short = spark.createDataFrame(
+        [(1, list(range(8))), (2, list(range(8)))],
+        "id long, sig array<long>")
+    with pytest.raises(Exception, match="signature length"):
+        lsh_candidate_pairs(short, bands=16, n_perm=64).collect()

@@ -142,9 +142,10 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     """(id_a, id_b) candidate near-dup pairs, id_a < id_b, deduped.
 
     n_perm must match the signature length produced by minhash_signatures
-    (fail-fast per row via assert_true) and divide evenly into bands —
-    a silently short slice would make every band key collide and degenerate
-    the candidate set toward all-pairs.
+    (fail-fast per row: the length guard is folded INTO the band-key
+    expression so Catalyst cannot column-prune it away) and divide evenly
+    into bands — a silently short slice would make every band key collide
+    and degenerate the candidate set toward all-pairs.
 
     The band key is the '_'-joined decimal minima of the band's slice (an
     explicit, oracle-expressible formula — not an opaque builtin hash); the
@@ -153,27 +154,29 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     if n_perm % bands != 0:
         raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
     rows_per_band = n_perm // bands
-    checked = sigs.withColumn(
-        "_chk",
-        F.assert_true(
-            F.size("sig") == F.lit(n_perm),
-            F.lit(f"minhash signature length != n_perm={n_perm}"),
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "_",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
         ),
     )
-    banded = checked.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    "_",
-                    F.transform(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                ),
+    # the guard lives inside the consumed expression (a dangling assert_true
+    # column gets pruned by Catalyst and never evaluates)
+    guarded = F.when(F.size("sig") == F.lit(n_perm), band_keys).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"minhash signature length != n_perm={n_perm}: got "),
+                F.size("sig").cast("string"),
             )
-        ).alias("band_id", "band_key"),
+        )
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(guarded).alias("band_id", "band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -389,6 +389,14 @@ def pip_join(
     earlier pandas-UDF ray-cast was Arrow-transfer-bound and did not scale;
     ray_cast_np remains as the numpy oracle used by tests.)
     """
+    if polygons is None and index is None:
+        raise ValueError("pip_join needs a build side: pass polygons= "
+                         "and/or index=")
+    if exact != "numpy" and index is not None:
+        raise ValueError(
+            f"exact={exact!r} builds its cover from the polygons DataFrame "
+            "and cannot use a PolygonIndex — pass polygons= with the JVM "
+            "paths, or use exact='numpy' to probe the index")
     if exact == "numpy":
         # classified cover: FULL cells accept their points with no exact
         # test; only BOUNDARY-cell candidates cross into the vectorized

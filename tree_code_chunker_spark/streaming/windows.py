@@ -94,7 +94,12 @@ def sessionize_stream(
                     out.append((k, s, last, n))
                     s, last, n = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    # late-but-admitted events (t earlier than stored state
+                    # from a prior batch) must not move the session boundary
+                    # backward: a rewound `last` would let the next on-time
+                    # event exceed the gap measured from the stale point and
+                    # spuriously split one session into two
+                    s, last, n = min(s, t), max(last, t), n + 1
             if s is not None:
                 state.update((s, last, n))
                 state.setTimeoutTimestamp((last + session_gap_s) * 1000)

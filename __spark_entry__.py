@@ -1042,7 +1042,8 @@ def q_chunk_spans(spark, sf_dir):
     )
 
 
-def _chunk_fold_ctes(max_size: int) -> str:
+def _chunk_fold_ctes(max_size: int, pre_ctes: str = "",
+                     spans_sql: str | None = None) -> str:
     """WITH RECURSIVE CTE chain computing the W1+W2(single-line)+W3+W4 fold
     over the adapter spans — the SQL mirror of chunker.chunk_spans_py; ends
     at `rebuilt(doc_id, chunk_index, total_chunks, byte_start, text,
@@ -1058,9 +1059,13 @@ def _chunk_fold_ctes(max_size: int) -> str:
     Line numbers count real newlines in the serialized doc; a partial
     window's line_end uses the UNtrimmed end (the reference LineRanges
     override), others the trimmed end.
+
+    `spans_sql` overrides the span-source CTE body (default: the adapter
+    mirror); `pre_ctes` injects extra CTEs before it (e.g. literal
+    preamble tables) — must end with a comma if non-empty.
     """
     return f"""
-WITH RECURSIVE spans AS ({spanify_sql()}),
+WITH RECURSIVE {pre_ctes}spans AS ({spans_sql or spanify_sql()}),
 sp AS (
   SELECT doc_id, span_pos,
          CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
@@ -1172,6 +1177,190 @@ SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index, total_chunks,
        0::BIGINT AS n_imports, 0::BIGINT AS scope_depth
 FROM ctx
 """
+
+
+# --- chunk_context_entities: the fused context pipeline with the entity
+# grammar actually firing.  Every document is wrapped in a synthetic Go
+# shell: `func outer() {` as the first span and a closing `}` appended at
+# the end, so EVERY chunk sits inside a scope; head spans add imports,
+# nested entities and enough siblings that the 3-per-side cap binds; a
+# tail function gives middle chunks an after-sibling.  The word-soup body
+# (31-word vocabulary, no braces/parens/keywords) cannot match any grammar
+# pattern, so all entities come from the wrapper at offsets that are
+# compile-time constants (head) or clen-relative constants (tail) — which
+# makes the full context pipeline (detect-language, interval-overlap
+# entities, scope chain, capped siblings, imports, FormatChunkWithContext
+# header assembly INCLUDING the After/Before inversion and the overlap
+# block) exactly mirrorable in SQL.  tests/test_entities.py pins the
+# embedded offset/signature constants against parse_entities.
+
+CTX_ENTITY_PRE = [
+    "func outer() {",
+    'import "fmt"',
+    'import "strings"',
+    "func inner() {",
+    "}",
+    "type pair struct {",
+    "}",
+    "type quux struct {",
+    "}",
+    "func zed() {",
+    "}",
+]
+CTX_ENTITY_POST = ["func tail() {", "}", "}"]
+
+# (ent_ix, name, type, signature, bs, be); bs < 0 and be <= 0 are
+# clen-relative (outer's end and the tail function live at the doc end)
+CTX_ENTITY_TABLE = [
+    (0, "outer", "function", "func outer()", 0, 0),
+    (1, "fmt", "import", 'import "fmt"', 15, 27),
+    (2, "strings", "import", 'import "strings"', 28, 44),
+    (3, "inner", "function", "func inner()", 45, 61),
+    (4, "pair", "class", "type pair struct", 62, 82),
+    (5, "quux", "class", "type quux struct", 83, 103),
+    (6, "zed", "function", "func zed()", 104, 118),
+    (7, "tail", "function", "func tail()", -17, -2),
+]
+
+
+def _entity_wrap(docs: DataFrame) -> DataFrame:
+    """Prepend CTX_ENTITY_PRE / append CTX_ENTITY_POST as text spans."""
+    def lines_arr(lines, base):
+        return F.array(*[
+            F.struct(
+                F.lit("text").alias("kind"), F.lit(l).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(base + i).cast("int").alias("offset"),
+            ) for i, l in enumerate(lines)
+        ])
+    return docs.select(
+        "doc_id",
+        F.concat(lines_arr(CTX_ENTITY_PRE, -100), F.col("spans"),
+                 lines_arr(CTX_ENTITY_POST, 100000)).alias("spans"),
+    )
+
+
+def q_chunk_context_entities(spark, sf_dir):
+    from tree_code_chunker_spark.operators.entities import (
+        chunk_documents_with_context,
+    )
+
+    docs = _entity_wrap(spanify(_docs(spark, sf_dir)))
+    out = chunk_documents_with_context(docs, max_size=CHUNK_CONTEXT_MAX)
+    return out.select(
+        "doc_id", "chunk_index", "total_chunks", "lang",
+        "contextualized_text",
+        F.size("entities").cast("long").alias("n_entities"),
+        F.size("siblings").cast("long").alias("n_siblings"),
+        F.size("imports").cast("long").alias("n_imports"),
+        F.size("scope").cast("long").alias("scope_depth"),
+    )
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _ctx_entities_sql() -> str:
+    npre = len(CTX_ENTITY_PRE)
+    pre_vals = ", ".join(f"({i}, {_sql_lit(l)})"
+                         for i, l in enumerate(CTX_ENTITY_PRE))
+    post_vals = ", ".join(f"({i}, {_sql_lit(l)})"
+                          for i, l in enumerate(CTX_ENTITY_POST))
+    ent_vals = ", ".join(
+        f"({ix}, {_sql_lit(nm)}, {_sql_lit(ty)}, {_sql_lit(sig)}, {bs}, {be})"
+        for ix, nm, ty, sig, bs, be in CTX_ENTITY_TABLE)
+    pre_ctes = f"""
+base_spans AS ({spanify_sql()}),
+pre(ord, line) AS (VALUES {pre_vals}),
+post(ord, line) AS (VALUES {post_vals}),
+"""
+    spans_sql = f"""
+  SELECT d.doc_id, p.ord AS span_pos, 'text' AS kind,
+         p.line AS text, '' AS media_ref
+  FROM (SELECT DISTINCT doc_id FROM base_spans) d CROSS JOIN pre p
+  UNION ALL
+  SELECT doc_id, span_pos + {npre}, kind, text, media_ref FROM base_spans
+  UNION ALL
+  SELECT d.doc_id, d.n + {npre} + p.ord, 'text', p.line, ''
+  FROM (SELECT doc_id, count(*) AS n FROM base_spans GROUP BY doc_id) d
+  CROSS JOIN post p
+"""
+    # interval-overlap entities (codechunk.go:631-651), scope = containing
+    # non-imports outermost-first (proper nesting => containment set ==
+    # parent chain, scope.go:96-130), siblings first-3-per-side in doc
+    # order (codechunk.go:653-689), imports unfiltered, header assembly
+    # with the pinned After/Before inversion (codechunk.go:506-577)
+    return _chunk_fold_ctes(CHUNK_CONTEXT_MAX, pre_ctes=pre_ctes,
+                            spans_sql=spans_sql) + f"""
+, ch AS (
+  SELECT doc_id, chunk_index, total_chunks, byte_start AS bs,
+         byte_start + length(text) AS be, text, code,
+         lag(text) OVER (PARTITION BY doc_id ORDER BY chunk_index) AS prev
+  FROM rebuilt
+),
+clens AS (SELECT doc_id, length(code) AS clen FROM codes),
+ents AS (
+  SELECT c.doc_id, v.ent_ix, v.name, v.etype, v.sig,
+         CASE WHEN v.bs < 0 THEN c.clen + v.bs ELSE v.bs END AS bs,
+         CASE WHEN v.be <= 0 THEN c.clen + v.be ELSE v.be END AS be,
+         v.etype = 'import' AS is_imp
+  FROM clens c CROSS JOIN (VALUES {ent_vals})
+       v(ent_ix, name, etype, sig, bs, be)
+),
+agg AS (
+  SELECT c.doc_id, c.chunk_index,
+    count(*) FILTER (WHERE e.bs < c.be AND e.be > c.bs) AS n_entities,
+    string_agg(e.sig, ', ' ORDER BY e.ent_ix)
+      FILTER (WHERE e.bs < c.be AND e.be > c.bs AND NOT e.is_imp)
+      AS defines,
+    count(*) FILTER (WHERE e.is_imp) AS n_imports,
+    string_agg(e.name, ', ' ORDER BY e.ent_ix) FILTER (WHERE e.is_imp)
+      AS uses,
+    COALESCE(list(e.name ORDER BY e.ent_ix)
+      FILTER (WHERE NOT e.is_imp AND e.be <= c.bs), []) AS bef_names,
+    COALESCE(list(e.name ORDER BY e.ent_ix)
+      FILTER (WHERE NOT e.is_imp AND e.bs >= c.be), []) AS aft_names,
+    count(*) FILTER (WHERE NOT e.is_imp AND e.bs <= c.bs AND c.bs < e.be)
+      AS scope_depth,
+    string_agg(e.name, ' > ' ORDER BY (e.be - e.bs) DESC, e.bs)
+      FILTER (WHERE NOT e.is_imp AND e.bs <= c.bs AND c.bs < e.be)
+      AS scope_names
+  FROM ch c JOIN ents e ON e.doc_id = c.doc_id
+  GROUP BY c.doc_id, c.chunk_index
+)
+SELECT c.doc_id, CAST(c.chunk_index AS INT) AS chunk_index, c.total_chunks,
+  {detect_language_sql('c.code')} AS lang,
+  array_to_string(list_filter([
+      CASE WHEN a.scope_names IS NOT NULL
+           THEN '# Scope: ' || a.scope_names END,
+      CASE WHEN a.defines IS NOT NULL
+           THEN '# Defines: ' || a.defines END,
+      CASE WHEN a.uses IS NOT NULL THEN '# Uses: ' || a.uses END,
+      CASE WHEN len(a.bef_names) > 0
+           THEN '# After: ' || array_to_string(a.bef_names[1:3], ', ') END,
+      CASE WHEN len(a.aft_names) > 0
+           THEN '# Before: ' || array_to_string(a.aft_names[1:3], ', ') END
+    ], x -> x IS NOT NULL), chr(10))
+  || chr(10) || chr(10)
+  || CASE WHEN c.chunk_index > 0 AND c.prev IS NOT NULL
+               AND length(c.prev) > 0
+          THEN '# ...' || chr(10)
+               || array_to_string(string_split(c.prev, chr(10))[-10:],
+                                  chr(10))
+               || chr(10) || '# ---' || chr(10)
+          ELSE '' END
+  || c.text AS contextualized_text,
+  a.n_entities,
+  CAST(LEAST(3, len(a.bef_names)) + LEAST(3, len(a.aft_names)) AS BIGINT)
+    AS n_siblings,
+  a.n_imports,
+  a.scope_depth
+FROM ch c JOIN agg a ON a.doc_id = c.doc_id AND a.chunk_index = c.chunk_index
+"""
+
+
+SQL_CHUNK_CONTEXT_ENTITIES = _ctx_entities_sql()
 
 
 def q_pip_raycast(spark, sf_dir):
@@ -1419,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "chunk_context": q_chunk_context,
+        "chunk_context_entities": q_chunk_context_entities,
     }
 
 
@@ -1450,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "detect_lang": SQL_DETECT_LANG,
         "chunk_spans": SQL_CHUNK_SPANS,
         "chunk_context": SQL_CHUNK_CONTEXT,
+        "chunk_context_entities": SQL_CHUNK_CONTEXT_ENTITIES,
         "pip_raycast": SQL_PIP_RAYCAST,
         "minhash_lsh": SQL_MINHASH_LSH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -466,3 +466,35 @@ def test_context_mode_none_zeroes_context_but_keeps_overlap(spark):
         assert "main.go" not in r["contextualized_text"]  # no path header
     assert rows[0]["contextualized_text"] == rows[0]["text"]  # identity
     assert rows[1]["contextualized_text"].startswith("# ...\n")  # overlap
+
+
+def test_ctx_entity_wrap_constants_match_grammar():
+    """The hand-written entity offset/signature constants embedded in the
+    chunk_context_entities DuckDB oracle (CTX_ENTITY_TABLE) must agree with
+    what the line grammar actually extracts from the synthetic Go wrapper —
+    at two different body lengths, so the clen-relative tail encoding is
+    exercised too."""
+    from __spark_entry__ import (
+        CTX_ENTITY_POST,
+        CTX_ENTITY_PRE,
+        CTX_ENTITY_TABLE,
+    )
+    from tree_code_chunker_spark.operators.entities import (
+        detect_language,
+        parse_entities,
+    )
+
+    for body in (["the fast key order spark group"],
+                 ["agg line group hash", "<media:ref://7/4>",
+                  "join a filter window " * 3]):
+        code = "\n".join(CTX_ENTITY_PRE + body + CTX_ENTITY_POST)
+        clen = len(code)
+        assert detect_language(code) == "go"
+        ents = parse_entities(code, "go")
+        got = [(i, e["name"], e["type"], e["signature"],
+                e["byte_start"], e["byte_end"]) for i, e in enumerate(ents)]
+        want = [(ix, nm, ty, sig,
+                 clen + bs if bs < 0 else bs,
+                 clen + be if be <= 0 else be)
+                for ix, nm, ty, sig, bs, be in CTX_ENTITY_TABLE]
+        assert got == want

@@ -553,7 +553,10 @@ def q_ann_ivf_flat(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = e.filter(F.col("vec_id") < 10)
-    out = ivf_flat_topk(queries, e, k=5, stride=25, nprobe=3)
+    # n_lists constant: stride = ceil(N/20) scales WITH the corpus, the
+    # list count (and so the centroid broadcast + assignment fan-out per
+    # row) does not
+    out = ivf_flat_topk(queries, e, k=5, n_lists=20, nprobe=3)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -576,7 +579,9 @@ WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), cents AS (
-  SELECT vec_id AS list_id, v AS centv FROM vecs WHERE vec_id % 25 = 0
+  -- stride = ceil(N / n_lists=20): the list count is the constant
+  SELECT vec_id AS list_id, v AS centv FROM vecs
+  WHERE vec_id % (SELECT CAST(ceil(count(*) / 20.0) AS BIGINT) FROM vecs) = 0
 ), inv AS (
   SELECT vec_id, cvec, list_id FROM (
     SELECT c.vec_id, c.v AS cvec, t.list_id,
@@ -606,6 +611,74 @@ SELECT query_id, vec_id, sim, rank FROM (
   FROM cand
 ) WHERE rank <= 5
 """
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN under an exact DuckDB oracle: the bucket id is
+    the sign-bit pattern of the vector against 8 fixed seeded hyperplanes
+    (signs taken on the 6dp-ROUNDED dot so both engines agree bit-for-bit),
+    queries probe their own bucket plus all Hamming-1 neighbors, exact
+    cosine re-rank inside candidates.  With this green, every ANN variant
+    (brute force, IVF-flat, LSH) is driver-verified."""
+    from tree_code_chunker_spark.operators.similarity import ann_lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = ann_lsh_topk(queries, e, k=5, dim=64, n_bits=8)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_lsh_sql(n_bits: int = 8, dim: int = 64) -> str:
+    """Mirror of ann_lsh_topk: the seeded hyperplanes are embedded as
+    literal DOUBLE lists (repr round-trips float64 exactly)."""
+    from tree_code_chunker_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed=42)
+    plane_vals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes.tolist()))
+    dot = ("list_reduce(list_transform(list_zip(v.v, p.pvec), "
+           "z -> z[1] * z[2]), (x, y) -> x + y)")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planes(bit, pvec) AS (VALUES {plane_vals}),
+buckets AS (
+  SELECT v.vec_id,
+         sum(CASE WHEN round({dot}, 6) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM vecs v CROSS JOIN planes p
+  GROUP BY v.vec_id
+),
+flips(flip) AS (VALUES (0), {", ".join(f"({1 << i})" for i in range(n_bits))}),
+probes AS (
+  SELECT b.vec_id AS query_id, v.v AS qvec,
+         xor(b.bucket, f.flip) AS bucket
+  FROM buckets b JOIN vecs v USING (vec_id) CROSS JOIN flips f
+  WHERE b.vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.query_id, cb.vec_id,
+         {_COS_SQL.format(a='p.qvec', b='cv.v')} AS sim
+  FROM probes p
+  JOIN buckets cb ON cb.bucket = p.bucket
+  JOIN vecs cv ON cv.vec_id = cb.vec_id
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1592,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_chunks": q_total_chunks,
         "ann_cosine": q_ann_cosine,
         "ann_ivf_flat": q_ann_ivf_flat,
+        "ann_lsh": q_ann_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
@@ -1630,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
         "total_chunks": SQL_TOTAL_CHUNKS,
         "ann_cosine": SQL_ANN_COSINE,
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
+        "ann_lsh": SQL_ANN_LSH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,

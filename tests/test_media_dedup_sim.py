@@ -223,7 +223,7 @@ def test_ivf_flat_self_retrieval_and_centroid_lists(spark):
         [(i, vecs[i].tolist()) for i in range(100)],
         "vec_id long, embedding array<double>")
     q = df.filter("vec_id < 4")
-    out = ivf_flat_topk(q, df, k=1, stride=10, nprobe=2).collect()
+    out = ivf_flat_topk(q, df, k=1, n_lists=10, nprobe=2).collect()
     got = {r["query_id"]: (r["vec_id"], r["sim"]) for r in out}
     # a query is always in its own assigned list -> retrieves itself
     assert {k: v[0] for k, v in got.items()} == {0: 0, 1: 1, 2: 2, 3: 3}
@@ -239,3 +239,45 @@ def test_lsh_length_guard_not_prunable(spark):
         "id long, sig array<long>")
     with pytest.raises(Exception, match="signature length"):
         lsh_candidate_pairs(short, bands=16, n_perm=64).collect()
+
+
+def test_ivf_flat_centroid_count_independent_of_corpus_size(spark):
+    """The IVF-flat list count must be bounded by n_lists at ANY corpus
+    size — a corpus-proportional centroid set would make the assignment
+    crossJoin O(N^2/stride) and the broadcast O(N)."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.similarity import (
+        ivf_flat_centroids,
+        ivf_flat_stride,
+    )
+
+    rng = np.random.RandomState(5)
+    counts = {}
+    for n in (80, 800):
+        vecs = rng.standard_normal((n, 8))
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>")
+        counts[n] = ivf_flat_centroids(df, n_lists=16).count()
+    assert counts[80] <= 16 and counts[800] <= 16
+    assert counts[80] == counts[800] == 16  # dense ids -> exactly n_lists
+    assert ivf_flat_stride(10**12, 64) == 15_625_000_000
+
+
+def test_ivf_centroids_deterministic_across_partitionings(spark):
+    """k-means IVF training must sample deterministically: identical
+    centroids whatever the input partitioning (SURVEY §5.2's determinism
+    bar; an unordered .limit() sample fails this)."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    a = ivf_centroids(df.repartition(3), dim=8, n_lists=8, sample=100)
+    b = ivf_centroids(df.repartition(13), dim=8, n_lists=8, sample=100)
+    assert np.array_equal(a, b)

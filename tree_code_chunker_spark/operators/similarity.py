@@ -85,7 +85,10 @@ def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
+        # round before taking the sign so the bucket id is oracle-stable:
+        # a SQL mirror summing the dot in a different order must land on
+        # the same bit pattern
+        signs = np.round(m @ planes.T, SIM_ROUND) > 0
         out = np.zeros(len(m), dtype=np.int64)
         for i in range(n_bits):
             out |= signs[:, i].astype(np.int64) << i
@@ -96,12 +99,22 @@ def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
 
 def ivf_centroids(corpus: DataFrame, dim: int, n_lists: int = 64,
                   vec_col: str = "embedding", sample: int = 10_000,
-                  iters: int = 10, seed: int = 42) -> np.ndarray:
+                  iters: int = 10, seed: int = 42,
+                  id_col: str = "vec_id") -> np.ndarray:
     """Coarse quantizer for IVF: seeded mini k-means on a driver-side sample
-    (the standard IVF training recipe — train small, assign at scale)."""
+    (the standard IVF training recipe — train small, assign at scale).
+
+    The sample is the `sample` rows with smallest xxhash64(id) — a
+    deterministic pseudo-random subset that is IDENTICAL at any
+    parallelism/partitioning (an unordered .limit() is not: it takes
+    whatever rows arrive first, so centroids — and recall — silently drift
+    between runs).  TakeOrdered keeps this a top-k, not a full sort."""
     pdf = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(sample).toPandas()
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h").limit(sample).drop("_h").toPandas()
     )
     x = np.stack(pdf["v"].to_numpy())
     rng = np.random.RandomState(seed)
@@ -138,7 +151,8 @@ def ann_ivf_topk(
     assignment pass); each query probes its nprobe nearest lists; exact
     cosine re-rank inside the candidates.  The inverted-list equi-join is
     the only data-sized operation — the classic IVF scale path."""
-    cent = ivf_centroids(corpus, dim, n_lists, vec_col, seed=seed)
+    cent = ivf_centroids(corpus, dim, n_lists, vec_col, seed=seed,
+                         id_col=id_col)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -178,19 +192,45 @@ def _l2(a, b):
     )
 
 
+def ivf_flat_stride(n: int, n_lists: int) -> int:
+    """ceil(n / n_lists): the id-modulus that yields ≤ n_lists centroids
+    REGARDLESS of corpus size — the list count is the constant, the stride
+    scales with the data."""
+    return max(1, -(-n // n_lists))
+
+
+def ivf_flat_centroids(
+    corpus: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_lists: int = 64,
+) -> DataFrame:
+    """Deterministic closed-form centroid pick: every stride-th corpus
+    vector by id, stride = ceil(N / n_lists).  Centroid COUNT is bounded by
+    n_lists independent of N (for dense ids), so the centroid broadcast is
+    O(n_lists) and the assignment join O(N * n_lists) — linear in the
+    corpus, never cartesian.  The count() is one metadata-cheap aggregate,
+    amortized over every probe batch on a real deployment."""
+    n = corpus.count()
+    stride = ivf_flat_stride(n, n_lists)
+    return corpus.select(
+        F.col(id_col).alias("list_id"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    ).filter(F.col("list_id") % stride == 0)
+
+
 def ivf_flat_topk(
     queries: DataFrame, corpus: DataFrame, k: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    stride: int = 16, nprobe: int = 2,
+    n_lists: int = 64, nprobe: int = 2,
 ) -> DataFrame:
     """IVF-flat ANN with DETERMINISTIC sampled centroids: every stride-th
-    corpus vector (by id) is a list centroid — the same inverted-list
-    topology as ann_ivf_topk (assign once, probe nprobe lists, exact
-    re-rank inside candidates) but with a closed-form training step, so the
-    ENTIRE ANN path is oracle-expressible and driver-verified, not just
-    the brute-force baseline.  (k-means training only changes WHERE the
-    centroids sit, not the plan shape; swap ivf_centroids in when recall
-    tuning matters more than verifiability.)
+    corpus vector (by id) is a list centroid, with stride = ceil(N/n_lists)
+    so the LIST COUNT stays constant as the corpus grows — the same
+    inverted-list topology as ann_ivf_topk (assign once, probe nprobe
+    lists, exact re-rank inside candidates) but with a closed-form training
+    step, so the ENTIRE ANN path is oracle-expressible and driver-verified,
+    not just the brute-force baseline.  (k-means training only changes
+    WHERE the centroids sit, not the plan shape; swap ivf_centroids in when
+    recall tuning matters more than verifiability.)
 
     Determinism: assignment distance and re-rank similarity are rounded to
     6 dp before ranking with id tie-breaks, so Spark and the DuckDB mirror
@@ -199,8 +239,7 @@ def ivf_flat_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    cents = c_all.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("list_id"), F.col("cvec").alias("centv"))
+    cents = ivf_flat_centroids(corpus, id_col, vec_col, n_lists)
     # one assignment pass: corpus x broadcast centroids, nearest by L2
     assigned = c_all.crossJoin(F.broadcast(cents)).withColumn(
         "d2", F.round(_l2(F.col("cvec"), F.col("centv")), SIM_ROUND))

@@ -281,3 +281,61 @@ def test_ivf_centroids_deterministic_across_partitionings(spark):
     a = ivf_centroids(df.repartition(3), dim=8, n_lists=8, sample=100)
     b = ivf_centroids(df.repartition(13), dim=8, n_lists=8, sample=100)
     assert np.array_equal(a, b)
+
+
+def test_cc_star_matches_label_on_random_graphs(spark):
+    """Alternating large-star/small-star must agree with min-label
+    propagation on random graphs (property check), and both must equal a
+    networkx-free union-find reference."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        n = 40
+        m = rng.randint(10, 60)
+        pairs = [(int(rng.randint(0, n)), int(rng.randint(0, n)))
+                 for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+        # union-find reference
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        nodes = {x for p in pairs for x in p}
+        want = {}
+        for x in nodes:
+            root = find(x)
+            want.setdefault(root, []).append(x)
+        want = {x: min(grp) for root, grp in want.items() for x in grp}
+
+        star = {r["node"]: r["label"] for r in
+                connected_components(df, method="star").collect()}
+        label = {r["node"]: r["label"] for r in
+                 connected_components(df, method="label").collect()}
+        assert star == want, f"trial {trial}: star != union-find"
+        assert label == want, f"trial {trial}: label != union-find"
+
+
+def test_cc_deep_path_converges(spark):
+    """A path graph with diameter > max_iter previously raised under
+    min-label; method='star' converges in O(log^2 n) rounds and
+    method='auto' degrades to it instead of failing."""
+    import pytest as _pytest
+
+    from tree_code_chunker_spark.operators.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in
+           connected_components(path, max_iter=5, method="auto").collect()}
+    assert got == {i: 0 for i in range(41)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=5, method="label")

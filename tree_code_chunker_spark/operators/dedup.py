@@ -257,20 +257,31 @@ def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         method: str = "auto") -> DataFrame:
     """Connected components of the near-dup pair graph -> (node, label)
     with label = min node id in the component (the canonical duplicate to
     KEEP; everything else in the cluster is droppable).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels, so convergence needs component-
-    diameter rounds (near-dup clusters are shallow).  localCheckpoint cuts
-    the per-round lineage — the round-1 kNN lesson: an iterative loop of
-    joins otherwise re-evaluates its whole history every action.  At
-    10^12-doc scale swap in the large-star/small-star formulation; the
-    round structure (join + groupBy-min per iteration) is the same.
+    method:
+      'label' — min-label propagation: each round every node takes the min
+        of its own and its neighbors' labels, so convergence needs
+        component-DIAMETER rounds (near-dup clusters are shallow); raises
+        past max_iter.
+      'star'  — alternating large-star/small-star contraction (Kiveris et
+        al., "Connected Components in MapReduce and Beyond"): O(log^2 n)
+        rounds REGARDLESS of diameter — the 10^12-node path for chain-
+        shaped dup graphs.
+      'auto'  — min-label first (cheaper per round on shallow graphs);
+        if it hasn't converged after max_iter rounds, restart with 'star'
+        instead of failing.
+
+    localCheckpoint cuts the per-round lineage — the round-1 kNN lesson:
+    an iterative loop of joins otherwise re-evaluates its whole history
+    every action.
     """
-    converged = False
+    if method == "star":
+        return _cc_star(pairs, id_a, id_b)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
@@ -292,32 +303,103 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .groupBy("dst").agg(F.min("src_label").alias("nbr_label"))
             .select(F.col("dst").alias("node"), "nbr_label")
         )
+        # the changed flag rides along in the SAME join that computes the
+        # new label, so the convergence probe below is a filter+limit on
+        # the checkpointed result — not a second join job per round
         new_labels = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"),
-                        F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                        F.coalesce("nbr_label", F.col("label"))
+                        ).alias("new_label"),
+                (F.coalesce("nbr_label", F.col("label"))
+                 < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label"))
         if changed == 0:
-            converged = True
+            return labels
+    if method == "auto":
+        return _cc_star(pairs, id_a, id_b)
+    # a silent non-converged return would hand back labels that are NOT
+    # component minima — fail loudly instead (raise max_iter, or use
+    # method='star' for graphs with diameter > max_iter)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def _cc_star(pairs: DataFrame, id_a: str, id_b: str,
+             max_rounds: int = 60) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round over the directed edge set E (edges point big -> small after
+    the first large-star):
+      large-star(u): m = min(N(u) ∪ {u}) over the SYMMETRIZED neighborhood;
+        emit (v, m) for every neighbor v > u.
+      small-star(u): m = min(N(u)) over strictly-smaller neighbors;
+        emit (u, m) and (v, m) for every v in N(u), v != m.
+    Fixpoint = every edge points straight at its component min (the star),
+    reached in O(log^2 n) rounds independent of component diameter.
+    max_rounds is a runaway backstop far above log^2 of any real corpus.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges):
+        mins = edges.groupBy("u").agg(F.min("v").alias("mn"))
+        nbrs = (
+            edges.join(mins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        selfs = mins.select("u", F.col("mn").alias("v"))
+        return nbrs.unionByName(selfs).distinct()
+
+    for _ in range(max_rounds):
+        new_e = small_star(large_star(e)).localCheckpoint()
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
             break
-    if not converged:
-        # a silent non-converged return would hand back labels that are NOT
-        # component minima — fail loudly instead (raise max_iter, or use a
-        # star-contraction variant for graphs with diameter > max_iter)
+    else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds")
-    return labels
+            f"_cc_star did not reach a fixpoint in {max_rounds} rounds")
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = all_nodes.join(
+        e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return stars.unionByName(roots)
 
 
 def embedding_near_dup_pairs(

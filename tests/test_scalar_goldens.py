@@ -240,3 +240,22 @@ def test_bpe_token_count_goldens(spark):
     for s, want in samples.items():
         assert con.execute(f"SELECT {q} FROM (SELECT ? AS s)",
                            [s]).fetchone()[0] == want
+
+
+def test_poly31_vectorized_matches_bigint_horner():
+    """The chunked power-table poly31 must equal straightforward bigint
+    Horner on short, boundary-length, and multi-chunk payloads."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.media import POLY_MOD, poly31_bytes
+
+    rng = np.random.RandomState(31)
+    cases = [b"", b"a", b"ref://doc/4", bytes(rng.randint(0, 256, 255)),
+             bytes(rng.randint(0, 256, 256)),
+             bytes(rng.randint(0, 256, 65537)),
+             bytes(rng.randint(0, 256, (1 << 23) + 3))]
+    for payload in cases:
+        want = 0
+        for b in payload:
+            want = (want * 31 + b) % POLY_MOD
+        assert poly31_bytes(payload) == want, len(payload)

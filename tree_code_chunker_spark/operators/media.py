@@ -52,14 +52,52 @@ FEAT_STEP = 7919
 FEAT_FRAC_BITS = 20
 
 
+_POW31_TABS = None
+
+
+def _pow31(ks: np.ndarray) -> np.ndarray:
+    """31^k mod (2^31-1), vectorized over k < 2^24 via three 256-entry
+    base-256 digit tables (built once per process; the only loops are
+    3x256 constant-size).  Intermediate products stay < 2^62."""
+    global _POW31_TABS
+    if _POW31_TABS is None:
+        tabs = []
+        for base in (31, pow(31, 256, POLY_MOD), pow(31, 65536, POLY_MOD)):
+            t = np.empty(256, dtype=np.int64)
+            acc = 1
+            for j in range(256):
+                t[j] = acc
+                acc = acc * base % POLY_MOD
+            tabs.append(t)
+        _POW31_TABS = tuple(tabs)
+    t1, t2, t3 = _POW31_TABS
+    r = t1[ks & 255] * t2[(ks >> 8) & 255] % POLY_MOD
+    return r * t3[ks >> 16] % POLY_MOD
+
+
 def poly31_bytes(payload: bytes) -> int:
     """acc = (acc*31 + byte) mod (2^31-1) over the payload bytes — the
-    oracle-expressible content hash (numpy Horner, no per-byte Python)."""
+    oracle-expressible content hash.  Fully vectorized: byte i contributes
+    b_i * 31^(n-1-i), powers from the digit tables, summed in 2^23-element
+    chunks so every partial sum fits int64 (2^39 per term * 2^23 terms
+    = 2^62).  No per-byte Python."""
+    if not payload:
+        return 0
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    if n >= 1 << 24:  # power tables cover k < 2^24; fold in segments
+        acc = 0
+        seg = (1 << 24) - 1
+        for s in range(0, n, seg):
+            part = payload[s:s + seg]
+            acc = (acc * pow(31, len(part), POLY_MOD)
+                   + poly31_bytes(part)) % POLY_MOD
+        return acc
+    terms = arr * _pow31(np.arange(n - 1, -1, -1, dtype=np.int64))
     acc = 0
-    if payload:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        for b in arr.astype(np.int64):  # short stand-in blobs; scalar Horner
-            acc = (acc * 31 + int(b)) % POLY_MOD
+    chunk = 1 << 23
+    for s in range(0, n, chunk):
+        acc = (acc + int(terms[s:s + chunk].sum())) % POLY_MOD
     return acc
 
 

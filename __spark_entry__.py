@@ -613,6 +613,60 @@ SELECT query_id, vec_id, sim, rank FROM (
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic prefix packing of documents into fixed-token-budget
+    training sequences: one cumsum window per shard, no Python, no fold —
+    each shard packs independently so the plan parallelizes freely at
+    10^12 docs (the strict no-overflow greedy fold is the chunker's W1;
+    this is the cross-document form that scales)."""
+    from tree_code_chunker_spark.operators.training import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+
+
+def _pack_sequences_sql() -> str:
+    from tree_code_chunker_spark.operators.training import pack_sequences_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents
+),
+{pack_sequences_sql('toks', 'doc_id', 'n_tokens', 512, 8)[1:]}
+SELECT id, shard, seq_id, seq_pos, n_tokens, cum_tokens FROM packed_pos
+"""
+
+
+SQL_PACK_SEQUENCES = _pack_sequences_sql()
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: smallest-poly31-key docs per
+    language — content-derived sort key, so identical at any parallelism;
+    the window top-k runs map-side (WindowGroupLimit) before the per-group
+    shuffle."""
+    from tree_code_chunker_spark.operators.training import sample_per_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = sample_per_group(d, "lang", n_per_group=5, id_col="doc_id")
+    return out.select("doc_id", "lang",
+                      F.col("sample_key").cast("long").alias("sample_key"))
+
+
+def _sample_stratified_sql() -> str:
+    from tree_code_chunker_spark.operators.training import (
+        sample_per_group_sql,
+    )
+
+    inner = sample_per_group_sql(
+        "(SELECT doc_id, lang FROM documents)", "lang", 5, "doc_id")
+    return f"SELECT doc_id, lang, CAST(sample_key AS BIGINT) AS sample_key FROM ({inner})"
+
+
+SQL_SAMPLE_STRATIFIED = _sample_stratified_sql()
+
+
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN under an exact DuckDB oracle: the bucket id is
     the sign-bit pattern of the vector against 8 fixed seeded hyperplanes
@@ -1666,6 +1720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_ivf_flat": q_ann_ivf_flat,
         "ann_lsh": q_ann_lsh,
+        "pack_sequences": q_pack_sequences,
+        "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
@@ -1705,6 +1761,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": SQL_ANN_COSINE,
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
         "ann_lsh": SQL_ANN_LSH,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,

@@ -1,0 +1,69 @@
+"""Training-data assembly operators: sequence packing + stratified sample."""
+
+import pytest
+
+from tree_code_chunker_spark.operators.training import (
+    pack_sequences,
+    sample_per_group,
+)
+
+
+def test_pack_sequences_prefix_semantics(spark):
+    # single shard: docs 0..4 with token counts 300, 300, 300, 600, 100
+    # cumsum: 300 600 900 1500 1600; seq = floor((cum-n)/512)
+    #   doc0: (300-300)/512 = 0
+    #   doc1: (600-300)/512 = 0   (overflows seq 0 by 88 tokens - allowed)
+    #   doc2: (900-300)/512 = 1
+    #   doc3: (1500-600)/512 = 1
+    #   doc4: (1600-100)/512 = 2
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300), (3, 600), (4, 100)],
+        "doc_id long, n_tokens long")
+    rows = {r["id"]: (r["seq_id"], r["seq_pos"]) for r in
+            pack_sequences(df, budget=512, n_shards=1).collect()}
+    assert rows == {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (2, 0)}
+
+
+def test_pack_sequences_sharded_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 50 + (i * 37) % 400) for i in range(200)],
+        "doc_id long, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(
+        df.repartition(3), budget=512, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        df.repartition(11), budget=512, n_shards=4).collect()))
+    assert a == b and len(a) == 200
+    # shards partition the id space by id % 4 and pack independently
+    by_shard = {}
+    for id_, shard, seq_id, seq_pos, n, cum in a:
+        assert shard == id_ % 4
+        by_shard.setdefault(shard, []).append((id_, seq_id, n, cum))
+    for shard, docs in by_shard.items():
+        docs.sort()
+        run = 0
+        for id_, seq_id, n, cum in docs:
+            run += n
+            assert cum == run  # cumsum is shard-local
+            assert seq_id == (cum - n) // 512
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(0, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+
+
+def test_sample_per_group_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)], "doc_id long, lang string")
+    a = sorted((r["lang"], r["doc_id"]) for r in
+               sample_per_group(df.repartition(2), "lang", 4).collect())
+    b = sorted((r["lang"], r["doc_id"]) for r in
+               sample_per_group(df.repartition(9), "lang", 4).collect())
+    assert a == b
+    from collections import Counter
+    assert Counter(g for g, _ in a) == {"g0": 4, "g1": 4, "g2": 4}
+    # different seed -> (almost surely) different sample
+    c = sorted((r["lang"], r["doc_id"]) for r in
+               sample_per_group(df, "lang", 4, seed=7).collect())
+    assert c != a

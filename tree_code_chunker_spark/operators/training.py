@@ -1,0 +1,156 @@
+"""Training-data assembly operators: deterministic sequence packing and
+hash-stratified sampling.
+
+Both are pure JVM column/window plans (no Python in the data path) and both
+are exactly mirrorable in ANSI SQL, so the driver gate verifies them
+value-for-value.
+
+ * `pack_sequences` — assign documents to fixed-token-budget training
+   sequences by PREFIX packing: docs are ordered deterministically inside
+   each shard, and a doc goes to the sequence where its token prefix
+   starts (seq_id = floor((cumsum - tokens) / budget)).  One window scan
+   per shard; a sequence can overflow the budget by at most one document
+   (the standard contiguous-packing trade for a fully parallel,
+   fold-free plan).  Strict no-overflow packing is a sequential greedy
+   fold — that semantics lives in the chunker (W1, chunker.py) where the
+   fold is document-local; across 10^12 docs the prefix form is the one
+   that scales, because each shard packs independently.
+ * `sample_per_group` — deterministic stratified sampling: keep the
+   n_per_group rows with smallest poly31(id || ':' || seed) per group.
+   One hash + one window top-k; identical output at any parallelism
+   (the hash is data-derived, not partition-derived).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .media import POLY_MOD, poly31_col, poly31_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 512,
+    n_shards: int = 1,
+) -> DataFrame:
+    """-> (id, shard, seq_id, seq_pos, n_tokens, cum_tokens).
+
+    shard = id % n_shards (docs are long-id'd here; swap a hash for
+    string ids); within a shard docs are ordered by id and packed into
+    sequences of ~`budget` tokens.  seq_pos is the doc's 0-based position
+    inside its sequence.  Oversized single docs (> budget) occupy their
+    own sequence(s) — truncation policy is the caller's.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    shard = (F.col(id_col).cast("long") % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("id").cast("long"))
+    out = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(token_col).cast("long").alias("n_tokens"), shard)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                    / F.lit(budget)).cast("long"),
+        )
+    )
+    w_seq = Window.partitionBy("shard", "seq_id").orderBy(
+        F.col("id").cast("long"))
+    return out.withColumn(
+        "seq_pos", (F.row_number().over(w_seq) - 1).cast("int")
+    ).select("id", "shard", "seq_id", "seq_pos", "n_tokens", "cum_tokens")
+
+
+def pack_sequences_sql(docs_cte: str, id_expr: str, token_expr: str,
+                       budget: int, n_shards: int) -> str:
+    """DuckDB mirror of pack_sequences over a CTE named `docs_cte` that
+    exposes `id_expr` and `token_expr` columns."""
+    return f"""
+packed AS (
+  SELECT id, shard,
+         CAST(floor((cum_tokens - n_tokens) / {budget}) AS BIGINT) AS seq_id,
+         n_tokens, cum_tokens
+  FROM (
+    SELECT CAST({id_expr} AS BIGINT) AS id,
+           CAST({id_expr} AS BIGINT) % {n_shards} AS shard,
+           CAST({token_expr} AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST({token_expr} AS BIGINT)) OVER (
+             PARTITION BY CAST({id_expr} AS BIGINT) % {n_shards}
+             ORDER BY CAST({id_expr} AS BIGINT)) AS BIGINT) AS cum_tokens
+    FROM {docs_cte}
+  )
+),
+packed_pos AS (
+  SELECT id, shard, seq_id,
+         CAST(row_number() OVER (
+           PARTITION BY shard, seq_id ORDER BY id) - 1 AS INT) AS seq_pos,
+         n_tokens, cum_tokens
+  FROM packed
+)"""
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep the n_per_group rows with smallest poly31(id || ':' || seed)
+    per group (ties broken by id) — a deterministic stratified sample.
+
+    The sort key is derived from row CONTENT, so the sample is identical
+    at any parallelism/partitioning, and the window top-k runs map-side
+    (WindowGroupLimit) before the per-group shuffle.
+
+    The raw poly31 of a short id string is near-monotonic in the id (the
+    leading digits dominate the polynomial), so the key applies an affine
+    mix (* FEAT_MULT mod p) after the hash — a bijection that scatters
+    adjacent ids ~10^6 apart.  A spreading hash, not a cryptographic one.
+    """
+    from .media import FEAT_MULT
+
+    key = (
+        poly31_col(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                            F.lit(str(seed))))
+        * F.lit(FEAT_MULT) % F.lit(POLY_MOD)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_skey").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_skey", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+        .withColumnRenamed("_skey", "sample_key")
+    )
+
+
+def sample_per_group_sql(table: str, group_col: str, n_per_group: int,
+                         id_col: str, seed: int = 42) -> str:
+    """DuckDB mirror of sample_per_group (same poly31+affine key)."""
+    from .media import FEAT_MULT
+
+    seeded = f"CAST({id_col} AS VARCHAR) || ':{seed}'"
+    key = f"({poly31_sql(seeded)} * {FEAT_MULT} % {POLY_MOD})"
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, {key} AS sample_key,
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY {key} ASC, {id_col} ASC) AS _rn
+  FROM {table}
+) WHERE _rn <= {n_per_group}
+"""
+
+
+__all__ = [
+    "POLY_MOD",
+    "pack_sequences",
+    "pack_sequences_sql",
+    "sample_per_group",
+    "sample_per_group_sql",
+]

@@ -641,6 +641,36 @@ SELECT id, shard, seq_id, seq_pos, n_tokens, cum_tokens FROM packed_pos
 SQL_PACK_SEQUENCES = _pack_sequences_sql()
 
 
+def q_pack_greedy(spark, sf_dir):
+    """Strict no-overflow greedy packing (the reset fold): per-shard
+    applyInPandas whose kernel jumps bin-by-bin with searchsorted, so
+    Python cost is O(#sequences log #docs) per shard while shards pack
+    in parallel.  Oracle = per-shard recursive-CTE fold."""
+    from tree_code_chunker_spark.operators.training import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8,
+                          method="greedy")
+
+
+def _pack_greedy_sql() -> str:
+    from tree_code_chunker_spark.operators.training import (
+        pack_sequences_greedy_sql,
+    )
+
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents
+),
+{pack_sequences_greedy_sql('toks', 'doc_id', 'n_tokens', 512, 8)[1:]}
+SELECT id, shard, seq_id, seq_pos, n_tokens, cum_tokens FROM gpacked
+"""
+
+
+SQL_PACK_GREEDY = _pack_greedy_sql()
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: smallest-poly31-key docs per
     language — content-derived sort key, so identical at any parallelism;
@@ -1089,8 +1119,9 @@ def q_chunk_context(spark, sf_dir):
     CTEs, mirrors detect_language via the shared RE2 hint patterns, and
     rebuilds the overlap-block formatting; this word-soup corpus detects as
     'unknown' everywhere (no line-grammar matches), so the entity counts
-    pin the empty-context identity path — the entity grammar itself is
-    pinned by the reference goldens in tests/test_entities.py."""
+    pin the empty-context identity path; the grammar-FIRING path is
+    driver-pinned by chunk_context_entities below, and the grammar itself
+    by the reference goldens in tests/test_entities.py."""
     from tree_code_chunker_spark.operators.entities import (
         chunk_documents_with_context,
     )
@@ -1721,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_flat": q_ann_ivf_flat,
         "ann_lsh": q_ann_lsh,
         "pack_sequences": q_pack_sequences,
+        "pack_greedy": q_pack_greedy,
         "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
         "string_funcs": q_string_funcs,
@@ -1762,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
         "ann_lsh": SQL_ANN_LSH,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_greedy": SQL_PACK_GREEDY,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "string_funcs": SQL_STRING_FUNCS,

@@ -67,3 +67,53 @@ def test_sample_per_group_deterministic_and_sized(spark):
     c = sorted((r["lang"], r["doc_id"]) for r in
                sample_per_group(df, "lang", 4, seed=7).collect())
     assert c != a
+
+
+def test_pack_greedy_strict_semantics(spark):
+    # tokens 300,300,300,600,100 budget 512:
+    #   doc0 -> seq0 (acc 300); doc1 would make 600 > 512 -> seq1 (300)
+    #   doc2 -> 600 > 512 -> seq2 (300); doc3 600 > 512 alone -> seq3
+    #   doc4 -> seq3? acc 600+100 > 512 -> seq4
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300), (3, 600), (4, 100)],
+        "doc_id long, n_tokens long")
+    rows = {r["id"]: (r["seq_id"], r["seq_pos"]) for r in
+            pack_sequences(df, budget=512, n_shards=1,
+                           method="greedy").collect()}
+    assert rows == {0: (0, 0), 1: (1, 0), 2: (2, 0), 3: (3, 0), 4: (4, 0)}
+    # budget 700: doc0+doc1 fit (600), doc2 -> 900 > 700 new seq, doc3
+    # 300+600 > 700 new seq, doc4 600+100=700 fits with doc3
+    rows = {r["id"]: r["seq_id"] for r in
+            pack_sequences(df, budget=700, n_shards=1,
+                           method="greedy").collect()}
+    assert rows == {0: 0, 1: 0, 2: 1, 3: 2, 4: 2}
+
+
+def test_pack_greedy_never_overflows_and_matches_scalar_fold(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    toks = [int(x) for x in rng.randint(1, 400, 300)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long")
+    got = sorted((r["shard"], r["id"], r["seq_id"]) for r in
+                 pack_sequences(df.repartition(7), budget=512, n_shards=4,
+                                method="greedy").collect())
+    # scalar reference fold per shard
+    want = []
+    for shard in range(4):
+        ids = [i for i in range(300) if i % 4 == shard]
+        seq, acc = 0, 0
+        for i in ids:
+            if acc + toks[i] <= 512:
+                acc += toks[i]
+            else:
+                seq, acc = seq + 1, toks[i]
+            want.append((shard, i, seq))
+    assert got == sorted(want)
+    # strict: no sequence of >1 doc exceeds the budget
+    from collections import defaultdict
+    per_seq = defaultdict(list)
+    for shard, i, seq in want:
+        per_seq[(shard, seq)].append(toks[i])
+    assert all(sum(v) <= 512 or len(v) == 1 for v in per_seq.values())

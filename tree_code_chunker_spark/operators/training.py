@@ -34,6 +34,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     budget: int = 512,
     n_shards: int = 1,
+    method: str = "prefix",
 ) -> DataFrame:
     """-> (id, shard, seq_id, seq_pos, n_tokens, cum_tokens).
 
@@ -42,9 +43,21 @@ def pack_sequences(
     sequences of ~`budget` tokens.  seq_pos is the doc's 0-based position
     inside its sequence.  Oversized single docs (> budget) occupy their
     own sequence(s) — truncation policy is the caller's.
+
+    method='prefix' (default): seq = floor((cumsum - tokens)/budget) —
+    pure window math, a sequence may overflow by at most one doc.
+    method='greedy': strict no-overflow reset fold (a doc that would
+    exceed the budget STARTS the next sequence) via applyInPandas per
+    shard; the per-shard kernel jumps bin-by-bin with searchsorted over
+    the token prefix sums, so the Python loop is O(#sequences), not
+    O(#docs).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if method == "greedy":
+        return _pack_greedy(df, id_col, token_col, budget, n_shards)
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r}")
     shard = (F.col(id_col).cast("long") % n_shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(F.col("id").cast("long"))
     out = (
@@ -62,6 +75,87 @@ def pack_sequences(
     return out.withColumn(
         "seq_pos", (F.row_number().over(w_seq) - 1).cast("int")
     ).select("id", "shard", "seq_id", "seq_pos", "n_tokens", "cum_tokens")
+
+
+PACKED_SCHEMA = ("id bigint, shard bigint, seq_id bigint, seq_pos int, "
+                 "n_tokens bigint, cum_tokens bigint")
+
+
+def _pack_greedy(df: DataFrame, id_col: str, token_col: str,
+                 budget: int, n_shards: int) -> DataFrame:
+    """Strict greedy packing: applyInPandas per shard, numpy kernel.
+
+    The greedy reset fold is inherently sequential WITHIN a shard, but the
+    kernel advances one SEQUENCE at a time (searchsorted over prefix sums
+    finds each bin's last doc in O(log n)), so Python cost is
+    O(#sequences log #docs) per shard and shards pack in parallel."""
+    import numpy as np
+    import pandas as pd
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy()
+        n = len(t)
+        prefix = np.concatenate(([0], np.cumsum(t)))
+        bounds = [0]
+        while bounds[-1] < n:
+            b = bounds[-1]
+            j = int(np.searchsorted(prefix, prefix[b] + budget, side="right")) - 1
+            bounds.append(max(j, b + 1))  # an oversized doc rides alone
+        bounds = np.asarray(bounds)
+        sizes = np.diff(bounds)
+        pdf["seq_id"] = np.repeat(np.arange(len(sizes), dtype=np.int64),
+                                  sizes)
+        pdf["seq_pos"] = (np.arange(n) - bounds[:-1][pdf["seq_id"]]).astype(
+            "int32")
+        pdf["cum_tokens"] = prefix[1:]
+        return pdf[["id", "shard", "seq_id", "seq_pos", "n_tokens",
+                    "cum_tokens"]]
+
+    shard = (F.col(id_col).cast("long") % n_shards).alias("shard")
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(token_col).cast("long").alias("n_tokens"), shard)
+    return base.groupBy("shard").applyInPandas(pack_one, PACKED_SCHEMA)
+
+
+def pack_sequences_greedy_sql(docs_cte: str, id_expr: str, token_expr: str,
+                              budget: int, n_shards: int) -> str:
+    """DuckDB recursive-CTE mirror of the strict greedy fold: state per
+    (shard, rank) is (seq_id, acc); a doc that would exceed the budget
+    starts the next sequence.  Ends at CTE `gpacked(id, shard, seq_id,
+    seq_pos, n_tokens, cum_tokens)`."""
+    return f"""
+ranked AS (
+  SELECT CAST({id_expr} AS BIGINT) AS id,
+         CAST({id_expr} AS BIGINT) % {n_shards} AS shard,
+         CAST({token_expr} AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY CAST({id_expr} AS BIGINT) % {n_shards}
+           ORDER BY CAST({id_expr} AS BIGINT)) - 1 AS rk,
+         CAST(SUM(CAST({token_expr} AS BIGINT)) OVER (
+           PARTITION BY CAST({id_expr} AS BIGINT) % {n_shards}
+           ORDER BY CAST({id_expr} AS BIGINT)) AS BIGINT) AS cum_tokens
+  FROM {docs_cte}
+),
+gfold AS (
+  SELECT shard, rk, id, n_tokens, cum_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS acc
+  FROM ranked WHERE rk = 0
+  UNION ALL
+  SELECT n.shard, n.rk, n.id, n.n_tokens, n.cum_tokens,
+         CASE WHEN p.acc + n.n_tokens <= {budget}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.acc + n.n_tokens <= {budget}
+              THEN p.acc + n.n_tokens ELSE n.n_tokens END
+  FROM gfold p JOIN ranked n ON n.shard = p.shard AND n.rk = p.rk + 1
+),
+gpacked AS (
+  SELECT id, shard, seq_id,
+         CAST(row_number() OVER (
+           PARTITION BY shard, seq_id ORDER BY id) - 1 AS INT) AS seq_pos,
+         n_tokens, cum_tokens
+  FROM gfold
+)"""
 
 
 def pack_sequences_sql(docs_cte: str, id_expr: str, token_expr: str,

@@ -30,8 +30,12 @@ from pyspark.sql import functions as F
 N = 4
 N4 = 16
 TRIALS = 5
-HASH_ROUNDS = 50
-ROWS = 8_000_000
+HASH_ROUNDS = 80
+# sized so the 4N level runs several seconds: at ~1s/job the fixed
+# per-job cost (scheduling, collect, driver roundtrips) dominates and the
+# probe measures overhead Amdahl instead of the engine (first attempt at
+# 8M rows x 50 rounds read 0.51 for exactly that reason)
+ROWS = 48_000_000
 
 
 def main():

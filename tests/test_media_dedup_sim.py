@@ -339,3 +339,27 @@ def test_cc_deep_path_converges(spark):
     assert got == {i: 0 for i in range(41)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=5, method="label")
+
+
+def test_lsh_bucket_jvm_matches_pandas(spark):
+    """The codegen bucket expression and the Arrow/numpy bucket UDF must
+    produce identical bit patterns (both sign on the 6dp-rounded dot)."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_bucket_udf,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = rng.standard_normal((200, 24))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    got = df.select(
+        "vec_id",
+        lsh_bucket_col(F.col("embedding"), dim=24, n_bits=10).alias("a"),
+        lsh_bucket_udf(dim=24, n_bits=10)(F.col("embedding")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got)
+    assert len({r["a"] for r in got}) > 1  # buckets actually vary

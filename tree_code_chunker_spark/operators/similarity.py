@@ -79,6 +79,24 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def lsh_bucket_col(vec, dim: int, n_bits: int = 12, seed: int = 42):
+    """JVM column form of the hyperplane bucket: per plane, a zip_with/
+    aggregate dot product, sign taken on the 6dp-rounded value, OR'd into
+    the bit pattern — whole-stage-codegen end to end, no Python worker in
+    the bucketing pass (the pandas-UDF form remains for wide dims where
+    one fused numpy matmul beats n_bits separate fold expressions)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    out = F.lit(0).cast("long")
+    for i, row in enumerate(planes.tolist()):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        out = out + F.when(F.round(dot, SIM_ROUND) > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
 def lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
     planes = _hyperplanes(dim, n_bits, seed)
 
@@ -284,11 +302,21 @@ def ivf_flat_topk(
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_bits: int = 12, seed: int = 42,
+    n_bits: int = 12, seed: int = 42, bucket_impl: str = "jvm",
 ) -> DataFrame:
     """Approximate top-k: LSH bucket join (multi-probe Hamming-1), exact
-    cosine re-rank within candidates."""
-    bucket = lsh_bucket_udf(dim, n_bits, seed)
+    cosine re-rank within candidates.
+
+    bucket_impl='jvm' (default) computes the sign-bit buckets as codegen
+    column expressions — the corpus bucketing pass (the data-sized side)
+    never leaves the JVM.  'pandas' uses the Arrow-batched numpy matmul —
+    same bit patterns (both take signs on the 6dp-rounded dot); kept for
+    very wide dims where one fused matmul wins."""
+    if bucket_impl == "jvm":
+        def bucket(col):
+            return lsh_bucket_col(col, dim, n_bits, seed)
+    else:
+        bucket = lsh_bucket_udf(dim, n_bits, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),

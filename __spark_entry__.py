@@ -1633,6 +1633,34 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = "WITH " + _minhash_ctes() + _MINHASH_PAIRS_SELECT
 
 
+def q_minhash_jaccard(spark, sf_dir):
+    """LSH candidates scored by the MinHash Jaccard estimator (fraction of
+    agreeing signature slots) — the cheap middle stage between candidate
+    generation and exact verification, JVM fold only."""
+    from tree_code_chunker_spark.operators.dedup import minhash_est_jaccard
+
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, bands=16)
+    return minhash_est_jaccard(pairs, sigs).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "est_jaccard",
+    )
+
+
+SQL_MINHASH_JACCARD = ("WITH " + _minhash_ctes() + f""",
+cand AS ({_MINHASH_PAIRS_SELECT})
+SELECT p.id_a, p.id_b,
+       round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 64.0, 6)
+         AS est_jaccard
+FROM cand p
+JOIN mins ma ON ma.doc_id = p.id_a
+JOIN mins mb ON mb.doc_id = p.id_b AND mb.j = ma.j
+GROUP BY p.id_a, p.id_b
+""")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING end-to-end: MinHash -> LSH candidate pairs ->
     connected components -> canonical doc per cluster (min doc_id).  The
@@ -1765,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_jaccard": q_minhash_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "media_features": q_media_features,
@@ -1809,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_context_entities": SQL_CHUNK_CONTEXT_ENTITIES,
         "pip_raycast": SQL_PIP_RAYCAST,
         "minhash_lsh": SQL_MINHASH_LSH,
+        "minhash_jaccard": SQL_MINHASH_JACCARD,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
         "media_features": SQL_MEDIA_FEATURES,

@@ -363,3 +363,20 @@ def test_lsh_bucket_jvm_matches_pandas(spark):
     ).collect()
     assert all(r["a"] == r["b"] for r in got)
     assert len({r["a"] for r in got}) > 1  # buckets actually vary
+
+
+def test_minhash_est_jaccard_scores_candidates(spark):
+    from tree_code_chunker_spark.operators.dedup import minhash_est_jaccard
+
+    rows = [(i, "common shared prefix text for everyone here indeed")
+            for i in range(3)]
+    rows += [(10, "totally different content with its own unique words")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sigs = minhash_signatures(df, "id", "text")
+    pairs = lsh_candidate_pairs(sigs)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           minhash_est_jaccard(pairs, sigs).collect()}
+    # identical texts -> every slot agrees
+    assert est[(0, 1)] == est[(0, 2)] == est[(1, 2)] == 1.0
+    # the unrelated doc never pairs at estimate 1.0
+    assert all(v < 1.0 for k, v in est.items() if 10 in k)

@@ -44,6 +44,11 @@ def pack_sequences(
     inside its sequence.  Oversized single docs (> budget) occupy their
     own sequence(s) — truncation policy is the caller's.
 
+    n_shards is the parallelism unit: each shard is ONE window partition,
+    so n_shards=1 (global deterministic packing) serializes the cumsum
+    into a single task — fine to ~10^7 docs, but at corpus scale pass
+    hundreds+ of shards so every executor packs its own id-residue class.
+
     method='prefix' (default): seq = floor((cumsum - tokens)/budget) —
     pure window math, a sequence may overflow by at most one doc.
     method='greedy': strict no-overflow reset fold (a doc that would

@@ -39,10 +39,19 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     n_docs = docs.count()
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, trials=2):
+        # best-of-N everywhere: hypervisor steal swings minute-scale
+        # throughput ~3x on this sandbox and the FIRST execution of any
+        # stage additionally pays codegen/python-worker/broadcast warmup
+        # (measured: tpch 5.0s cold vs 0.48s warm), so single cold
+        # readings track the weather, not the engine
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # chunking throughput (the reference's core pipeline)
     spans = spanify(docs)

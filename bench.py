@@ -75,7 +75,6 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     pts = pts.withColumn("cell", cell_col(F.col("qlat"), F.col("qlon")))
     pts = pts.repartition(max(cores * 3, 24)).cache()
     n_points = pts.count()  # materialize before timing compute stages
-    timings["geocode"] = 0.0
     timed("geocode", lambda: pts.count())
 
     # HEADLINE: PIP join + tile rollup at ~9.2M points x 2000 polygons.

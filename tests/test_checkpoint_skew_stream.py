@@ -242,6 +242,10 @@ def test_sessionize_no_rewind_on_late_events(spark, tmp_path):
     # a spurious closed session.
     write_batch("late_in/b1", [0, 20], 1_000_000)
     write_batch("late_in/b2", [10, 45], 1_000_100)
+    # batch 3: an event 255 min past the session end closes it via the gap
+    # rule, making the test POSITIVE (an empty sink would also pass the
+    # no-spurious-split assertion vacuously if nothing processed)
+    write_batch("late_in/b3", [300], 1_000_200)
 
     schema = "event_type string, ts timestamp, value double"
     stream = (spark.readStream.schema(schema)
@@ -252,5 +256,56 @@ def test_sessionize_no_rewind_on_late_events(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ck_late"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = spark.sql("SELECT * FROM sess_late").collect()
-    assert got == []
+    got = [(r["key"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_late").collect()]
+    want_start = base.to_pydatetime()
+    want_end = (base + pd.Timedelta(minutes=45)).to_pydatetime()
+    assert got == [("A", want_start, want_end, 4)]
+
+
+def test_sessionize_super_gap_late_event_is_own_session(spark, tmp_path):
+    """An admitted late event more than a gap BEFORE the stored session
+    start is its own earlier session — merging it would span a hole wider
+    than the gap and report a wrong start/count."""
+    import os
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, minutes, mtime):
+        rows = [("A", (base + pd.Timedelta(minutes=m)).to_pydatetime(), 1.0)
+                for m in minutes]
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        ).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    src = str(tmp_path / "sg_in")
+    os.makedirs(src)
+    # batch 1: session anchored at 120 min.  batch 2: late events at 10
+    # and 20 min (110 min before the anchor, far beyond the 30-min gap —
+    # still inside the 2h watermark) -> they form their OWN closed
+    # session of 2; the anchored session must not stretch back to 10.
+    write_batch("sg_in/b1", [120], 1_000_000)
+    write_batch("sg_in/b2", [10, 20], 1_000_100)
+
+    schema = "event_type string, ts timestamp, value double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = sessionize_stream(stream, session_gap_s=1800)
+    q = (out.writeStream.format("memory").queryName("sess_sg")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [(r["key"], r["session_start"], r["session_end"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_sg").collect()]
+    assert got == [("A",
+                    (base + pd.Timedelta(minutes=10)).to_pydatetime(),
+                    (base + pd.Timedelta(minutes=20)).to_pydatetime(),
+                    2)]

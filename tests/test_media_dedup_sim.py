@@ -380,3 +380,17 @@ def test_minhash_est_jaccard_scores_candidates(spark):
     assert est[(0, 1)] == est[(0, 2)] == est[(1, 2)] == 1.0
     # the unrelated doc never pairs at estimate 1.0
     assert all(v < 1.0 for k, v in est.items() if 10 in k)
+
+
+def test_cc_star_keeps_self_pair_only_nodes(spark):
+    from tree_code_chunker_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2)], "id_a long, id_b long")
+    star = {r["node"]: r["label"] for r in
+            connected_components(pairs, method="star").collect()}
+    label = {r["node"]: r["label"] for r in
+             connected_components(pairs, method="label").collect()}
+    assert star == label == {1: 1, 2: 1, 5: 5}
+    with pytest.raises(ValueError, match="method"):
+        connected_components(pairs, method="stars")

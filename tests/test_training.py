@@ -117,3 +117,18 @@ def test_pack_greedy_never_overflows_and_matches_scalar_fold(spark):
     for shard, i, seq in want:
         per_seq[(shard, seq)].append(toks[i])
     assert all(sum(v) <= 512 or len(v) == 1 for v in per_seq.values())
+
+
+def test_pack_rejects_bad_shards_and_method(spark):
+    df = spark.createDataFrame([(0, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, n_shards=0)
+    with pytest.raises(ValueError, match="method"):
+        pack_sequences(df, method="prefx")
+
+
+def test_pack_methods_share_output_schema(spark):
+    df = spark.createDataFrame([(0, 10)], "doc_id int, n_tokens int")
+    a = pack_sequences(df, method="prefix")
+    b = pack_sequences(df, method="greedy")
+    assert [f.dataType for f in a.schema] == [f.dataType for f in b.schema]

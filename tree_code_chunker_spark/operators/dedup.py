@@ -303,6 +303,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     an iterative loop of joins otherwise re-evaluates its whole history
     every action.
     """
+    if method not in ("label", "star", "auto"):
+        raise ValueError(f"unknown method {method!r}")
     if method == "star":
         return _cc_star(pairs, id_a, id_b)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -369,15 +371,17 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str,
     reached in O(log^2 n) rounds independent of component diameter.
     max_rounds is a runaway backstop far above log^2 of any real corpus.
     """
-    e = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # node universe BEFORE dropping self-pairs: a node appearing only as
+    # (x, x) must still come back as its own root, matching method='label'
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select("v"))
         .distinct()
         .localCheckpoint()
     )
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select("v"))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )

@@ -59,6 +59,10 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        # Spark's non-ANSI `id % 0` yields NULL shards and a silently
+        # garbage single-partition packing; fail up front instead
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     if method == "greedy":
         return _pack_greedy(df, id_col, token_col, budget, n_shards)
     if method != "prefix":
@@ -66,7 +70,7 @@ def pack_sequences(
     shard = (F.col(id_col).cast("long") % n_shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(F.col("id").cast("long"))
     out = (
-        df.select(F.col(id_col).alias("id"),
+        df.select(F.col(id_col).cast("long").alias("id"),
                   F.col(token_col).cast("long").alias("n_tokens"), shard)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn(

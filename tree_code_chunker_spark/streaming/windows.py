@@ -87,6 +87,25 @@ def sessionize_stream(
                 s, last, n = state.get
             else:
                 s, last, n = None, None, 0
+            # late-but-admitted events more than a gap BEFORE the stored
+            # session start belong to their own earlier session(s): fold
+            # them first (ascending, so the standard gap walk applies);
+            # the final early session can never bridge to the stored one
+            # (its last < s - gap by construction), so it closes too.
+            if s is not None:
+                early = [t for t in ts_all if t < s - session_gap_s]
+                ts_all = ts_all[len(early):]
+                es = el = en = None
+                for t in early:
+                    if es is None:
+                        es, el, en = t, t, 1
+                    elif t - el > session_gap_s:
+                        out.append((k, es, el, en))
+                        es, el, en = t, t, 1
+                    else:
+                        el, en = t, en + 1
+                if es is not None:
+                    out.append((k, es, el, en))
             for t in ts_all:
                 if s is None:
                     s, last, n = t, t, 1
@@ -94,10 +113,10 @@ def sessionize_stream(
                     out.append((k, s, last, n))
                     s, last, n = t, t, 1
                 else:
-                    # late-but-admitted events (t earlier than stored state
-                    # from a prior batch) must not move the session boundary
-                    # backward: a rewound `last` would let the next on-time
-                    # event exceed the gap measured from the stale point and
+                    # late-but-admitted events within the gap of the stored
+                    # session must not move its boundary backward: a
+                    # rewound `last` would let the next on-time event
+                    # exceed the gap measured from the stale point and
                     # spuriously split one session into two
                     s, last, n = min(s, t), max(last, t), n + 1
             if s is not None:

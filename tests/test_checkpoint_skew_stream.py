@@ -309,3 +309,45 @@ def test_sessionize_super_gap_late_event_is_own_session(spark, tmp_path):
                     (base + pd.Timedelta(minutes=10)).to_pydatetime(),
                     (base + pd.Timedelta(minutes=20)).to_pydatetime(),
                     2)]
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Same content arriving in a LATER micro-batch (within the watermark)
+    is dropped; distinct content always survives."""
+    import os
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import stream_exact_dedup
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, rows, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, t, (base + pd.Timedelta(minutes=m)).to_pydatetime())
+             for i, t, m in rows],
+            "doc_id long, text string, ts timestamp",
+        ).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src)
+    write_batch("dd_in/b1", [(1, "alpha text", 0), (2, "beta text", 1)],
+                1_000_000)
+    write_batch("dd_in/b2", [(3, "alpha text", 5), (4, "gamma text", 6)],
+                1_000_100)
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = stream_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"]) for r in
+           spark.sql("SELECT * FROM dd").collect()}
+    assert got == {(1, "alpha text"), (2, "beta text"), (4, "gamma text")}

@@ -142,3 +142,27 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest: drop every later
+    arrival of the same content hash within the watermark horizon
+    (dropDuplicatesWithinWatermark keys state by md5, expires it once the
+    watermark passes, so state is bounded at 10^12-doc scale).
+
+    Semantics differ from batch exact_dedup on purpose: the stream keeps
+    the FIRST-ARRIVED copy (there is no 'min doc_id' until the stream
+    ends), and duplicates separated by more than the watermark horizon
+    both survive — the batch pass downstream remains the total guarantee;
+    this stage just keeps ~duplicate-free data flowing into it."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("_content_md5", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["_content_md5"])
+        .drop("_content_md5")
+    )

@@ -777,6 +777,30 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram document-frequency stats (top-50 trigrams) — the
+    contamination/quality-analysis staple; orderBy+limit runs as
+    TakeOrdered (map-side partial top-k), never a global sort."""
+    from tree_code_chunker_spark.operators.dedup import corpus_ngram_stats
+
+    d = _docs(spark, sf_dir)
+    return corpus_ngram_stats(d, "doc_id", "text", n=3, k=50)
+
+
+SQL_TOP_NGRAMS = """
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(ws[i : i + 2], ' ') AS gram
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+)
+SELECT gram, count(*) AS doc_freq FROM grams
+GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 50
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH grams AS (
   SELECT DISTINCT doc_id AS id,
@@ -1783,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
+        "top_ngrams": q_top_ngrams,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
         "embed_near_dup": q_embed_near_dup,
@@ -1826,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_greedy": SQL_PACK_GREEDY,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "top_ngrams": SQL_TOP_NGRAMS,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,

@@ -394,3 +394,17 @@ def test_cc_star_keeps_self_pair_only_nodes(spark):
     assert star == label == {1: 1, 2: 1, 5: 5}
     with pytest.raises(ValueError, match="method"):
         connected_components(pairs, method="stars")
+
+
+def test_corpus_ngram_stats_top_k(spark):
+    from tree_code_chunker_spark.operators.dedup import corpus_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c"), (4, "zz")],
+        "id long, text string")
+    got = [(r["gram"], r["doc_freq"]) for r in
+           corpus_ngram_stats(df, "id", "text", n=3, k=2).collect()]
+    # 'a b c' appears in docs 1,2,3 (doc 3 collapses whole text to it);
+    # next by (freq desc, gram asc) is 'b c d' (doc 1) vs 'b c x' (doc 2)
+    # vs 'zz' (doc 4) all freq 1 -> 'b c d' wins the tie alphabetically
+    assert got == [("a b c", 3), ("b c d", 1)]

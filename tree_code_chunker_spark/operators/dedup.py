@@ -458,6 +458,42 @@ def embedding_near_dup_pairs(
     )
 
 
+def word_ngrams_col(text_col, n: int):
+    """Word n-grams of a text column (short texts collapse to one gram) —
+    shared by the Jaccard join and the corpus gram stats so engine and
+    oracle build identical grams."""
+    words = F.split(text_col, " ")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def corpus_ngram_stats(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, k: int = 100) -> DataFrame:
+    """Top-k n-grams by DOCUMENT frequency -> (gram, doc_freq).
+
+    The contamination/quality-analysis staple: which n-grams dominate the
+    corpus.  One distinct + one groupBy; the top-k is orderBy+limit, which
+    Spark executes as TakeOrdered (map-side partial top-k per partition,
+    no global sort).  Ties at the boundary break on the gram itself so
+    the result is deterministic and oracle-mirrorable."""
+    grams = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(word_ngrams_col(F.col(text_col), n))
+                  .alias("gram"))
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.5,
                         max_gram_freq: int = 1000) -> DataFrame:
@@ -468,16 +504,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     join blowup; the cap is the standard postings-pruning trick and only
     affects pairs whose similarity evidence is redundant).
     """
-    words = F.split(F.col(text_col), " ")
-    n_grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
     grams = (
-        df.select(F.col(id_col).alias("id"), F.explode(n_grams).alias("gram"))
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(word_ngrams_col(F.col(text_col), n))
+                  .alias("gram"))
         .distinct()
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))

@@ -777,6 +777,28 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_profile(spark, sf_dir):
+    """Per-column profile of the lineitem numerics in ONE fused aggregate
+    scan (count/nulls/exact-distinct/min/max/sum/mean), pivoted to rows
+    over the column list only."""
+    from tree_code_chunker_spark.operators.profile import column_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_profile(li, _PROFILE_COLS)
+
+
+def _column_profile_sql() -> str:
+    from tree_code_chunker_spark.operators.profile import column_profile_sql
+
+    return column_profile_sql("lineitem", _PROFILE_COLS)
+
+
+SQL_COLUMN_PROFILE = _column_profile_sql()
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus n-gram document-frequency stats (top-50 trigrams) — the
     contamination/quality-analysis staple; orderBy+limit runs as
@@ -1808,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
         "top_ngrams": q_top_ngrams,
+        "column_profile": q_column_profile,
         "string_funcs": q_string_funcs,
         "tile_features": q_tile_features,
         "embed_near_dup": q_embed_near_dup,
@@ -1852,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "top_ngrams": SQL_TOP_NGRAMS,
+        "column_profile": SQL_COLUMN_PROFILE,
         "string_funcs": SQL_STRING_FUNCS,
         "tile_features": SQL_TILE_FEATURES,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,

@@ -132,3 +132,23 @@ def test_pack_methods_share_output_schema(spark):
     a = pack_sequences(df, method="prefix")
     b = pack_sequences(df, method="greedy")
     assert [f.dataType for f in a.schema] == [f.dataType for f in b.schema]
+
+
+def test_column_profile_values_and_nulls(spark):
+    from tree_code_chunker_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5), (2.0, None), (4.0, 7)],
+        "a double, b int")
+    got = {r["col_name"]: r.asDict() for r in
+           column_profile(df, ["a", "b"]).collect()}
+    assert got["a"]["n"] == 4 and got["a"]["n_null"] == 0
+    assert got["a"]["n_distinct"] == 3
+    assert (got["a"]["min_v"], got["a"]["max_v"]) == (1.0, 4.0)
+    assert got["a"]["sum_v"] == 9.0 and got["a"]["avg_v"] == 2.25
+    assert got["b"]["n"] == 2 and got["b"]["n_null"] == 2
+    assert got["b"]["n_distinct"] == 2 and got["b"]["sum_v"] == 12.0
+    # approx variant keeps the same shape
+    approx = {r["col_name"]: r["n_distinct"] for r in
+              column_profile(df, ["a"], exact_distinct=False).collect()}
+    assert approx["a"] >= 2

@@ -1,0 +1,71 @@
+"""Column profiling: per-column stats in one aggregation pass.
+
+The data-quality staple for pipeline inputs: one row per profiled column
+with count / nulls / distinct / min / max / sum / mean.  All values are
+computed in a SINGLE groupBy-less aggregate over the table (Catalyst fuses
+the per-column expressions into one partial-agg scan), then pivoted to
+rows driver-side — the pivot is over the COLUMN LIST (a handful of rows),
+never the data.
+
+`exact_distinct=True` uses count(DISTINCT ...) — one expand + shuffle per
+column, exact and oracle-mirrorable (the driver gate path).  At corpus
+scale flip it off to use approx_count_distinct (HLL, one pass, ~2% error);
+the rest of the profile is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ROUND = 6
+
+
+def column_profile(df: DataFrame, cols: list[str],
+                   exact_distinct: bool = True) -> DataFrame:
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        distinct = (F.count_distinct(col) if exact_distinct
+                    else F.approx_count_distinct(col))
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.isnull(col).cast("long")).alias(f"{c}__n_null"),
+            distinct.alias(f"{c}__n_distinct"),
+            F.round(F.min(col).cast("double"), ROUND).alias(f"{c}__min_v"),
+            F.round(F.max(col).cast("double"), ROUND).alias(f"{c}__max_v"),
+            F.round(F.sum(col.cast("double")), ROUND).alias(f"{c}__sum_v"),
+            F.round(F.avg(col.cast("double")), ROUND).alias(f"{c}__avg_v"),
+        ]
+    wide = df.agg(*aggs)
+    rows = wide.selectExpr(*[
+        f"struct('{c}' AS col_name, `{c}__n` AS n, `{c}__n_null` AS n_null, "
+        f"`{c}__n_distinct` AS n_distinct, `{c}__min_v` AS min_v, "
+        f"`{c}__max_v` AS max_v, `{c}__sum_v` AS sum_v, "
+        f"`{c}__avg_v` AS avg_v) AS `{c}__s`"
+        for c in cols
+    ])
+    stacked = rows.select(
+        F.explode(F.array(*[F.col(f"`{c}__s`") for c in cols])).alias("s")
+    )
+    return stacked.select("s.*")
+
+
+def column_profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB mirror: one SELECT per column UNION ALL'd (DuckDB fuses the
+    scans; the mirror is for the gate, not the scale path)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       count({c}) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), {ROUND}) AS min_v,
+       round(CAST(max({c}) AS DOUBLE), {ROUND}) AS max_v,
+       round(sum(CAST({c} AS DOUBLE)), {ROUND}) AS sum_v,
+       round(avg(CAST({c} AS DOUBLE)), {ROUND}) AS avg_v
+FROM {table}""")
+    return " UNION ALL ".join(parts)

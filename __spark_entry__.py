@@ -1806,6 +1806,143 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------- spatial analytics (new) ----
+# dwithin radius join, zonal statistics, trajectory metrics, and DDA line
+# rasterization (operators/spatial.py) — all integer-exact, mirrored 1:1.
+
+DWITHIN_RADIUS = 800  # grid units; > hot-spot jitter so skew paths light up
+
+
+def _supplier_points_sql():
+    qlat, qlon = derive_point_sql("s_suppkey", "777")
+    return f"""
+sq AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+         {qlat} AS qlat, {qlon} AS qlon
+  FROM supplier
+)"""
+
+
+def q_dwithin(spark, sf_dir):
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    qlat, qlon = derive_point_cols(F.col("s_suppkey").cast("long"), F.lit(777))
+    sq = s.select(
+        F.col("s_suppkey").cast("long").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon"),
+    )
+    return dwithin_join(pts, sq, DWITHIN_RADIUS, b_keep=("query_id",))
+
+
+SQL_DWITHIN = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_supplier_points_sql()}
+SELECT p.doc_id, p.span_pos, sq.query_id,
+       (p.qlat - sq.qlat) * (p.qlat - sq.qlat)
+       + (p.qlon - sq.qlon) * (p.qlon - sq.qlon) AS d2
+FROM points p JOIN sq
+  ON p.qlat BETWEEN sq.qlat - {DWITHIN_RADIUS} AND sq.qlat + {DWITHIN_RADIUS}
+ AND p.qlon BETWEEN sq.qlon - {DWITHIN_RADIUS} AND sq.qlon + {DWITHIN_RADIUS}
+WHERE (p.qlat - sq.qlat) * (p.qlat - sq.qlat)
+      + (p.qlon - sq.qlon) * (p.qlon - sq.qlon)
+      <= {DWITHIN_RADIUS * DWITHIN_RADIUS}
+"""
+
+
+_ZONAL_V_COL = "((qlat * 31 + qlon) % 997)"  # deterministic integer value
+
+
+def q_zonal_stats(spark, sf_dir):
+    from tree_code_chunker_spark.operators.spatial import zonal_stats
+
+    pts = _points(spark, sf_dir).withColumn(
+        "v", (F.col("qlat") * 31 + F.col("qlon")) % 997)
+    return zonal_stats(pts, _rect_polygons(spark), value="v")
+
+
+SQL_ZONAL_STATS = f"""
+{SPANS_CTE}, {POINTS_SQL}, {RECTS_SQL}
+SELECT polygon_id, count(*) AS n_points,
+       CAST(sum({_ZONAL_V_COL}) AS BIGINT) AS sum_value,
+       min({_ZONAL_V_COL}) AS min_value,
+       max({_ZONAL_V_COL}) AS max_value
+FROM points JOIN rects
+  ON qlat >= y0 AND qlat < y1 AND qlon >= x0 AND qlon < x1
+GROUP BY polygon_id
+"""
+
+
+def q_traj_stats(spark, sf_dir):
+    from tree_code_chunker_spark.operators.spatial import trajectory_stats
+
+    return trajectory_stats(_points(spark, sf_dir))
+
+
+SQL_TRAJ_STATS = f"""
+{SPANS_CTE}, {POINTS_SQL}, st AS (
+  SELECT doc_id, span_pos, qlat, qlon,
+         qlat - LAG(qlat) OVER w AS dy,
+         qlon - LAG(qlon) OVER w AS dx
+  FROM points
+  WINDOW w AS (PARTITION BY doc_id ORDER BY span_pos)
+)
+SELECT doc_id,
+       count(*) AS n_points,
+       count(dy) AS n_segs,
+       CAST(COALESCE(sum(GREATEST(ABS(dy), ABS(dx))), 0) AS BIGINT) AS cheb_len,
+       CAST(COALESCE(max(dy * dy + dx * dx), 0) AS BIGINT) AS max_step_d2,
+       CAST((arg_max(qlat, span_pos) - arg_min(qlat, span_pos))
+            * (arg_max(qlat, span_pos) - arg_min(qlat, span_pos))
+            + (arg_max(qlon, span_pos) - arg_min(qlon, span_pos))
+            * (arg_max(qlon, span_pos) - arg_min(qlon, span_pos))
+            AS BIGINT) AS net_d2,
+       CAST((max(qlat) - min(qlat)) * (max(qlon) - min(qlon)) AS BIGINT)
+           AS bbox_area
+FROM st
+GROUP BY doc_id
+"""
+
+
+TRAJ_RASTER_RES = 8
+
+
+def q_traj_raster(spark, sf_dir):
+    from tree_code_chunker_spark.operators.spatial import trajectory_raster
+
+    return trajectory_raster(_points(spark, sf_dir), TRAJ_RASTER_RES)
+
+
+_TRAJ_SHIFT = 16 - TRAJ_RASTER_RES
+SQL_TRAJ_RASTER = f"""
+{SPANS_CTE}, {POINTS_SQL}, segs AS (
+  SELECT doc_id,
+         LAG(qlat) OVER w AS y0, LAG(qlon) OVER w AS x0,
+         qlat AS y1, qlon AS x1
+  FROM points
+  WINDOW w AS (PARTITION BY doc_id ORDER BY span_pos)
+), cs AS (
+  SELECT doc_id,
+         y0 >> {_TRAJ_SHIFT} AS cy0, x0 >> {_TRAJ_SHIFT} AS cx0,
+         (y1 >> {_TRAJ_SHIFT}) - (y0 >> {_TRAJ_SHIFT}) AS dy,
+         (x1 >> {_TRAJ_SHIFT}) - (x0 >> {_TRAJ_SHIFT}) AS dx
+  FROM segs WHERE y0 IS NOT NULL
+), st AS (
+  SELECT *, GREATEST(ABS(dy), ABS(dx)) AS steps,
+         GREATEST(GREATEST(ABS(dy), ABS(dx)), 1) AS ss
+  FROM cs
+), cells AS (
+  SELECT doc_id,
+         cy0 + CAST(FLOOR((2.0 * i * dy + ss) / (2.0 * ss)) AS BIGINT) AS cy,
+         cx0 + CAST(FLOOR((2.0 * i * dx + ss) / (2.0 * ss)) AS BIGINT) AS cx
+  FROM (SELECT *, UNNEST(range(0, steps + 1)) AS i FROM st)
+)
+SELECT cy, cx, count(*) AS n_visits, count(DISTINCT doc_id) AS n_ids
+FROM cells
+GROUP BY cy, cx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -1848,6 +1985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
+        "dwithin": q_dwithin,
+        "zonal_stats": q_zonal_stats,
+        "traj_stats": q_traj_stats,
+        "traj_raster": q_traj_raster,
     }
 
 
@@ -1893,4 +2034,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frames": SQL_MEDIA_FRAMES,
+        "dwithin": SQL_DWITHIN,
+        "zonal_stats": SQL_ZONAL_STATS,
+        "traj_stats": SQL_TRAJ_STATS,
+        "traj_raster": SQL_TRAJ_RASTER,
     }

@@ -1,0 +1,269 @@
+"""dwithin_join / zonal_stats / trajectory ops vs independent Python oracles.
+
+Every operator here is integer-exact, so the tests assert EXACT set equality
+against brute-force numpy/python implementations, plus determinism across
+partitionings (SURVEY.md §5.2's reference invariant).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.config import GRID_BITS
+from tree_code_chunker_spark.operators.spatial import (
+    dwithin_join,
+    dwithin_res,
+    line_cells,
+    trajectory_raster,
+    trajectory_segments,
+    trajectory_stats,
+    zonal_stats,
+)
+
+
+def _points_df(spark, ids, qlat, qlon, id_col="doc_id"):
+    rows = [(int(i), int(p), int(a), int(o))
+            for i, p, a, o in zip(ids[0], ids[1], qlat, qlon)]
+    return spark.createDataFrame(
+        rows, f"{id_col} bigint, span_pos bigint, qlat bigint, qlon bigint")
+
+
+def test_dwithin_res_properties():
+    for radius in [1, 2, 3, 4, 5, 100, 255, 256, 257, 1000, 65535]:
+        res = dwithin_res(radius)
+        side = 1 << (GRID_BITS - res)
+        assert side >= radius, (radius, res, side)
+        # finest: one res finer would have side < radius (or res is maximal)
+        if res < GRID_BITS - 1:
+            assert (1 << (GRID_BITS - res - 1)) < radius
+    with pytest.raises(ValueError):
+        dwithin_res(0)
+
+
+def _brute_pairs(a_lat, a_lon, b_lat, b_lon, radius):
+    d2 = ((a_lat[:, None] - b_lat[None, :]) ** 2
+          + (a_lon[:, None] - b_lon[None, :]) ** 2)
+    ai, bi = np.nonzero(d2 <= radius * radius)
+    return {(int(i), int(j), int(d2[i, j])) for i, j in zip(ai, bi)}
+
+
+@pytest.mark.parametrize("radius", [1, 7, 300, 4000])
+def test_dwithin_join_vs_bruteforce(spark, radius):
+    rng = np.random.RandomState(42 + radius)
+    na, nb = 300, 80
+    # cluster some points so small radii still produce matches, and pin the
+    # grid borders (neighbor cells off-grid must be dropped, not clamped)
+    a_lat = np.concatenate([rng.randint(0, 65536, na - 4),
+                            np.array([0, 0, 65535, 65535])])
+    a_lon = np.concatenate([rng.randint(0, 65536, na - 4),
+                            np.array([0, 65535, 0, 65535])])
+    b_lat = np.concatenate([a_lat[:nb - 4] + rng.randint(-radius, radius + 1, nb - 4),
+                            np.array([1, 2, 65534, 65533])])
+    b_lon = np.concatenate([a_lon[:nb - 4] + rng.randint(-radius, radius + 1, nb - 4),
+                            np.array([1, 65533, 2, 65534])])
+    b_lat, b_lon = np.clip(b_lat, 0, 65535), np.clip(b_lon, 0, 65535)
+
+    a = _points_df(spark, (np.arange(na), np.zeros(na)), a_lat, a_lon)
+    b = spark.createDataFrame(
+        [(int(i), int(y), int(x)) for i, y, x in
+         zip(np.arange(nb), b_lat, b_lon)],
+        "query_id bigint, qlat bigint, qlon bigint")
+
+    got = {(r.doc_id, r.query_id, r.d2)
+           for r in dwithin_join(a, b, radius).collect()}
+    want = _brute_pairs(a_lat, a_lon, b_lat, b_lon, radius)
+    assert got == want
+
+
+def test_dwithin_join_broadcast_and_parallelism_invariant(spark):
+    rng = np.random.RandomState(7)
+    n = 200
+    lat, lon = rng.randint(0, 65536, n), rng.randint(0, 65536, n)
+    a = _points_df(spark, (np.arange(n), np.zeros(n)), lat, lon)
+    b = spark.createDataFrame(
+        [(int(i), int(lat[i] + 13), int(lon[i] - 9)) for i in range(0, n, 3)],
+        "query_id bigint, qlat bigint, qlon bigint")
+    base = sorted(map(tuple, dwithin_join(a, b, 500).collect()))
+    assert len(base) > 0
+    bc = sorted(map(tuple, dwithin_join(a, b, 500, broadcast_b=True).collect()))
+    rp = sorted(map(tuple, dwithin_join(
+        a.repartition(13), b.repartition(3), 500).collect()))
+    assert base == bc == rp
+
+
+def test_dwithin_join_rejects_too_coarse_radius_for_res(spark):
+    a = spark.createDataFrame([(1, 0, 0, 0)],
+                              "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+    with pytest.raises(ValueError, match="3x3 neighborhood"):
+        dwithin_join(a, a.withColumnRenamed("doc_id", "query_id"),
+                     radius=5000, res=16)
+
+
+# ------------------------------------------------------------ trajectory ----
+
+
+def _traj_df(spark, rng, n_ids=20, max_len=8):
+    rows = []
+    for did in range(n_ids):
+        m = rng.randint(1, max_len + 1)
+        for p in range(m):
+            rows.append((did, p, int(rng.randint(0, 65536)),
+                         int(rng.randint(0, 65536))))
+    return rows, spark.createDataFrame(
+        rows, "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+
+
+def test_trajectory_stats_vs_python(spark):
+    rng = np.random.RandomState(11)
+    rows, df = _traj_df(spark, rng)
+    got = {r.doc_id: r.asDict() for r in trajectory_stats(df).collect()}
+
+    by_id = {}
+    for did, p, y, x in rows:
+        by_id.setdefault(did, []).append((p, y, x))
+    for did, pts in by_id.items():
+        pts.sort()
+        ys = [y for _, y, _ in pts]
+        xs = [x for _, _, x in pts]
+        segs = list(zip(pts, pts[1:]))
+        g = got[did]
+        assert g["n_points"] == len(pts)
+        assert g["n_segs"] == len(segs)
+        assert g["cheb_len"] == sum(
+            max(abs(b[1] - a[1]), abs(b[2] - a[2])) for a, b in segs)
+        assert g["max_step_d2"] == (max(
+            ((b[1] - a[1]) ** 2 + (b[2] - a[2]) ** 2) for a, b in segs)
+            if segs else 0)
+        assert g["net_d2"] == ((ys[-1] - ys[0]) ** 2 + (xs[-1] - xs[0]) ** 2)
+        assert g["bbox_area"] == (max(ys) - min(ys)) * (max(xs) - min(xs))
+
+
+def _dda_py(cy0, cx0, cy1, cx1):
+    dy, dx = cy1 - cy0, cx1 - cx0
+    steps = max(abs(dy), abs(dx))
+    ss = max(steps, 1)
+    out = []
+    for i in range(steps + 1):
+        out.append((cy0 + (2 * i * dy + ss) // (2 * ss),
+                    cx0 + (2 * i * dx + ss) // (2 * ss)))
+    return out
+
+
+def test_line_cells_vs_python_and_properties(spark):
+    rng = np.random.RandomState(3)
+    res = 8
+    shift = GRID_BITS - res
+    segs = []
+    for sid in range(120):
+        segs.append((0, sid, int(rng.randint(0, 65536)), int(rng.randint(0, 65536)),
+                     int(rng.randint(0, 65536)), int(rng.randint(0, 65536))))
+    segs.append((0, 999, 5000, 5000, 5000, 5000))  # zero-length segment
+    df = spark.createDataFrame(
+        segs, "doc_id bigint, seg_pos bigint, y0 bigint, x0 bigint, "
+              "y1 bigint, x1 bigint")
+    got = {}
+    for r in line_cells(df, res).collect():
+        got.setdefault(r.seg_pos, []).append((r.cy, r.cx))
+    for _, sid, y0, x0, y1, x1 in segs:
+        want = _dda_py(y0 >> shift, x0 >> shift, y1 >> shift, x1 >> shift)
+        cells = got[sid]
+        assert sorted(cells) == sorted(want), sid
+        assert len(set(cells)) == len(cells)  # no duplicate cells per segment
+        for (ay, ax), (by, bx) in zip(want, want[1:]):  # 8-connected
+            assert max(abs(by - ay), abs(bx - ax)) == 1
+
+
+def test_line_cells_duckdb_mirror(spark):
+    """The exact SQL formula used by the driver oracle reproduces line_cells."""
+    rng = np.random.RandomState(5)
+    res = 8
+    segs = [(i, int(rng.randint(0, 65536)), int(rng.randint(0, 65536)),
+             int(rng.randint(0, 65536)), int(rng.randint(0, 65536)))
+            for i in range(60)]
+    df = spark.createDataFrame(
+        segs, "seg_pos bigint, y0 bigint, x0 bigint, y1 bigint, x1 bigint"
+    ).withColumn("doc_id", F.lit(0))
+    got = sorted((r.seg_pos, r.cy, r.cx)
+                 for r in line_cells(df, res, keep_cols=("seg_pos",)).collect())
+    vals = ", ".join(f"({s}, {y0}, {x0}, {y1}, {x1})" for s, y0, x0, y1, x1 in segs)
+    sql = f"""
+    WITH segs(seg_pos, y0, x0, y1, x1) AS (VALUES {vals}),
+    cs AS (
+      SELECT seg_pos, y0 >> {GRID_BITS - res} AS cy0, x0 >> {GRID_BITS - res} AS cx0,
+             (y1 >> {GRID_BITS - res}) - (y0 >> {GRID_BITS - res}) AS dy,
+             (x1 >> {GRID_BITS - res}) - (x0 >> {GRID_BITS - res}) AS dx
+      FROM segs
+    ), st AS (
+      SELECT *, GREATEST(ABS(dy), ABS(dx)) AS steps,
+             GREATEST(GREATEST(ABS(dy), ABS(dx)), 1) AS ss
+      FROM cs
+    )
+    SELECT seg_pos,
+           cy0 + CAST(FLOOR((2.0*i*dy + ss) / (2.0*ss)) AS BIGINT) AS cy,
+           cx0 + CAST(FLOOR((2.0*i*dx + ss) / (2.0*ss)) AS BIGINT) AS cx
+    FROM (SELECT *, UNNEST(range(0, steps + 1)) AS i FROM st)
+    """
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_trajectory_raster_handmade(spark):
+    # two trajectories sharing one cell; res chosen so coords ARE cells
+    res = GRID_BITS  # shift 0: grid coords = cell coords
+    rows = [
+        (1, 0, 0, 0), (1, 1, 0, 3),   # traj 1: (0,0)->(0,3): cells x=0..3
+        (2, 0, 2, 1), (2, 1, 0, 1),   # traj 2: (2,1)->(0,1): cells y=2..0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+    got = {(r.cy, r.cx): (r.n_visits, r.n_ids)
+           for r in trajectory_raster(df, res).collect()}
+    assert got == {
+        (0, 0): (1, 1), (0, 2): (1, 1), (0, 3): (1, 1),
+        (2, 1): (1, 1), (1, 1): (1, 1),
+        (0, 1): (2, 2),  # shared cell: one visit from each trajectory
+    }
+
+
+def test_trajectory_segments_counts(spark):
+    rng = np.random.RandomState(9)
+    rows, df = _traj_df(spark, rng, n_ids=10)
+    segs = trajectory_segments(df).collect()
+    by_id = {}
+    for did, *_ in rows:
+        by_id[did] = by_id.get(did, 0) + 1
+    want = sum(max(0, n - 1) for n in by_id.values())
+    assert len(segs) == want
+    for s in segs:  # lag pairing is by ascending span_pos
+        assert s.y0 is not None and s.x0 is not None
+
+
+# ------------------------------------------------------------ zonal stats ----
+
+
+def test_zonal_stats_vs_python(spark):
+    rng = np.random.RandomState(21)
+    n = 400
+    lat, lon = rng.randint(0, 60000, n), rng.randint(0, 60000, n)
+    val = rng.randint(-50, 1000, n)
+    pts = spark.createDataFrame(
+        [(int(i), 0, int(lat[i]), int(lon[i]), int(val[i])) for i in range(n)],
+        "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint, v bigint")
+    rects = []
+    for r in range(6):
+        y0, x0 = int(rng.randint(0, 50000)), int(rng.randint(0, 50000))
+        rects.append((f"z{r}", y0, x0, y0 + 8000, x0 + 9000))
+    polys = spark.createDataFrame(
+        [(pid, [(y0, x0), (y0, x1), (y1, x1), (y1, x0), (y0, x0)])
+         for pid, y0, x0, y1, x1 in rects],
+        "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>")
+    got = {r.polygon_id: (r.n_points, r.sum_value, r.min_value, r.max_value)
+           for r in zonal_stats(pts, polys, value="v").collect()}
+    for pid, y0, x0, y1, x1 in rects:
+        m = (lat >= y0) & (lat < y1) & (lon >= x0) & (lon < x1)
+        if m.sum() == 0:
+            assert pid not in got
+        else:
+            assert got[pid] == (int(m.sum()), int(val[m].sum()),
+                                int(val[m].min()), int(val[m].max()))

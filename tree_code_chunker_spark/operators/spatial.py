@@ -1,0 +1,311 @@
+"""Spatial-analytics extensions on the integer Morton grid: radius
+(distance-within) joins, zonal statistics, and trajectory analytics with
+DDA line rasterization.
+
+These extend the core PIP/kNN/tile operators (SURVEY.md §2.4 targets) with
+the remaining classic geospatial joins a 100 TB pipeline needs:
+
+ * `dwithin_join` — all pairs (a, b) with squared grid distance <= radius^2.
+   Same prune-then-exact shape as the reference's 1-D interval overlap join
+   (codechunk.go:631-651) lifted to 2-D: bucket both sides at a resolution
+   whose cell side >= radius, expand ONE side to its 3x3 Chebyshev
+   neighborhood, equi-join on the cell key, then exact integer filter.
+   Never all-pairs; the only shuffle is the cell-key equi-join, and hot
+   cells ride on AQE skew-join splitting (the key is the same cell id the
+   skew module salts).
+ * `zonal_stats` — per-polygon aggregates of the points each polygon
+   contains (raster "zonal statistics" in vector form): composes the
+   classified-cover pip_join (broadcast build side, probe never shuffled)
+   with a single hash aggregation on polygon_id.
+ * `trajectory_segments` / `trajectory_stats` — per-id ordered point
+   sequences folded into consecutive segments (window lag, one shuffle on
+   the id) and integer path metrics (Chebyshev length, squared displacement,
+   bounding box) that are bit-exact at any parallelism.
+ * `line_cells` / `trajectory_raster` — vector->raster line rasterization:
+   each segment is sampled at its Chebyshev length + 1 grid steps (classic
+   DDA midpoint rounding, 8-connected), entirely in JVM column expressions
+   (sequence + explode), then rolled up to per-cell visit counts.
+
+All math is integer after quantization (operators/geo.py), so every
+operator here is mirrored exactly by the DuckDB oracle SQL in
+`__spark_entry__.py` — including the DDA rounding, which uses
+floor((2*i*d + steps)/(2*steps)) so both engines compute round-half-up of
+i*d/steps with one shared formula (exact in float64: |numerator| < 2^34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import GRID_BITS
+from .pip import PolygonIndex, pip_join
+
+NEIGHBOR_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def dwithin_res(radius: int) -> int:
+    """Finest resolution whose cell side (2^(GRID_BITS-res)) >= radius.
+
+    With side >= radius, every point within `radius` of a point in cell C
+    lies in C's 3x3 Chebyshev-1 neighborhood, so 9 candidate cells suffice.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    side_bits = max((radius - 1).bit_length(), 1)  # smallest b: 2^b >= radius
+    if radius > (1 << side_bits):  # exact-power edge: bit_length(r-1)=log2(r)
+        side_bits += 1
+    return max(GRID_BITS - side_bits, 0)
+
+
+def dwithin_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius: int,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    b_keep: tuple[str, ...] = ("query_id",),
+    res: int | None = None,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """All (a, b) pairs with (a.qlat-b.qlat)^2 + (a.qlon-b.qlon)^2 <= radius^2.
+
+    a(qlat, qlon, *a_keep) x b(qlat, qlon, *b_keep) -> one row per pair with
+    a_keep + b_keep + d2 (bigint).  Exact by construction: the 3x3 cell
+    neighborhood at `res` (cell side >= radius) is a superset of the disk.
+
+    Scale shape: b is exploded 9x (choose the smaller side as b) and
+    equi-joined on the cell key — one bounded shuffle, no cartesian.  Pass
+    broadcast_b=True when b (x9) fits in a broadcast; otherwise AQE handles
+    hot-cell skew on the join key.
+    """
+    if res is None:
+        res = dwithin_res(radius)
+    if (1 << (GRID_BITS - res)) < radius:
+        raise ValueError(
+            f"cell side {1 << (GRID_BITS - res)} at res={res} is smaller "
+            f"than radius={radius}: the 3x3 neighborhood would miss pairs")
+    shift = GRID_BITS - res
+    n_cells = 1 << res
+
+    a_side = a.select(
+        *a_keep,
+        F.col("qlat").alias("a_qlat"), F.col("qlon").alias("a_qlon"),
+        F.shiftright("qlat", shift).alias("ccy"),
+        F.shiftright("qlon", shift).alias("ccx"),
+    )
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy, dx in NEIGHBOR_OFFSETS
+    ])).alias("off")
+    b_side = (
+        b.select(
+            *b_keep,
+            F.col("qlat").alias("b_qlat"), F.col("qlon").alias("b_qlon"),
+        )
+        .select("*", off)
+        .select(
+            *b_keep, "b_qlat", "b_qlon",
+            (F.shiftright("b_qlat", shift) + F.col("off.dy")).alias("ccy"),
+            (F.shiftright("b_qlon", shift) + F.col("off.dx")).alias("ccx"),
+        )
+        # out-of-grid neighbor cells can never match an a-side cell; dropping
+        # them (rather than clamping) keeps the 9 candidate cells distinct
+        .filter(
+            (F.col("ccy") >= 0) & (F.col("ccy") < n_cells)
+            & (F.col("ccx") >= 0) & (F.col("ccx") < n_cells)
+        )
+    )
+    if broadcast_b:
+        b_side = F.broadcast(b_side)
+    d2 = (
+        (F.col("a_qlat") - F.col("b_qlat")) * (F.col("a_qlat") - F.col("b_qlat"))
+        + (F.col("a_qlon") - F.col("b_qlon")) * (F.col("a_qlon") - F.col("b_qlon"))
+    )
+    return (
+        a_side.join(b_side, ["ccy", "ccx"], "inner")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(int(radius) * int(radius)))
+        .select(*a_keep, *b_keep, "d2")
+    )
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    value: Column | str | None = None,
+    res: int | None = None,
+    index: PolygonIndex | None = None,
+    keep_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+) -> DataFrame:
+    """Per-polygon aggregates over the points each polygon contains.
+
+    Classic raster zonal statistics in vector form: pip_join (broadcast
+    classified cover; probe side never shuffled) followed by one hash
+    aggregation on polygon_id.  Returns polygon_id, n_points and — when
+    `value` is given — sum/min/max of the value expression (integer-exact
+    when the value is integer).
+    """
+    kw = {} if res is None else {"res": res}
+    if isinstance(value, str) and value not in keep_cols:
+        # pip_join projects keep_cols + polygon_id + qlat/qlon only; the
+        # value column must ride through the join
+        keep_cols = (*keep_cols, value)
+    matched = pip_join(points, polygons, index=index, keep_cols=keep_cols, **kw)
+    if value is None:
+        return matched.groupBy("polygon_id").agg(F.count("*").alias("n_points"))
+    v = F.col(value) if isinstance(value, str) else value
+    matched = matched.withColumn("_v", v)
+    return matched.groupBy("polygon_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("_v").alias("sum_value"),
+        F.min("_v").alias("min_value"),
+        F.max("_v").alias("max_value"),
+    )
+
+
+def trajectory_segments(
+    points: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "span_pos",
+) -> DataFrame:
+    """Consecutive (by order_col, per id_col) point pairs as segments.
+
+    One shuffle on id_col (window lag); emits n-1 rows per n-point
+    trajectory with (id, seg_pos, y0, x0, y1, x1).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
+    return (
+        points.select(
+            id_col, order_col,
+            F.lag("qlat").over(w).alias("y0"),
+            F.lag("qlon").over(w).alias("x0"),
+            F.col("qlat").alias("y1"),
+            F.col("qlon").alias("x1"),
+        )
+        .filter(F.col("y0").isNotNull())
+        .withColumnRenamed(order_col, "seg_pos")
+    )
+
+
+def trajectory_stats(
+    points: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "span_pos",
+) -> DataFrame:
+    """Per-trajectory integer path metrics, bit-exact at any parallelism.
+
+    n_points, n_segs, cheb_len (sum of per-segment Chebyshev lengths — the
+    DDA step count, so it equals trajectory_raster's per-trajectory visit
+    count minus n_segs duplicated endpoints), max_step_d2, net_d2 (squared
+    first->last displacement), bbox_area ((maxlat-minlat)*(maxlon-minlon)).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
+    dy = F.col("qlat") - F.lag("qlat").over(w)
+    dx = F.col("qlon") - F.lag("qlon").over(w)
+    stepped = points.select(
+        id_col, order_col, "qlat", "qlon",
+        dy.alias("dy"), dx.alias("dx"),
+    )
+    wfirst = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
+    wlast = Window.partitionBy(id_col).orderBy(F.col(order_col).desc())
+    stepped = stepped.select(
+        "*",
+        F.first("qlat").over(wfirst).alias("lat_first"),
+        F.first("qlon").over(wfirst).alias("lon_first"),
+        F.first("qlat").over(wlast).alias("lat_last"),
+        F.first("qlon").over(wlast).alias("lon_last"),
+    )
+    return stepped.groupBy(id_col).agg(
+        F.count("*").alias("n_points"),
+        F.count("dy").alias("n_segs"),
+        F.coalesce(
+            F.sum(F.greatest(F.abs("dy"), F.abs("dx"))), F.lit(0)
+        ).alias("cheb_len"),
+        F.coalesce(
+            F.max(F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx")),
+            F.lit(0),
+        ).alias("max_step_d2"),
+        (
+            (F.min("lat_last") - F.min("lat_first"))
+            * (F.min("lat_last") - F.min("lat_first"))
+            + (F.min("lon_last") - F.min("lon_first"))
+            * (F.min("lon_last") - F.min("lon_first"))
+        ).alias("net_d2"),
+        (
+            (F.max("qlat") - F.min("qlat")) * (F.max("qlon") - F.min("qlon"))
+        ).alias("bbox_area"),
+    )
+
+
+def _dda_coord(c0: Column, d: Column, i: Column, steps_safe: Column) -> Column:
+    """c0 + round_half_up(i*d/steps): floor((2*i*d + steps)/(2*steps)).
+
+    Float64 division is exact enough here (|numerator| < 2^34, and the true
+    quotient is never closer than 1/(2*steps) >= 2^-17 to an integer unless
+    it IS one, in which case IEEE division returns it exactly), so the
+    DuckDB mirror computes the identical value with the identical formula.
+    """
+    num = F.lit(2) * i * d + steps_safe
+    return c0 + F.floor(num / (F.lit(2.0) * steps_safe)).cast("long")
+
+
+def line_cells(
+    segments: DataFrame,
+    res: int,
+    keep_cols: tuple[str, ...] = ("doc_id", "seg_pos"),
+) -> DataFrame:
+    """DDA rasterization of segments onto the res-cell grid (8-connected).
+
+    segments(*keep_cols, y0, x0, y1, x1) in GRID coordinates -> one row per
+    (segment, visited cell) with keep_cols + cy + cx.  steps = Chebyshev
+    length of the segment in cells; cell i = endpoint0 + round(i*delta/steps)
+    per axis.  The major axis advances exactly 1 per step, so a segment
+    never emits a duplicate cell.  Pure JVM (sequence + explode): no Python,
+    no shuffle — rasterization is embarrassingly parallel.
+    """
+    shift = GRID_BITS - res
+    seg = segments.select(
+        *keep_cols,
+        F.shiftright("y0", shift).alias("cy0"),
+        F.shiftright("x0", shift).alias("cx0"),
+        F.shiftright("y1", shift).alias("cy1"),
+        F.shiftright("x1", shift).alias("cx1"),
+    ).select(
+        *keep_cols, "cy0", "cx0",
+        (F.col("cy1") - F.col("cy0")).alias("dy"),
+        (F.col("cx1") - F.col("cx0")).alias("dx"),
+    ).select(
+        "*",
+        F.greatest(F.abs("dy"), F.abs("dx")).alias("steps"),
+    )
+    steps_safe = F.greatest(F.col("steps"), F.lit(1))
+    i = F.explode(F.sequence(F.lit(0), F.col("steps"))).alias("i")
+    return seg.select("*", i).select(
+        *keep_cols,
+        _dda_coord(F.col("cy0"), F.col("dy"), F.col("i"), steps_safe).alias("cy"),
+        _dda_coord(F.col("cx0"), F.col("dx"), F.col("i"), steps_safe).alias("cx"),
+    )
+
+
+def trajectory_raster(
+    points: DataFrame,
+    res: int,
+    id_col: str = "doc_id",
+    order_col: str = "span_pos",
+) -> DataFrame:
+    """Per-cell visit density of all trajectories (vector->raster rollup).
+
+    segments -> DDA cells -> groupBy(cy, cx): n_visits counts every
+    (segment, cell) incidence (shared segment endpoints count once per
+    segment touching them), n_ids counts distinct trajectories.  One window
+    shuffle (segments) + one agg shuffle; rasterization itself is narrow.
+    """
+    segs = trajectory_segments(points, id_col, order_col)
+    cells = line_cells(segs, res, keep_cols=(id_col, "seg_pos"))
+    return cells.groupBy("cy", "cx").agg(
+        F.count("*").alias("n_visits"),
+        F.countDistinct(id_col).alias("n_ids"),
+    )

@@ -121,6 +121,23 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
 
     timings["knn"] = round(min(knn_once() for _ in range(2)), 3)
 
+    # dwithin radius join (spatial-join breadth): ~9.2M points x ~800
+    # queries, cell-bucket prune + exact integer filter.  Non-hot queries
+    # only — a hot-center query at radius 800 matches every point in its
+    # 64x64 hot box, so hot x hot is output-bound (~100M rows), measuring
+    # row materialization rather than the join engine; pip/tile already
+    # covers the skew path.
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .filter(F.col("s_suppkey") % 5 != 0)
+    sqlat, sqlon = derive_point_cols(F.col("s_suppkey").cast("long"), F.lit(777))
+    sq = sup.select(
+        F.col("s_suppkey").cast("long").alias("query_id"),
+        sqlat.alias("qlat"), sqlon.alias("qlon"),
+    )
+    timed("dwithin", lambda: dwithin_join(
+        pts, sq, 800, broadcast_b=True).count())
+
     # relational baseline query (pushdown + partial agg showcase)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed("tpch_pricing", lambda: (

@@ -351,3 +351,43 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     got = {(r["doc_id"], r["text"]) for r in
            spark.sql("SELECT * FROM dd").collect()}
     assert got == {(1, "alpha text"), (2, "beta text"), (4, "gamma text")}
+
+
+def test_stream_tile_rollup_matches_batch(spark, tmp_path):
+    """Watermarked streaming tile rollup == batch tile histogram on the same
+    derived point stream (bit-equal integer tile math on both paths)."""
+    from tree_code_chunker_spark.operators.geo import (
+        derive_point_cols, tile_cols)
+    from tree_code_chunker_spark.streaming.windows import stream_tile_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qlat, qlon = derive_point_cols(F.col("event_id"), F.col("user_id"))
+    static = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", qlat.alias("qlat"), qlon.alias("qlon"))
+    )
+    tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), 6)
+    batch = (
+        static.groupBy(F.window("ts", "1 hour").alias("w"),
+                       tx.alias("x"), ty.alias("y"))
+        .agg(F.count("*").alias("n_points"))
+        .select(F.col("w.start").cast("string").alias("window_start"),
+                F.lit(6).alias("z"), "x", "y", "n_points")
+    )
+    want = sorted(map(tuple, batch.collect()))
+
+    src = str(tmp_path / "points_dir")
+    static.write.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_tile_rollup(stream, z=6)
+    q = (out.writeStream.format("memory").queryName("stile")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck_tile"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM stile").collect()))
+    assert got == want and len(got) > 0

@@ -144,6 +144,38 @@ def sessionize_stream(
     )
 
 
+def stream_tile_rollup(
+    points: DataFrame,
+    z: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch tile rollup: per event-time window, the
+    z/x/y tile histogram of an incoming point stream (watermarked, so tile
+    state for a window is dropped once the watermark passes — bounded state
+    at any ingest scale).
+
+    Tile assignment is the same pure-JVM integer math as the batch path
+    (operators/geo.tile_cols), so stream and batch rollups are bit-equal on
+    the same input — pinned by tests/test_checkpoint_skew_stream.py."""
+    from ..operators.geo import tile_cols
+
+    tx, ty = tile_cols(F.col("qlat"), F.col("qlon"), z)
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            tx.alias("x"), ty.alias("y"),
+        )
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.lit(z).alias("z"), "x", "y", "n_points",
+        )
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -1943,6 +1943,109 @@ GROUP BY cy, cx
 """
 
 
+def q_span_mix(spark, sf_dir):
+    """Per-doc interleaved-payload composition + span-sequence digest.
+
+    The seq_hash row pins EXACTLY the north-rule per-row invariant —
+    span-sequence equality (kind, text, media_ref, order) — as one md5 per
+    document, computed over the ordered span array with JVM higher-order
+    functions (no explode, no shuffle beyond none: the array is already
+    per-row).  n_transitions counts kind changes between consecutive spans
+    (the 'interleavedness' of the doc).
+    """
+    s = spanify(_docs(spark, sf_dir))
+    spans = F.col("spans")
+    return s.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.filter(spans, lambda x: x["kind"] == "text"))
+        .cast("long").alias("n_text"),
+        F.size(F.filter(spans, lambda x: x["kind"] == "media"))
+        .cast("long").alias("n_media"),
+        F.expr(
+            "CASE WHEN size(spans) < 2 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(size(filter(sequence(1, size(spans) - 1), "
+            "i -> spans[i].kind != spans[i-1].kind)) AS BIGINT) END"
+        ).alias("n_transitions"),
+        F.md5(F.array_join(
+            F.transform(spans, lambda x: F.concat(
+                x["kind"], F.lit("\x01"), x["text"], F.lit("\x02"),
+                x["media_ref"])),
+            "\x03",
+        )).alias("seq_hash"),
+    )
+
+
+SQL_SPAN_MIX = f"""
+{SPANS_CTE}
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_text,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media,
+       CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_transitions,
+       md5(string_agg(kind || chr(1) || text || chr(2) || media_ref, chr(3)
+                      ORDER BY span_pos)) AS seq_hash
+FROM (
+  SELECT *, kind != LAG(kind) OVER (
+    PARTITION BY doc_id ORDER BY span_pos) AS changed
+  FROM spans
+)
+GROUP BY doc_id
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    from tree_code_chunker_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+SQL_BPE_PAIRS = """
+WITH words AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs
+  FROM (SELECT w, UNNEST(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2)
+), agg AS (
+  SELECT lhs, rhs, count(*) AS n_pairs FROM pairs GROUP BY lhs, rhs
+)
+SELECT lhs, rhs, n_pairs, rank
+FROM (SELECT *, row_number() OVER (ORDER BY n_pairs DESC, lhs, rhs)
+             AS rank FROM agg)
+WHERE rank <= 50
+"""
+
+
+def q_polygon_stats(spark, sf_dir):
+    """Vector geometry stats (shoelace area2, Chebyshev perimeter, bbox)
+    for the same deterministic concave/convex polygon set as pip_raycast —
+    per-row JVM array folds, no shuffle; oracle aggregates the edge VALUES
+    mirror (every vertex of a closed ring appears exactly once as an edge
+    start, so per-vertex mins/maxes come from y1/x1)."""
+    from tree_code_chunker_spark.operators.spatial import polygon_stats
+
+    return polygon_stats(gen_polygons(spark, 20, seed=43))
+
+
+SQL_POLYGON_STATS = f"""
+WITH {_pip_raycast_edges_sql()}
+SELECT polygon_id,
+       count(*) AS n_vertices,
+       abs(CAST(sum(CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1)
+                AS BIGINT)) AS area2,
+       CAST(sum(GREATEST(ABS(y2 - y1), ABS(x2 - x1))) AS BIGINT)
+           AS perim_cheb,
+       min(y1) AS min_qlat, max(y1) AS max_qlat,
+       min(x1) AS min_qlon, max(x1) AS max_qlon
+FROM edges
+GROUP BY polygon_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -1989,6 +2092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "traj_stats": q_traj_stats,
         "traj_raster": q_traj_raster,
+        "span_mix": q_span_mix,
+        "bpe_pairs": q_bpe_pairs,
+        "polygon_stats": q_polygon_stats,
     }
 
 
@@ -2038,4 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": SQL_ZONAL_STATS,
         "traj_stats": SQL_TRAJ_STATS,
         "traj_raster": SQL_TRAJ_RASTER,
+        "span_mix": SQL_SPAN_MIX,
+        "bpe_pairs": SQL_BPE_PAIRS,
+        "polygon_stats": SQL_POLYGON_STATS,
     }

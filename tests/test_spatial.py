@@ -267,3 +267,35 @@ def test_zonal_stats_vs_python(spark):
         else:
             assert got[pid] == (int(m.sum()), int(val[m].sum()),
                                 int(val[m].min()), int(val[m].max()))
+
+
+def test_polygon_stats_vs_python_shoelace(spark):
+    from tree_code_chunker_spark.operators.spatial import polygon_stats
+    from tree_code_chunker_spark.sources.datagen import gen_polygons, polygon_rings
+
+    got = {r.polygon_id: r.asDict()
+           for r in polygon_stats(gen_polygons(spark, 12, seed=7)).collect()}
+    for pid, ring in polygon_rings(12, seed=7):
+        area2 = abs(sum(x1 * y2 - x2 * y1
+                        for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:])))
+        perim = sum(max(abs(y2 - y1), abs(x2 - x1))
+                    for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]))
+        g = got[pid]
+        assert g["n_vertices"] == len(ring) - 1
+        assert g["area2"] == area2
+        assert g["perim_cheb"] == perim
+        assert g["min_qlat"] == min(y for y, _ in ring)
+        assert g["max_qlat"] == max(y for y, _ in ring)
+        assert g["min_qlon"] == min(x for _, x in ring)
+        assert g["max_qlon"] == max(x for _, x in ring)
+
+
+def test_polygon_stats_unit_square(spark):
+    from tree_code_chunker_spark.operators.spatial import polygon_stats
+
+    ring = [(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)]
+    df = spark.createDataFrame(
+        [("sq", ring)],
+        "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>")
+    r = polygon_stats(df).collect()[0]
+    assert (r.n_vertices, r.area2, r.perim_cheb) == (4, 200, 40)

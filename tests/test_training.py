@@ -152,3 +152,33 @@ def test_column_profile_values_and_nulls(spark):
     approx = {r["col_name"]: r["n_distinct"] for r in
               column_profile(df, ["a"], exact_distinct=False).collect()}
     assert approx["a"] >= 2
+
+
+def test_bpe_pair_counts_vs_python(spark):
+    from collections import Counter
+
+    from tree_code_chunker_spark.operators.textstats import bpe_pair_counts
+
+    texts = ["the cat sat on the mat", "a abbb the  the", "x", "", "zz zz"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, text string")
+    want = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for a, b in zip(w, w[1:]):
+                want[(a, b)] += 1
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = sorted((r.lhs, r.rhs, r.n_pairs, r.rank)
+                 for r in bpe_pair_counts(df, top_k=10).collect())
+    exp = sorted((a, b, n, i + 1)
+                 for i, ((a, b), n) in enumerate(ranked[:10]))
+    assert got == exp
+
+
+def test_bpe_pair_counts_deterministic_across_partitioning(spark):
+    from tree_code_chunker_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, bpe_pair_counts(docs.repartition(3)).collect()))
+    b = sorted(map(tuple, bpe_pair_counts(docs.repartition(13)).collect()))
+    assert a == b and len(a) > 0

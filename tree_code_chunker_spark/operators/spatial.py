@@ -309,3 +309,40 @@ def trajectory_raster(
         F.count("*").alias("n_visits"),
         F.countDistinct(id_col).alias("n_ids"),
     )
+
+
+def polygon_stats(polygons: DataFrame) -> DataFrame:
+    """Per-polygon vector geometry stats, integer-exact (no shuffle at all:
+    every metric is a JVM higher-order fold over the ring array).
+
+    polygons(polygon_id, ring array<struct<qlat,qlon>>), ring CLOSED (last
+    vertex == first) -> n_vertices, area2 (TWICE the shoelace area — kept
+    doubled so it stays an exact integer), perim_cheb (sum of per-edge
+    Chebyshev lengths — the DDA raster step count of the outline), and the
+    bounding box.  Every product fits BIGINT (coords < 2^16).
+    """
+    edges = (
+        "transform(sequence(0, size(ring) - 2), i -> struct("
+        "ring[i].qlat AS y1, ring[i].qlon AS x1, "
+        "ring[i+1].qlat AS y2, ring[i+1].qlon AS x2))"
+    )
+    return polygons.select(
+        "polygon_id",
+        F.expr("CAST(size(ring) - 1 AS BIGINT)").alias("n_vertices"),
+        F.expr(
+            f"abs(aggregate({edges}, CAST(0 AS BIGINT), "
+            "(acc, e) -> acc + e.x1 * e.y2 - e.x2 * e.y1))"
+        ).alias("area2"),
+        F.expr(
+            f"aggregate({edges}, CAST(0 AS BIGINT), "
+            "(acc, e) -> acc + greatest(abs(e.y2 - e.y1), abs(e.x2 - e.x1)))"
+        ).alias("perim_cheb"),
+        F.expr("CAST(array_min(transform(ring, r -> r.qlat)) AS BIGINT)")
+        .alias("min_qlat"),
+        F.expr("CAST(array_max(transform(ring, r -> r.qlat)) AS BIGINT)")
+        .alias("max_qlat"),
+        F.expr("CAST(array_min(transform(ring, r -> r.qlon)) AS BIGINT)")
+        .alias("min_qlon"),
+        F.expr("CAST(array_max(transform(ring, r -> r.qlon)) AS BIGINT)")
+        .alias("max_qlon"),
+    )

@@ -163,3 +163,41 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_col(t),
         }
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent character-pair frequencies — the first iteration of BPE
+    tokenizer training (count all symbol bigrams inside pretokenized words,
+    pick the most frequent to merge).
+
+    Pretokenization is whitespace-split (pairs never straddle a word
+    boundary, GPT-2-style); pairing is pure JVM higher-order functions
+    (split -> explode words -> transform(sequence) -> explode pairs), so
+    the only shuffle is the final (lhs, rhs) count aggregation, whose
+    cardinality is bounded by the alphabet squared — the top-k window runs
+    on that small aggregate, not on the corpus.  Deterministic total order
+    (n_pairs DESC, lhs, rhs) makes the top-k cut reproducible.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> struct(substring(w, i, 1) AS lhs, "
+            "substring(w, i + 1, 1) AS rhs))"
+        )).alias("p")
+    ).select("p.lhs", "p.rhs")
+    agg = pairs.groupBy("lhs", "rhs").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.col("n_pairs").desc(), "lhs", "rhs")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -2046,6 +2046,48 @@ GROUP BY polygon_id
 """
 
 
+RASTER_SMOOTH_RES = 8
+
+
+def q_raster_smooth(spark, sf_dir):
+    """Focal map algebra: 3x3 binomial convolution of the res-8 cell
+    histogram (sparse scatter-gather, integer-exact)."""
+    from tree_code_chunker_spark.operators.tiles import raster_smooth
+
+    sh = 16 - RASTER_SMOOTH_RES
+    hist = (
+        _points(spark, sf_dir)
+        .groupBy(F.shiftright("qlat", sh).alias("cy"),
+                 F.shiftright("qlon", sh).alias("cx"))
+        .agg(F.count("*").alias("n"))
+    )
+    return raster_smooth(hist, RASTER_SMOOTH_RES)
+
+
+def _smooth_kernel_sql():
+    from tree_code_chunker_spark.operators.tiles import SMOOTH_KERNEL
+
+    return ("kernel(dy, dx, w) AS (VALUES "
+            + ", ".join(f"({dy}, {dx}, {w})" for dy, dx, w in SMOOTH_KERNEL)
+            + ")")
+
+
+SQL_RASTER_SMOOTH = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_smooth_kernel_sql()}, hist AS (
+  SELECT qlat >> {16 - RASTER_SMOOTH_RES} AS cy,
+         qlon >> {16 - RASTER_SMOOTH_RES} AS cx,
+         count(*) AS n
+  FROM points GROUP BY 1, 2
+)
+SELECT h.cy + k.dy AS cy, h.cx + k.dx AS cx,
+       CAST(sum(h.n * k.w) AS BIGINT) AS smoothed
+FROM hist h CROSS JOIN kernel k
+WHERE h.cy + k.dy BETWEEN 0 AND {(1 << RASTER_SMOOTH_RES) - 1}
+  AND h.cx + k.dx BETWEEN 0 AND {(1 << RASTER_SMOOTH_RES) - 1}
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2095,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mix": q_span_mix,
         "bpe_pairs": q_bpe_pairs,
         "polygon_stats": q_polygon_stats,
+        "raster_smooth": q_raster_smooth,
     }
 
 
@@ -2147,4 +2190,5 @@ def oracle_sql() -> dict[str, str]:
         "span_mix": SQL_SPAN_MIX,
         "bpe_pairs": SQL_BPE_PAIRS,
         "polygon_stats": SQL_POLYGON_STATS,
+        "raster_smooth": SQL_RASTER_SMOOTH,
     }

@@ -109,3 +109,38 @@ def test_raster_to_vector_roundtrip_conserves_counts(spark):
     per_zoom = {row["z"]: row["s"] for row in
                 v.groupBy("z").agg(F.sum("n").alias("s")).collect()}
     assert per_zoom == {4: 2000, 8: 2000}  # every point re-vectorized once
+
+
+def test_raster_smooth_vs_numpy_convolution(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.tiles import raster_smooth
+
+    rng = np.random.RandomState(17)
+    res = 4  # 16x16 grid, small enough for a dense numpy mirror
+    n = 1 << res
+    grid = np.zeros((n, n), dtype=np.int64)
+    cells = [(int(rng.randint(0, n)), int(rng.randint(0, n)),
+              int(rng.randint(1, 50))) for _ in range(40)]
+    for cy, cx, c in cells:
+        grid[cy, cx] += c
+    hist = [(cy, cx, int(grid[cy, cx])) for cy in range(n) for cx in range(n)
+            if grid[cy, cx] > 0]
+    df = spark.createDataFrame(hist, "cy bigint, cx bigint, n bigint")
+    got = {(r.cy, r.cx): r.smoothed
+           for r in raster_smooth(df, res).collect()}
+
+    kernel = np.outer([1, 2, 1], [1, 2, 1])
+    want = np.zeros_like(grid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            w = kernel[dy + 1, dx + 1]
+            src_ys = slice(max(0, -dy), n - max(0, dy))
+            src_xs = slice(max(0, -dx), n - max(0, dx))
+            dst_ys = slice(max(0, dy), n + min(0, dy))
+            dst_xs = slice(max(0, dx), n + min(0, dx))
+            want[dst_ys, dst_xs] += w * grid[src_ys, src_xs]
+    for cy in range(n):
+        for cx in range(n):
+            assert got.get((cy, cx), 0) == want[cy, cx] or (
+                (cy, cx) not in got and want[cy, cx] == 0)

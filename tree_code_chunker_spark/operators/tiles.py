@@ -181,3 +181,44 @@ def raster_to_vector(rasters: DataFrame, min_count: int = 1) -> DataFrame:
 def write_tiles(tiles: DataFrame, path: str) -> None:
     """Partition layout a tile server would read: /z=<z>/x=<x>/ parquet."""
     tiles.write.mode("overwrite").partitionBy("z", "x").parquet(path)
+
+
+# 3x3 integer smoothing kernel (binomial outer product [1,2,1]^T [1,2,1]):
+# center 4, edges 2, corners 1 — sums to 16, so smoothed/16 is the box-blur
+# mean; kept UNnormalized so the operator stays integer-exact end to end.
+SMOOTH_KERNEL = [(dy, dx, (2 - abs(dy)) * (2 - abs(dx)))
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def raster_smooth(hist: DataFrame, res: int,
+                  count_col: str = "n") -> DataFrame:
+    """Integer 3x3 binomial convolution of a sparse cell histogram.
+
+    hist(cy, cx, count_col) at resolution `res` -> (cy, cx, smoothed) where
+    smoothed = sum over the 3x3 neighborhood of kernel_weight * count.
+    Classic raster map-algebra focal operation, kept sparse: each input
+    cell scatters to its (in-grid) 9 neighbors (explode, narrow) and one
+    hash aggregation gathers per target cell — so cost is O(nonzero cells),
+    never O(grid).  Cells outside the res-grid are dropped (no wraparound);
+    only cells receiving at least one contribution appear (zero cells of a
+    sparse histogram stay absent).
+    """
+    n_cells = 1 << res
+    k = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit(w).alias("w"))
+        for dy, dx, w in SMOOTH_KERNEL
+    ])).alias("k")
+    return (
+        hist.select("cy", "cx", F.col(count_col).alias("_n"))
+        .select("*", k)
+        .select(
+            (F.col("cy") + F.col("k.dy")).alias("cy"),
+            (F.col("cx") + F.col("k.dx")).alias("cx"),
+            (F.col("_n") * F.col("k.w")).alias("_c"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < n_cells)
+                & (F.col("cx") >= 0) & (F.col("cx") < n_cells))
+        .groupBy("cy", "cx")
+        .agg(F.sum("_c").alias("smoothed"))
+    )

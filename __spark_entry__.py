@@ -2088,6 +2088,45 @@ GROUP BY 1, 2
 """
 
 
+COMPACT_RES = 12
+COMPACT_LEVELS = 4  # covers in this data never promote deeper; both engines
+# truncate at the SAME depth, so the mirror stays exact either way
+
+
+def q_cell_compact(spark, sf_dir):
+    """Quadtree cover normalization (S2 CellUnion.Normalize contract) of
+    the occupied res-12 cell set: complete 4-sibling groups collapse to
+    their parent, repeatedly — the hot-spot boxes are the cells dense
+    enough to actually promote."""
+    from tree_code_chunker_spark.operators.geo import compact_cover
+
+    p = _points(spark, sf_dir)
+    # distinct on the raw grid coords FIRST, cell math after the exchange:
+    # fusing explode + point-derivation CASEs + a partial hash-aggregate on
+    # the full Morton interleave into one stage overflows janino's 64 KB
+    # method limit and drops the whole stage to interpreted mode
+    coords = p.select("qlat", "qlon").distinct()
+    cells = coords.select(
+        cell_at_res_col(cell_col(F.col("qlat"), F.col("qlon")), COMPACT_RES)
+        .alias("cell"))
+    return compact_cover(cells, COMPACT_RES, max_levels=COMPACT_LEVELS)
+
+
+def _compact_sql():
+    from tree_code_chunker_spark.operators.geo import compact_cover_sql
+
+    cells = ("cells AS (SELECT DISTINCT "
+             + cell_at_res_sql(cell_sql("qlat", "qlon"), COMPACT_RES)
+             + " AS cell FROM points)")
+    return cells + ", " + compact_cover_sql(
+        "cells", COMPACT_RES, max_levels=COMPACT_LEVELS)
+
+
+SQL_CELL_COMPACT = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_compact_sql()}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2138,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "polygon_stats": q_polygon_stats,
         "raster_smooth": q_raster_smooth,
+        "cell_compact": q_cell_compact,
     }
 
 
@@ -2191,4 +2231,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": SQL_BPE_PAIRS,
         "polygon_stats": SQL_POLYGON_STATS,
         "raster_smooth": SQL_RASTER_SMOOTH,
+        "cell_compact": SQL_CELL_COMPACT,
     }

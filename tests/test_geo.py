@@ -186,3 +186,86 @@ def test_pip_join_argument_validation(spark):
     idx = build_polygon_index(gen_polygons(spark, 3, seed=43))
     with pytest.raises(ValueError, match="PolygonIndex"):
         pip_join(pts, exact="jvm", index=idx)
+
+
+# ------------------------------------------------------ cover compaction ----
+
+
+def _compact_py(cells, res, max_levels=None):
+    from collections import Counter
+
+    if max_levels is None:
+        max_levels = res
+    lo = max(res - max_levels, 0)
+    cur, out = set(cells), []
+    r = res
+    for r in range(res, lo, -1):
+        cnt = Counter(c >> 2 for c in cur)
+        prom = {p for p, n in cnt.items() if n == 4}
+        out += [(r, c) for c in cur if (c >> 2) not in prom]
+        cur = {p for p in prom}
+        r -= 1
+    out += [(r, c) for c in cur]
+    return sorted(out)
+
+
+def test_compact_cover_full_block_and_partial(spark):
+    from tree_code_chunker_spark.operators.geo import compact_cover
+
+    # all 16 res-3 descendants of res-1 cell 2, plus 3 of 4 siblings of a
+    # res-3 group under res-2 parent 30 (no promotion), plus a lone cell
+    cells = list(range(32, 48)) + [120, 121, 122] + [200]
+    df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
+    got = sorted(map(tuple, compact_cover(df, 3).collect()))
+    assert got == sorted(
+        [(1, 2)] + [(3, c) for c in (120, 121, 122, 200)])
+
+
+def test_compact_cover_vs_python_random(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.geo import compact_cover
+
+    rng = np.random.RandomState(23)
+    for trial, density in enumerate((0.9, 0.5, 0.2)):
+        univ = np.arange(4 ** 4)  # res 4
+        cells = univ[rng.rand(len(univ)) < density].tolist()
+        if not cells:
+            continue
+        df = spark.createDataFrame([(int(c),) for c in cells], "cell bigint")
+        got = sorted(map(tuple, compact_cover(df, 4).collect()))
+        assert got == _compact_py(cells, 4), trial
+
+
+def test_compact_cover_idempotent_and_exact_area(spark):
+    from tree_code_chunker_spark.operators.geo import compact_cover
+
+    cells = list(range(64)) + [70, 71]  # res-3 cells: one full res-0... not
+    # quite: 0..63 is ALL res-3 descendants of res-0 root? 4^3=64 yes, plus
+    # 70,71 are out of range of a 3-level grid (values < 64) — keep in-range
+    cells = list(range(0, 64))
+    df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
+    got = sorted(map(tuple, compact_cover(df, 3).collect()))
+    assert got == [(0, 0)]  # whole grid collapses to the root
+
+    # area preservation on a random cover: sum of 4^(3-res) leaf cells
+    cells2 = [0, 1, 2, 3, 16, 21, 40]
+    df2 = spark.createDataFrame([(c,) for c in cells2], "cell bigint")
+    out = compact_cover(df2, 3).collect()
+    assert sum(4 ** (3 - r.res) for r in out) == len(set(cells2))
+
+
+def test_compact_cover_sql_mirror(spark):
+    import duckdb
+
+    from tree_code_chunker_spark.operators.geo import (
+        compact_cover, compact_cover_sql)
+
+    cells = list(range(32, 48)) + [3, 9, 10, 11, 8]  # 8-11 promote once
+    df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
+    got = sorted(map(tuple, compact_cover(df, 3).collect()))
+    vals = ", ".join(f"({c})" for c in sorted(set(cells)))
+    sql = (f"WITH cells(cell) AS (VALUES {vals}), "
+           + compact_cover_sql("cells", 3))
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want

@@ -190,3 +190,80 @@ def derive_point_sql(doc_id: str = "doc_id", span_pos: str = "span_pos") -> tupl
     qlat = f"(CASE WHEN {hot} THEN (CASE {lat_cases} END) ELSE {base_qlat} END)"
     qlon = f"(CASE WHEN {hot} THEN (CASE {lon_cases} END) ELSE {base_qlon} END)"
     return qlat, qlon
+
+
+# ------------------------------------------------------ cover compaction ----
+
+
+def compact_cover(cells, res: int, cell_col: str = "cell",
+                  max_levels: int | None = None):
+    """Normalize a quadtree cell cover: wherever all 4 siblings are present,
+    replace them with their parent, repeatedly (S2 CellUnion.Normalize
+    contract).  cells = DISTINCT cell ids at resolution `res`; returns the
+    minimal equivalent cover as (res, cell) rows, mixed resolutions.
+
+    Plan shape: one groupBy-on-parent + one anti-join per level, on a
+    DataFrame that only ever SHRINKS (a promoted level has <= 1/4 the
+    rows), for at most `res` levels — covers are metadata-sized by nature
+    (bounded by the grid, not the corpus), so the chained lineage is cheap;
+    at true scale persist each level or cut with max_levels.
+    """
+    from pyspark.sql import functions as F
+
+    if max_levels is None:
+        max_levels = res
+    # localCheckpoint per level: each `promoted` feeds TWO consumers (the
+    # anti-join build side and the next level), so truncating lineage both
+    # avoids recomputing the whole upstream per level and keeps each
+    # level's fused codegen stage small (the full chained lineage overflows
+    # janino's 64 KB method limit and drops stages to interpreted mode).
+    # Covers are metadata-sized by contract, so materializing is cheap.
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct() \
+        .localCheckpoint(eager=False)
+    out = []
+    r = res
+    for r in range(res, max(res - max_levels, 0), -1):
+        grp = (
+            cur.groupBy(F.shiftright("cell", 2).alias("p"))
+            .agg(F.count("*").alias("_n"))
+        )
+        promoted = grp.filter(F.col("_n") == 4).select("p") \
+            .localCheckpoint(eager=False)
+        kept = cur.join(
+            promoted, F.shiftright(cur["cell"], 2) == promoted["p"],
+            "left_anti")
+        out.append(kept.select(F.lit(r).cast("long").alias("res"), "cell"))
+        cur = promoted.select(F.col("p").alias("cell"))
+        r -= 1  # resolution of `cur` after the loop body
+    final = cur.select(F.lit(r).cast("long").alias("res"), "cell")
+    acc = out[0]
+    for df in out[1:]:
+        acc = acc.unionByName(df)
+    return acc.unionByName(final)
+
+
+def compact_cover_sql(cells_cte: str, res: int,
+                      max_levels: int | None = None) -> str:
+    """DuckDB mirror of compact_cover: chained per-level CTEs over a cell
+    CTE named `cells_cte` (DISTINCT cell ids at `res`).  Returns a full
+    SELECT producing (res, cell)."""
+    if max_levels is None:
+        max_levels = res
+    lo = max(res - max_levels, 0)
+    ctes, selects = [], []
+    prev = cells_cte
+    for r in range(res, lo, -1):
+        ctes.append(
+            f"prom{r} AS (SELECT cell >> 2 AS p FROM {prev} "
+            f"GROUP BY 1 HAVING count(*) = 4)")
+        ctes.append(
+            f"kept{r} AS (SELECT CAST({r} AS BIGINT) AS res, cell "
+            f"FROM {prev} WHERE (cell >> 2) NOT IN "
+            f"(SELECT p FROM prom{r}))")
+        ctes.append(f"lvl{r - 1} AS (SELECT p AS cell FROM prom{r})")
+        selects.append(f"SELECT res, cell FROM kept{r}")
+        prev = f"lvl{r - 1}"
+    selects.append(
+        f"SELECT CAST({lo} AS BIGINT) AS res, cell FROM {prev}")
+    return (", ".join(ctes) + "\n"
+            + " UNION ALL ".join(selects))

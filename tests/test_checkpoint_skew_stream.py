@@ -391,3 +391,42 @@ def test_stream_tile_rollup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM stile").collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_pip_matches_batch(spark, tmp_path):
+    """Streaming PIP enrichment == batch pip_join on the same points."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.pip import (
+        build_polygon_index, pip_join)
+    from tree_code_chunker_spark.streaming.stream_chunk import stream_pip
+
+    rng = np.random.RandomState(31)
+    pts_rows = [(int(i), 0, int(rng.randint(0, 60000)),
+                 int(rng.randint(0, 60000))) for i in range(2000)]
+    pts = spark.createDataFrame(
+        pts_rows, "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+    rects = []
+    for r in range(8):
+        y0, x0 = int(rng.randint(0, 50000)), int(rng.randint(0, 50000))
+        ring = [(y0, x0), (y0, x0 + 9000), (y0 + 8000, x0 + 9000),
+                (y0 + 8000, x0), (y0, x0)]
+        rects.append((f"r{r}", ring))
+    polys = spark.createDataFrame(
+        rects, "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>")
+    idx = build_polygon_index(polys)
+    want = sorted(map(tuple, pip_join(pts, index=idx)
+                      .select("doc_id", "span_pos", "polygon_id").collect()))
+    assert len(want) > 0
+
+    src = str(tmp_path / "pip_pts")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    out = stream_pip(stream, idx).select("doc_id", "span_pos", "polygon_id")
+    q = (out.writeStream.format("memory").queryName("spip")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_pip"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM spip").collect()))
+    assert got == want

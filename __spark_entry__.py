@@ -2127,6 +2127,64 @@ SQL_CELL_COMPACT = f"""
 """
 
 
+def q_cover_overlap(spark, sf_dir):
+    """Cover x cover spatial join: the compacted occupied-cell cover (mixed
+    res 8..12) against the rect polygons' res-6 bbox covers.  Overlap of
+    quadtree cells == one is ancestor-or-equal of the other, so the engine
+    runs per-level hash equi-joins (no range join, no cartesian); the
+    oracle uses the naive ancestor predicate on the same covers."""
+    from tree_code_chunker_spark.operators.geo import (
+        compact_cover, cover_overlap_join)
+    from tree_code_chunker_spark.operators.pip import polygon_cover
+
+    p = _points(spark, sf_dir)
+    coords = p.select("qlat", "qlon").distinct()
+    cells = coords.select(
+        cell_at_res_col(cell_col(F.col("qlat"), F.col("qlon")), COMPACT_RES)
+        .alias("cell"))
+    acov = compact_cover(cells, COMPACT_RES, max_levels=COMPACT_LEVELS)
+    bcov = polygon_cover(_rect_polygons(spark), res=6).select(
+        "polygon_id", F.lit(6).cast("long").alias("res"),
+        cell_col(F.col("cov_cy"), F.col("cov_cx")).alias("cell"))
+    return cover_overlap_join(acov, bcov, b_keep=("polygon_id",))
+
+
+def _cover_overlap_sql():
+    from tree_code_chunker_spark.operators.geo import compact_cover_sql
+
+    cells = ("cells AS (SELECT DISTINCT "
+             + cell_at_res_sql(cell_sql("qlat", "qlon"), COMPACT_RES)
+             + " AS cell FROM points)")
+    compact = compact_cover_sql("cells", COMPACT_RES,
+                                max_levels=COMPACT_LEVELS, as_cte="acov")
+    side = 1 << (16 - 6)  # res-6 cell side in grid units
+    bcov = f"""
+rcells AS (
+  SELECT polygon_id, x0, x1,
+         UNNEST(range(y0 // {side}, y1 // {side} + 1)) AS cy
+  FROM rects
+), bcov AS (
+  SELECT polygon_id, CAST(6 AS BIGINT) AS res,
+         {cell_sql('cy', 'cx')} AS cell
+  FROM (SELECT polygon_id, cy,
+               UNNEST(range(x0 // {side}, x1 // {side} + 1)) AS cx
+        FROM rcells)
+)"""
+    return f"{cells}, {compact}, {bcov}"
+
+
+SQL_COVER_OVERLAP = f"""
+{SPANS_CTE}, {POINTS_SQL}, {RECTS_SQL}, {_cover_overlap_sql()}
+SELECT a.res AS a_res, a.cell AS a_cell,
+       b.res AS b_res, b.cell AS b_cell, b.polygon_id
+FROM acov a JOIN bcov b ON
+     (b.res <= a.res AND
+      b.cell = CAST(floor(a.cell / pow(4, a.res - b.res)) AS BIGINT))
+  OR (a.res < b.res AND
+      a.cell = CAST(floor(b.cell / pow(4, b.res - a.res)) AS BIGINT))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2178,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "raster_smooth": q_raster_smooth,
         "cell_compact": q_cell_compact,
+        "cover_overlap": q_cover_overlap,
     }
 
 
@@ -2232,4 +2291,5 @@ def oracle_sql() -> dict[str, str]:
         "polygon_stats": SQL_POLYGON_STATS,
         "raster_smooth": SQL_RASTER_SMOOTH,
         "cell_compact": SQL_CELL_COMPACT,
+        "cover_overlap": SQL_COVER_OVERLAP,
     }

@@ -269,3 +269,56 @@ def test_compact_cover_sql_mirror(spark):
            + compact_cover_sql("cells", 3))
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+def _overlap_py(a, b):
+    """naive: two cells overlap iff one is ancestor-or-equal of the other"""
+    out = []
+    for ar, ac in a:
+        for br, bc in b:
+            if br <= ar and (ac >> (2 * (ar - br))) == bc:
+                out.append((ar, ac, br, bc))
+            elif ar < br and (bc >> (2 * (br - ar))) == ac:
+                out.append((ar, ac, br, bc))
+    return sorted(out)
+
+
+def test_cover_overlap_join_vs_python(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.geo import cover_overlap_join
+
+    rng = np.random.RandomState(29)
+    def rand_cover(n):
+        out = set()
+        while len(out) < n:
+            r = int(rng.randint(0, 7))
+            out.add((r, int(rng.randint(0, 4 ** r))))
+        return sorted(out)
+    a, b = rand_cover(60), rand_cover(45)
+    adf = spark.createDataFrame(a, "res bigint, cell bigint")
+    bdf = spark.createDataFrame(b, "res bigint, cell bigint")
+    got = sorted(map(tuple, cover_overlap_join(adf, bdf).collect()))
+    assert got == _overlap_py(a, b)
+    assert len(got) > 0
+    # symmetric: flipping sides flips the pair columns
+    rev = sorted((ar, ac, br, bc) for br, bc, ar, ac in map(
+        tuple, cover_overlap_join(bdf, adf).collect()))
+    assert rev == got
+
+
+def test_cover_overlap_join_keep_cols_and_equal_res(spark):
+    from tree_code_chunker_spark.operators.geo import cover_overlap_join
+
+    a = spark.createDataFrame([(2, 5, "A1"), (2, 6, "A2")],
+                              "res bigint, cell bigint, tag string")
+    b = spark.createDataFrame([(2, 5, "B1"), (1, 1, "B2")],
+                              "res bigint, cell bigint, who string")
+    got = sorted(map(tuple, cover_overlap_join(
+        a, b, a_keep=("tag",), b_keep=("who",)).collect()))
+    # cell 5 @2 == cell 5 @2 (equal, once); cells 4..7 @2 under 1 @1
+    assert got == sorted([
+        (2, 5, "A1", 2, 5, "B1"),
+        (2, 5, "A1", 1, 1, "B2"),
+        (2, 6, "A2", 1, 1, "B2"),
+    ])

@@ -243,10 +243,12 @@ def compact_cover(cells, res: int, cell_col: str = "cell",
 
 
 def compact_cover_sql(cells_cte: str, res: int,
-                      max_levels: int | None = None) -> str:
+                      max_levels: int | None = None,
+                      as_cte: str | None = None) -> str:
     """DuckDB mirror of compact_cover: chained per-level CTEs over a cell
     CTE named `cells_cte` (DISTINCT cell ids at `res`).  Returns a full
-    SELECT producing (res, cell)."""
+    SELECT producing (res, cell) — or, with `as_cte`, the same result
+    wrapped as one more named CTE so callers can keep composing."""
     if max_levels is None:
         max_levels = res
     lo = max(res - max_levels, 0)
@@ -265,5 +267,76 @@ def compact_cover_sql(cells_cte: str, res: int,
         prev = f"lvl{r - 1}"
     selects.append(
         f"SELECT CAST({lo} AS BIGINT) AS res, cell FROM {prev}")
-    return (", ".join(ctes) + "\n"
-            + " UNION ALL ".join(selects))
+    union = " UNION ALL ".join(selects)
+    if as_cte is not None:
+        return ", ".join(ctes) + f", {as_cte} AS ({union})"
+    return ", ".join(ctes) + "\n" + union
+
+
+def cover_overlap_join(a, b, a_keep: tuple = (), b_keep: tuple = ()):
+    """Spatial join of two quadtree cell covers (mixed resolutions).
+
+    a(res, cell, *a_keep) x b(res, cell, *b_keep) -> one row per overlapping
+    cell pair.  Two quadtree cells overlap IFF one is an ancestor-or-equal
+    of the other, so the join decomposes into EQUI-joins on (level,
+    ancestor-cell): for each resolution level rb present in b, a-cells at
+    res >= rb match on their ancestor at rb; symmetrically for strictly
+    finer b-cells.  The level lists are collected on the driver (<= 17
+    values each by construction — metadata, not data), so the plan is a
+    union of hash joins: no range join, no cartesian, scalable to covers of
+    any size.  Ancestors use floor(cell / 4^(res-rb)) since the shift
+    distance varies per row (4^k is double-exact for k <= 16).
+
+    Returns a_res, a_cell, *a_keep, b_res, b_cell, *b_keep.
+    """
+    from pyspark.sql import functions as F
+
+    aa = a.select(*a_keep, F.col("res").alias("a_res"),
+                  F.col("cell").alias("a_cell"))
+    bb = b.select(*b_keep, F.col("res").alias("b_res"),
+                  F.col("cell").alias("b_cell"))
+    a_levels = sorted(r.a_res for r in aa.select("a_res").distinct().collect())
+    b_levels = sorted(r.b_res for r in bb.select("b_res").distinct().collect())
+
+    def _anc(cell_col_name, res_col_name, to_res):
+        return F.expr(
+            f"CAST(floor({cell_col_name} / pow(4, {res_col_name} - {to_res}))"
+            " AS BIGINT)")
+
+    # branch 1: b ancestor-or-equal of a  (a_res >= rb)
+    probes = [
+        aa.filter(F.col("a_res") >= rb).select(
+            "*", F.lit(rb).cast("long").alias("k_res"),
+            _anc("a_cell", "a_res", rb).alias("k_cell"))
+        for rb in b_levels
+    ]
+    j1 = None
+    if probes:
+        p = probes[0]
+        for q in probes[1:]:
+            p = p.unionByName(q)
+        j1 = p.join(bb, (p["k_res"] == bb["b_res"])
+                    & (p["k_cell"] == bb["b_cell"]), "inner")
+    # branch 2: a STRICT ancestor of b  (b_res > ra)
+    probes2 = [
+        bb.filter(F.col("b_res") > ra).select(
+            "*", F.lit(ra).cast("long").alias("k_res"),
+            _anc("b_cell", "b_res", ra).alias("k_cell"))
+        for ra in a_levels
+    ]
+    j2 = None
+    if probes2:
+        p = probes2[0]
+        for q in probes2[1:]:
+            p = p.unionByName(q)
+        j2 = p.join(aa, (p["k_res"] == aa["a_res"])
+                    & (p["k_cell"] == aa["a_cell"]), "inner")
+    cols = ["a_res", "a_cell", *a_keep, "b_res", "b_cell", *b_keep]
+    out = None
+    for j in (j1, j2):
+        if j is not None:
+            j = j.select(*cols)
+            out = j if out is None else out.unionByName(j)
+    if out is None:
+        raise ValueError("cover_overlap_join: both covers are empty")
+    return out

@@ -202,6 +202,10 @@ def trajectory_stats(
     """
     from pyspark.sql import Window
 
+    # ONE window pass (the lag needs the per-id sort anyway); first/last
+    # endpoints come from min_by/max_by in the same aggregation — an
+    # earlier draft added two more F.first windows (one descending), which
+    # cost an extra per-id sort for values the agg can pick directly
     w = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
     dy = F.col("qlat") - F.lag("qlat").over(w)
     dx = F.col("qlon") - F.lag("qlon").over(w)
@@ -209,15 +213,10 @@ def trajectory_stats(
         id_col, order_col, "qlat", "qlon",
         dy.alias("dy"), dx.alias("dx"),
     )
-    wfirst = Window.partitionBy(id_col).orderBy(F.col(order_col).asc())
-    wlast = Window.partitionBy(id_col).orderBy(F.col(order_col).desc())
-    stepped = stepped.select(
-        "*",
-        F.first("qlat").over(wfirst).alias("lat_first"),
-        F.first("qlon").over(wfirst).alias("lon_first"),
-        F.first("qlat").over(wlast).alias("lat_last"),
-        F.first("qlon").over(wlast).alias("lon_last"),
-    )
+    lat_first = F.min_by("qlat", order_col)
+    lon_first = F.min_by("qlon", order_col)
+    lat_last = F.max_by("qlat", order_col)
+    lon_last = F.max_by("qlon", order_col)
     return stepped.groupBy(id_col).agg(
         F.count("*").alias("n_points"),
         F.count("dy").alias("n_segs"),
@@ -229,10 +228,8 @@ def trajectory_stats(
             F.lit(0),
         ).alias("max_step_d2"),
         (
-            (F.min("lat_last") - F.min("lat_first"))
-            * (F.min("lat_last") - F.min("lat_first"))
-            + (F.min("lon_last") - F.min("lon_first"))
-            * (F.min("lon_last") - F.min("lon_first"))
+            (lat_last - lat_first) * (lat_last - lat_first)
+            + (lon_last - lon_first) * (lon_last - lon_first)
         ).alias("net_d2"),
         (
             (F.max("qlat") - F.min("qlat")) * (F.max("qlon") - F.min("qlon"))

@@ -2185,6 +2185,41 @@ FROM acov a JOIN bcov b ON
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization (lag-flag-cumsum window algebra) —
+    the exactly-mirrorable twin of the stateful streaming sessionizer."""
+    from tree_code_chunker_spark.streaming.windows import sessionize_batch
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, session_gap_s=SESSION_GAP_S)
+
+
+SQL_SESSIONIZE = f"""
+WITH s1 AS (
+  SELECT event_type AS key, epoch_us(ts) AS ts_us FROM events
+), s2 AS (
+  SELECT key, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM s1 WINDOW w AS (PARTITION BY key ORDER BY ts_us)
+), s3 AS (
+  SELECT key, ts_us,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY key ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS sess_idx
+  FROM s2
+)
+SELECT key, min(ts_us) AS start_us, max(ts_us) AS end_us,
+       count(*) AS n_events
+FROM s3
+GROUP BY key, sess_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2237,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_smooth": q_raster_smooth,
         "cell_compact": q_cell_compact,
         "cover_overlap": q_cover_overlap,
+        "sessionize": q_sessionize,
     }
 
 
@@ -2292,4 +2328,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_smooth": SQL_RASTER_SMOOTH,
         "cell_compact": SQL_CELL_COMPACT,
         "cover_overlap": SQL_COVER_OVERLAP,
+        "sessionize": SQL_SESSIONIZE,
     }

@@ -430,3 +430,36 @@ def test_stream_pip_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM spip").collect()))
     assert got == want
+
+
+def test_sessionize_batch_vs_python(spark):
+    """Batch lag-flag-cumsum sessionization == a python gap walk (micros)."""
+    from tree_code_chunker_spark.streaming.windows import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    gap = 1800
+    got = sorted(map(tuple, sessionize_batch(ev, session_gap_s=gap).collect()))
+    rp = sorted(map(tuple, sessionize_batch(
+        ev.repartition(13), session_gap_s=gap).collect()))
+    assert got == rp  # bit-identical at any parallelism
+
+    rows = ev.select("event_type", F.unix_micros(
+        F.col("ts").cast("timestamp")).alias("us")).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r.us)
+    want = []
+    for k, ts in by_key.items():
+        ts.sort()
+        s = e = n = None
+        for t in ts:
+            if s is None:
+                s, e, n = t, t, 1
+            elif t - e > gap * 1_000_000:
+                want.append((k, s, e, n))
+                s, e, n = t, t, 1
+            else:
+                e, n = t, n + 1
+        want.append((k, s, e, n))
+    assert got == sorted(want) and len(got) > 0

@@ -198,3 +198,50 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_content_md5"])
         .drop("_content_md5")
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    session_gap_s: int = 1800,
+) -> DataFrame:
+    """Batch twin of sessionize_stream: gap-based sessions per key as pure
+    window algebra (no state, no Python) — the classic lag-flag-cumsum
+    sessionization.
+
+    One shuffle on the key; a session boundary is a gap > session_gap_s
+    between consecutive events (epoch MICROSECOND precision, so the
+    comparison is integer-exact and the result is bit-identical at any
+    parallelism — tied timestamps produce gap 0 and can never straddle a
+    boundary, so tie order is irrelevant).  Returns one row per session:
+    key, start_us, end_us, n_events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("ts_us")
+    gap_us = session_gap_s * 1_000_000
+    stepped = (
+        # cast handles TIMESTAMP_NTZ sources; run with session tz UTC so
+        # the instant (and the DuckDB epoch_us mirror) is unambiguous
+        events.select(key_col, F.unix_micros(
+            F.col(ts_col).cast("timestamp")).alias("ts_us"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_idx", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        stepped.groupBy(key_col, "sess_idx")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("sess_idx")
+        .withColumnRenamed(key_col, "key")
+    )

@@ -2220,6 +2220,27 @@ GROUP BY key, sess_idx
 """
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Per-event-type exact interpolated quantiles of `value` — Spark
+    percentile == DuckDB quantile_cont (same rank-interpolation), 6dp."""
+    from tree_code_chunker_spark.operators.profile import group_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_quantiles(ev, "event_type", "value")
+
+
+SQL_GROUP_QUANTILES = """
+SELECT event_type AS key, count(*) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2273,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "cover_overlap": q_cover_overlap,
         "sessionize": q_sessionize,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2329,4 +2351,5 @@ def oracle_sql() -> dict[str, str]:
         "cell_compact": SQL_CELL_COMPACT,
         "cover_overlap": SQL_COVER_OVERLAP,
         "sessionize": SQL_SESSIONIZE,
+        "group_quantiles": SQL_GROUP_QUANTILES,
     }

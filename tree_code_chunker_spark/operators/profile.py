@@ -69,3 +69,23 @@ SELECT '{c}' AS col_name,
        round(avg(CAST({c} AS DOUBLE)), {ROUND}) AS avg_v
 FROM {table}""")
     return " UNION ALL ".join(parts)
+
+
+def group_quantiles(df: DataFrame, key: str, value: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+    """Per-group exact interpolated quantiles + count/mean in ONE hash agg.
+
+    Spark's `percentile` is the exact rank-interpolation definition (same as
+    DuckDB quantile_cont / numpy linear), computed as a single aggregate —
+    no window, no sort of the whole table, one shuffle on the key.  Rounded
+    to 6dp so the float interpolation is oracle-stable.  For corpora where
+    exact per-group sorting of values is too hot, swap `percentile` for
+    `percentile_approx` (t-digest sketch) — same call shape.
+    """
+    aggs = [F.count("*").alias("n"),
+            F.round(F.avg(value), ROUND).alias("mean_v")]
+    for q in qs:
+        aggs.append(F.round(
+            F.expr(f"percentile({value}, {q!r})"), ROUND
+        ).alias(f"p{int(q * 100)}"))
+    return df.groupBy(F.col(key).alias("key")).agg(*aggs)

@@ -2241,6 +2241,55 @@ GROUP BY event_type
 """
 
 
+def q_geocode_float(spark, sf_dir):
+    """Float lat/lon ingestion path: degree coordinates -> quantize ->
+    Morton cell, plus haversine distance to a fixed origin.  Degrees are
+    derived mid-grid-cell (+0.5) so the float->int quantization sits far
+    from floor boundaries (margin ~7.6e-3 deg vs ~1e-11 FP error) and both
+    engines recover the exact integer grid coords; the trig output is
+    rounded to 0.1 m (JVM Math vs libm differ by ulps, ~1e-8 m here)."""
+    from tree_code_chunker_spark.operators.geo import (
+        haversine_m_col, quantize_col)
+
+    p = _points(spark, sf_dir)
+    lat = (F.col("qlat") + 0.5) / 65536.0 * 180.0 - 90.0
+    lon = (F.col("qlon") + 0.5) / 65536.0 * 360.0 - 180.0
+    deg = p.select("doc_id", "span_pos", lat.alias("lat"), lon.alias("lon"))
+    ql, qo = quantize_col(F.col("lat"), F.col("lon"))
+    cell = cell_col(ql, qo)
+    return deg.select(
+        "doc_id", "span_pos",
+        cell_at_res_col(cell, 10).alias("cell_r10"),
+        F.round(haversine_m_col(F.col("lat"), F.col("lon"),
+                                F.lit(0.0), F.lit(0.0)), 1).alias("dist_m"),
+    )
+
+
+def _geocode_float_sql():
+    from tree_code_chunker_spark.operators.geo import EARTH_RADIUS_M
+
+    lat = "((qlat + 0.5) / 65536.0 * 180.0 - 90.0)"
+    lon = "((qlon + 0.5) / 65536.0 * 360.0 - 180.0)"
+    ql = f"GREATEST(0, LEAST(65535, CAST(floor(({lat} + 90.0) / 180.0 * 65536.0) AS BIGINT)))"
+    qo = f"GREATEST(0, LEAST(65535, CAST(floor(({lon} + 180.0) / 360.0 * 65536.0) AS BIGINT)))"
+    hav = (f"2.0 * {EARTH_RADIUS_M} * asin(sqrt("
+           f"sin(radians({lat}) / 2) * sin(radians({lat}) / 2)"
+           f" + cos(radians({lat})) * cos(0.0)"
+           f" * sin(radians({lon}) / 2) * sin(radians({lon}) / 2)))")
+    return f"""
+SELECT doc_id, span_pos,
+       {cell_at_res_sql(cell_sql(ql, qo), 10)} AS cell_r10,
+       round({hav}, 1) AS dist_m
+FROM points
+"""
+
+
+SQL_GEOCODE_FLOAT = f"""
+{SPANS_CTE}, {POINTS_SQL}
+{_geocode_float_sql()}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2295,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_overlap": q_cover_overlap,
         "sessionize": q_sessionize,
         "group_quantiles": q_group_quantiles,
+        "geocode_float": q_geocode_float,
     }
 
 
@@ -2352,4 +2402,5 @@ def oracle_sql() -> dict[str, str]:
         "cover_overlap": SQL_COVER_OVERLAP,
         "sessionize": SQL_SESSIONIZE,
         "group_quantiles": SQL_GROUP_QUANTILES,
+        "geocode_float": SQL_GEOCODE_FLOAT,
     }

@@ -7,6 +7,7 @@ side is pinned against the SQL side by the driver's correctness gate)."""
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tree_code_chunker_spark.operators.geo import (
     GRID_MAX,
@@ -322,3 +323,31 @@ def test_cover_overlap_join_keep_cols_and_equal_res(spark):
         (2, 5, "A1", 1, 1, "B2"),
         (2, 6, "A2", 1, 1, "B2"),
     ])
+
+
+def test_haversine_known_distances(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.geo import (
+        haversine_m_col, haversine_m_np)
+
+    # public reference pairs (great-circle, mean-radius sphere): values
+    # computed from the formula itself at double precision; the point of
+    # the goldens is stability + plausibility (±0.5% of map distances)
+    cases = [
+        # (lat1, lon1, lat2, lon2, approx_km)
+        (48.8566, 2.3522, 51.5074, -0.1278, 343.6),    # Paris-London
+        (40.7128, -74.0060, 34.0522, -118.2437, 3936.0),  # NYC-LA
+        (0.0, 0.0, 0.0, 180.0, 20015.0),               # antipodal equator
+        (10.0, 20.0, 10.0, 20.0, 0.0),                 # identical point
+    ]
+    np_d = haversine_m_np(
+        np.array([c[0] for c in cases]), np.array([c[1] for c in cases]),
+        np.array([c[2] for c in cases]), np.array([c[3] for c in cases]))
+    for (la1, lo1, la2, lo2, km), d in zip(cases, np_d):
+        assert abs(d / 1000.0 - km) < km * 0.005 + 0.001, (km, d)
+    df = spark.createDataFrame(cases, "a double, b double, c double, d double, km double")
+    got = df.select(haversine_m_col(
+        F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")).collect()
+    for (r, d) in zip(got, np_d):
+        assert abs(r.m - d) < 1e-6  # JVM == numpy to FP noise

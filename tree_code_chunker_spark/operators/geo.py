@@ -340,3 +340,32 @@ def cover_overlap_join(a, b, a_keep: tuple = (), b_keep: tuple = ()):
     if out is None:
         raise ValueError("cover_overlap_join: both covers are empty")
     return out
+
+
+# ------------------------------------------------------------- geodesic ----
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius (public constant)
+
+
+def haversine_m_col(lat1: Column, lon1: Column,
+                    lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters between degree coordinates (haversine
+    formula, JVM trig — whole-stage codegen, no Python).  Float output: used
+    for ranking/thresholding, not for the integer-exact oracle contract
+    (grid operators use integer d2; this is the degree-space counterpart)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon))
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def haversine_m_np(lat1, lon1, lat2, lon2):
+    """numpy mirror of haversine_m_col (same formula, same constant)."""
+    rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(lat2 - lat1) / 2
+    dlon = np.radians(lon2 - lon1) / 2
+    a = (np.sin(dlat) ** 2
+         + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon) ** 2)
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))

@@ -2093,18 +2093,17 @@ COMPACT_LEVELS = 4  # covers in this data never promote deeper; both engines
 # truncate at the SAME depth, so the mirror stays exact either way
 
 
-def q_cell_compact(spark, sf_dir):
-    """Quadtree cover normalization (S2 CellUnion.Normalize contract) of
-    the occupied res-12 cell set: complete 4-sibling groups collapse to
-    their parent, repeatedly — the hot-spot boxes are the cells dense
-    enough to actually promote."""
+def _occupied_compact_cover(spark, sf_dir):
+    """Compacted cover of the occupied res-COMPACT_RES cells — shared by
+    cell_compact and cover_overlap (engine side of _occupied_cells_sql).
+
+    Distinct on the raw grid coords FIRST, cell math after the exchange:
+    fusing explode + point-derivation CASEs + a partial hash-aggregate on
+    the full Morton interleave into one stage overflows janino's 64 KB
+    method limit and drops the whole stage to interpreted mode."""
     from tree_code_chunker_spark.operators.geo import compact_cover
 
     p = _points(spark, sf_dir)
-    # distinct on the raw grid coords FIRST, cell math after the exchange:
-    # fusing explode + point-derivation CASEs + a partial hash-aggregate on
-    # the full Morton interleave into one stage overflows janino's 64 KB
-    # method limit and drops the whole stage to interpreted mode
     coords = p.select("qlat", "qlon").distinct()
     cells = coords.select(
         cell_at_res_col(cell_col(F.col("qlat"), F.col("qlon")), COMPACT_RES)
@@ -2112,13 +2111,25 @@ def q_cell_compact(spark, sf_dir):
     return compact_cover(cells, COMPACT_RES, max_levels=COMPACT_LEVELS)
 
 
+def _occupied_cells_sql() -> str:
+    """`cells` CTE: DISTINCT occupied res-COMPACT_RES cells over `points`."""
+    return ("cells AS (SELECT DISTINCT "
+            + cell_at_res_sql(cell_sql("qlat", "qlon"), COMPACT_RES)
+            + " AS cell FROM points)")
+
+
+def q_cell_compact(spark, sf_dir):
+    """Quadtree cover normalization (S2 CellUnion.Normalize contract) of
+    the occupied res-12 cell set: complete 4-sibling groups collapse to
+    their parent, repeatedly — the hot-spot boxes are the cells dense
+    enough to actually promote."""
+    return _occupied_compact_cover(spark, sf_dir)
+
+
 def _compact_sql():
     from tree_code_chunker_spark.operators.geo import compact_cover_sql
 
-    cells = ("cells AS (SELECT DISTINCT "
-             + cell_at_res_sql(cell_sql("qlat", "qlon"), COMPACT_RES)
-             + " AS cell FROM points)")
-    return cells + ", " + compact_cover_sql(
+    return _occupied_cells_sql() + ", " + compact_cover_sql(
         "cells", COMPACT_RES, max_levels=COMPACT_LEVELS)
 
 
@@ -2133,16 +2144,10 @@ def q_cover_overlap(spark, sf_dir):
     quadtree cells == one is ancestor-or-equal of the other, so the engine
     runs per-level hash equi-joins (no range join, no cartesian); the
     oracle uses the naive ancestor predicate on the same covers."""
-    from tree_code_chunker_spark.operators.geo import (
-        compact_cover, cover_overlap_join)
+    from tree_code_chunker_spark.operators.geo import cover_overlap_join
     from tree_code_chunker_spark.operators.pip import polygon_cover
 
-    p = _points(spark, sf_dir)
-    coords = p.select("qlat", "qlon").distinct()
-    cells = coords.select(
-        cell_at_res_col(cell_col(F.col("qlat"), F.col("qlon")), COMPACT_RES)
-        .alias("cell"))
-    acov = compact_cover(cells, COMPACT_RES, max_levels=COMPACT_LEVELS)
+    acov = _occupied_compact_cover(spark, sf_dir)
     bcov = polygon_cover(_rect_polygons(spark), res=6).select(
         "polygon_id", F.lit(6).cast("long").alias("res"),
         cell_col(F.col("cov_cy"), F.col("cov_cx")).alias("cell"))
@@ -2152,9 +2157,6 @@ def q_cover_overlap(spark, sf_dir):
 def _cover_overlap_sql():
     from tree_code_chunker_spark.operators.geo import compact_cover_sql
 
-    cells = ("cells AS (SELECT DISTINCT "
-             + cell_at_res_sql(cell_sql("qlat", "qlon"), COMPACT_RES)
-             + " AS cell FROM points)")
     compact = compact_cover_sql("cells", COMPACT_RES,
                                 max_levels=COMPACT_LEVELS, as_cte="acov")
     side = 1 << (16 - 6)  # res-6 cell side in grid units
@@ -2170,7 +2172,7 @@ rcells AS (
                UNNEST(range(x0 // {side}, x1 // {side} + 1)) AS cx
         FROM rcells)
 )"""
-    return f"{cells}, {compact}, {bcov}"
+    return f"{_occupied_cells_sql()}, {compact}, {bcov}"
 
 
 SQL_COVER_OVERLAP = f"""
@@ -2272,10 +2274,10 @@ def _geocode_float_sql():
     lon = "((qlon + 0.5) / 65536.0 * 360.0 - 180.0)"
     ql = f"GREATEST(0, LEAST(65535, CAST(floor(({lat} + 90.0) / 180.0 * 65536.0) AS BIGINT)))"
     qo = f"GREATEST(0, LEAST(65535, CAST(floor(({lon} + 180.0) / 360.0 * 65536.0) AS BIGINT)))"
-    hav = (f"2.0 * {EARTH_RADIUS_M} * asin(sqrt("
+    hav = (f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(LEAST(1.0, "
            f"sin(radians({lat}) / 2) * sin(radians({lat}) / 2)"
            f" + cos(radians({lat})) * cos(0.0)"
-           f" * sin(radians({lon}) / 2) * sin(radians({lon}) / 2)))")
+           f" * sin(radians({lon}) / 2) * sin(radians({lon}) / 2))))")
     return f"""
 SELECT doc_id, span_pos,
        {cell_at_res_sql(cell_sql(ql, qo), 10)} AS cell_r10,

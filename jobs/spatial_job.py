@@ -94,9 +94,12 @@ def main() -> None:
     if args.queries:
         queries = spark.read.parquet(args.queries)
     else:
-        # derived query set: one probe per 100th doc
+        # derived demo query set: 64 fixed probes, NON-hot ids only
+        # (id % 5 == 0 probes land in the hot boxes, where a radius-800
+        # join matches every co-located point — output-bound at scale;
+        # same exclusion bench.py applies)
         qlat, qlon = derive_point_cols(F.col("id"), F.lit(777))
-        queries = spark.range(0, 64).select(
+        queries = spark.range(0, 80).filter(F.col("id") % 5 != 0).select(
             F.col("id").alias("query_id"), qlat.alias("qlat"),
             qlon.alias("qlon"))
 

@@ -463,3 +463,43 @@ def test_sessionize_batch_vs_python(spark):
                 e, n = t, n + 1
         want.append((k, s, e, n))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_sessionize_stream_subsecond_gap_matches_batch(spark, tmp_path):
+    """Stream and batch sessionizers agree at MICROsecond gap precision:
+    a gap of 1800.6s (> 1800s by less than a second) splits the session
+    in BOTH (the stream used to floor to whole seconds and merge them)."""
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import (
+        sessionize_batch, sessionize_stream)
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        ("A", base.to_pydatetime(), 1.0),
+        ("A", (base + pd.Timedelta(seconds=1800.6)).to_pydatetime(), 1.0),
+        ("A", (base + pd.Timedelta(seconds=9000)).to_pydatetime(), 1.0),
+    ]
+    schema = "event_type string, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    batch = sessionize_batch(df, session_gap_s=1800).collect()
+    assert sorted(r.n_events for r in batch) == [1, 1, 1]
+
+    src = str(tmp_path / "subsec_in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, session_gap_s=1800)
+    q = (out.writeStream.format("memory").queryName("sess_us")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_us"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    closed = [(r["key"], r["n_events"],
+               pd.Timestamp(r["session_start"]).value)
+              for r in spark.sql("SELECT * FROM sess_us").collect()]
+    # the first two sessions close within the stream (the 9000s event
+    # exceeds the gap from both); each holds exactly ONE event
+    assert sorted(n for _, n, _ in closed)[:2] == [1, 1]
+    # and the second session starts at the precise .6s instant
+    starts = sorted(s for _, _, s in closed)
+    assert starts[1] == (base + pd.Timedelta(seconds=1800.6)).value

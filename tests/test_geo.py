@@ -241,9 +241,7 @@ def test_compact_cover_vs_python_random(spark):
 def test_compact_cover_idempotent_and_exact_area(spark):
     from tree_code_chunker_spark.operators.geo import compact_cover
 
-    cells = list(range(64)) + [70, 71]  # res-3 cells: one full res-0... not
-    # quite: 0..63 is ALL res-3 descendants of res-0 root? 4^3=64 yes, plus
-    # 70,71 are out of range of a 3-level grid (values < 64) — keep in-range
+    # 0..63 is ALL 4^3 res-3 descendants of the res-0 root
     cells = list(range(0, 64))
     df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
     got = sorted(map(tuple, compact_cover(df, 3).collect()))
@@ -351,3 +349,34 @@ def test_haversine_known_distances(spark):
         F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")).collect()
     for (r, d) in zip(got, np_d):
         assert abs(r.m - d) < 1e-6  # JVM == numpy to FP noise
+
+
+def test_haversine_antipodal_no_nan(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.geo import (
+        EARTH_RADIUS_M, haversine_m_np)
+
+    # near-antipodal perturbations that push the haversine term past 1.0
+    # by rounding: the clamp must return ~pi*R, never NaN
+    lat1 = np.array([10.0, -30.0, 0.0, 45.0])
+    lon1 = np.array([20.0, 100.0, 0.0, -60.0])
+    eps = np.array([0.0, 1e-13, 1e-15, 1e-9])
+    d = haversine_m_np(lat1, lon1, -lat1 + eps, lon1 + 180.0 + eps)
+    assert not np.isnan(d).any()
+    assert np.allclose(d, np.pi * EARTH_RADIUS_M, rtol=1e-6)
+
+
+def test_compact_cover_zero_levels_passthrough(spark):
+    from tree_code_chunker_spark.operators.geo import (
+        compact_cover, compact_cover_sql)
+
+    cells = [0, 1, 2, 3, 9]
+    df = spark.createDataFrame([(c,) for c in cells], "cell bigint")
+    got = sorted(map(tuple, compact_cover(df, 3, max_levels=0).collect()))
+    assert got == [(3, c) for c in cells]  # unchanged, labeled at res
+    sql = ("WITH cells(cell) AS (VALUES (0), (1), (2), (3), (9)) "
+           + compact_cover_sql("cells", 3, max_levels=0))
+    import duckdb
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want

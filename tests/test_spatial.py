@@ -299,3 +299,33 @@ def test_polygon_stats_unit_square(spark):
         "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>")
     r = polygon_stats(df).collect()[0]
     assert (r.n_vertices, r.area2, r.perim_cheb) == (4, 200, 40)
+
+
+def test_dwithin_join_huge_radius_res0(spark):
+    """radius > any cell side: res 0 is a single cell, join stays exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    n = 60
+    lat, lon = rng.randint(0, 65536, n), rng.randint(0, 65536, n)
+    a = _points_df(spark, (np.arange(n), np.zeros(n)), lat, lon)
+    b = spark.createDataFrame(
+        [(0, 0, 0), (1, 65535, 65535)], "query_id bigint, qlat bigint, qlon bigint")
+    got = {(r.doc_id, r.query_id, r.d2)
+           for r in dwithin_join(a, b, 70000).collect()}
+    want = _brute_pairs(lat, lon, np.array([0, 65535]),
+                        np.array([0, 65535]), 70000)
+    assert got == want and len(got) > 0
+
+
+def test_polygon_stats_open_ring_closed_like_pip(spark):
+    from tree_code_chunker_spark.operators.spatial import polygon_stats
+
+    open_ring = [(0, 0), (0, 10), (10, 10), (10, 0)]   # no closing vertex
+    closed = open_ring + [(0, 0)]
+    df = spark.createDataFrame(
+        [("open", open_ring), ("closed", closed)],
+        "polygon_id string, ring array<struct<qlat:bigint,qlon:bigint>>")
+    got = {r.polygon_id: (r.n_vertices, r.area2, r.perim_cheb)
+           for r in polygon_stats(df).collect()}
+    assert got["open"] == got["closed"] == (4, 200, 40)

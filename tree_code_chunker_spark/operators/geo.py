@@ -235,11 +235,12 @@ def compact_cover(cells, res: int, cell_col: str = "cell",
         out.append(kept.select(F.lit(r).cast("long").alias("res"), "cell"))
         cur = promoted.select(F.col("p").alias("cell"))
         r -= 1  # resolution of `cur` after the loop body
-    final = cur.select(F.lit(r).cast("long").alias("res"), "cell")
-    acc = out[0]
-    for df in out[1:]:
+    acc = cur.select(F.lit(r).cast("long").alias("res"), "cell")
+    # max_levels=0 (or res=0) runs zero promotion rounds: `acc` alone is
+    # the cover unchanged, matching compact_cover_sql on the same args
+    for df in out:
         acc = acc.unionByName(df)
-    return acc.unionByName(final)
+    return acc
 
 
 def compact_cover_sql(cells_cte: str, res: int,
@@ -358,7 +359,9 @@ def haversine_m_col(lat1: Column, lon1: Column,
     dlon = F.radians(lon2 - lon1) / 2
     a = (F.sin(dlat) * F.sin(dlat)
          + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon))
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # near-antipodal rounding can push a to 1 + ulp -> asin(sqrt) = NaN;
+    # clamp (mirrored identically in the oracle SQL)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
 
 
 def haversine_m_np(lat1, lon1, lat2, lon2):
@@ -368,4 +371,4 @@ def haversine_m_np(lat1, lon1, lat2, lon2):
     dlon = np.radians(lon2 - lon1) / 2
     a = (np.sin(dlat) ** 2
          + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon) ** 2)
-    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, a)))

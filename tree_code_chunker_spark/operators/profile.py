@@ -82,10 +82,17 @@ def group_quantiles(df: DataFrame, key: str, value: str,
     exact per-group sorting of values is too hot, swap `percentile` for
     `percentile_approx` (t-digest sketch) — same call shape.
     """
-    aggs = [F.count("*").alias("n"),
-            F.round(F.avg(value), ROUND).alias("mean_v")]
-    for q in qs:
-        aggs.append(F.round(
-            F.expr(f"percentile({value}, {q!r})"), ROUND
-        ).alias(f"p{int(q * 100)}"))
-    return df.groupBy(F.col(key).alias("key")).agg(*aggs)
+    # ONE percentile aggregate over an array of fractions: a single
+    # per-group value buffer + sort, instead of one independent buffer per
+    # quantile (percentile materializes every group value in its buffer)
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    agg = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value), ROUND).alias("mean_v"),
+        F.expr(f"percentile({value}, array({q_list}))").alias("_ps"),
+    )
+    return agg.select(
+        "key", "n", "mean_v",
+        *[F.round(F.col("_ps")[i], ROUND).alias(f"p{int(q * 100)}")
+          for i, q in enumerate(qs)],
+    )

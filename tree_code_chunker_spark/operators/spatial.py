@@ -38,9 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import GRID_BITS
+from .geo import kring_offsets
 from .pip import PolygonIndex, pip_join
 
-NEIGHBOR_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+NEIGHBOR_OFFSETS = kring_offsets(1)  # the 3x3 Chebyshev-1 disk
 
 
 def dwithin_res(radius: int) -> int:
@@ -52,8 +53,6 @@ def dwithin_res(radius: int) -> int:
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
     side_bits = max((radius - 1).bit_length(), 1)  # smallest b: 2^b >= radius
-    if radius > (1 << side_bits):  # exact-power edge: bit_length(r-1)=log2(r)
-        side_bits += 1
     return max(GRID_BITS - side_bits, 0)
 
 
@@ -79,7 +78,9 @@ def dwithin_join(
     """
     if res is None:
         res = dwithin_res(radius)
-    if (1 << (GRID_BITS - res)) < radius:
+    # at res 0 the single in-grid cell holds every point, so the join is
+    # exact for ANY radius; only a finer res can under-cover the disk
+    if res >= 1 and (1 << (GRID_BITS - res)) < radius:
         raise ValueError(
             f"cell side {1 << (GRID_BITS - res)} at res={res} is smaller "
             f"than radius={radius}: the 3x3 neighborhood would miss pairs")
@@ -312,12 +313,18 @@ def polygon_stats(polygons: DataFrame) -> DataFrame:
     """Per-polygon vector geometry stats, integer-exact (no shuffle at all:
     every metric is a JVM higher-order fold over the ring array).
 
-    polygons(polygon_id, ring array<struct<qlat,qlon>>), ring CLOSED (last
-    vertex == first) -> n_vertices, area2 (TWICE the shoelace area — kept
-    doubled so it stays an exact integer), perim_cheb (sum of per-edge
-    Chebyshev lengths — the DDA raster step count of the outline), and the
-    bounding box.  Every product fits BIGINT (coords < 2^16).
+    polygons(polygon_id, ring array<struct<qlat,qlon>>) -> n_vertices,
+    area2 (TWICE the shoelace area — kept doubled so it stays an exact
+    integer), perim_cheb (sum of per-edge Chebyshev lengths — the DDA
+    raster step count of the outline), and the bounding box.  Every
+    product fits BIGINT (coords < 2^16).  Ring closure is normalized the
+    same way as the PIP path (pip._closed_ring_col): an open ring gets its
+    closing edge appended rather than silently dropped.
     """
+    from .pip import _closed_ring_col
+
+    polygons = polygons.withColumn(
+        "ring", _closed_ring_col(F.col("ring")))
     edges = (
         "transform(sequence(0, size(ring) - 2), i -> struct("
         "ring[i].qlat AS y1, ring[i].qlon AS x1, "

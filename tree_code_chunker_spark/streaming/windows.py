@@ -66,7 +66,11 @@ def sessionize_stream(
 
     Emits one row per CLOSED session (a new event further than
     session_gap_s from the last one closes the previous session; state
-    timeout at the watermark closes the final session)."""
+    timeout at the watermark closes the final session).  Gap comparisons
+    run at MICROsecond precision — identical to sessionize_batch, so the
+    two are true twins on any input."""
+
+    gap_us = session_gap_s * 1_000_000
 
     def fn(key: Tuple[str], batches: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -80,7 +84,10 @@ def sessionize_stream(
         else:
             ts_all = []
             for pdf in batches:
-                ts_all.extend(int(t.value // 10**9)
+                # MICROsecond precision, matching sessionize_batch exactly
+                # (an earlier draft floored to whole seconds, which merged
+                # sessions whose gap exceeded the threshold by < 1s)
+                ts_all.extend(int(t.value // 10**3)
                               for t in pd.to_datetime(pdf[ts_col]))
             ts_all.sort()
             if state.exists:
@@ -93,13 +100,13 @@ def sessionize_stream(
             # the final early session can never bridge to the stored one
             # (its last < s - gap by construction), so it closes too.
             if s is not None:
-                early = [t for t in ts_all if t < s - session_gap_s]
+                early = [t for t in ts_all if t < s - gap_us]
                 ts_all = ts_all[len(early):]
                 es = el = en = None
                 for t in early:
                     if es is None:
                         es, el, en = t, t, 1
-                    elif t - el > session_gap_s:
+                    elif t - el > gap_us:
                         out.append((k, es, el, en))
                         es, el, en = t, t, 1
                     else:
@@ -109,7 +116,7 @@ def sessionize_stream(
             for t in ts_all:
                 if s is None:
                     s, last, n = t, t, 1
-                elif t - last > session_gap_s:
+                elif t - last > gap_us:
                     out.append((k, s, last, n))
                     s, last, n = t, t, 1
                 else:
@@ -121,13 +128,13 @@ def sessionize_stream(
                     s, last, n = min(s, t), max(last, t), n + 1
             if s is not None:
                 state.update((s, last, n))
-                state.setTimeoutTimestamp((last + session_gap_s) * 1000)
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
         if out:
             yield pd.DataFrame({
                 "key": [r[0] for r in out],
                 "session_start": pd.to_datetime(
-                    [r[1] for r in out], unit="s"),
-                "session_end": pd.to_datetime([r[2] for r in out], unit="s"),
+                    [r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
                 "n_events": [r[3] for r in out],
             })
 

@@ -2292,6 +2292,38 @@ SQL_GEOCODE_FLOAT = f"""
 """
 
 
+SELF_RADIUS = 48  # < hot-box size, so hot pairs stay output-bounded
+
+
+def q_dwithin_self(spark, sf_dir):
+    """Spatial near-duplicate pairs: unordered pairs of distinct points
+    within SELF_RADIUS (location analogue of content near-dup)."""
+    from tree_code_chunker_spark.operators.spatial import dwithin_self_join
+
+    return dwithin_self_join(_points(spark, sf_dir), SELF_RADIUS)
+
+
+SQL_DWITHIN_SELF = f"""
+{SPANS_CTE}, {POINTS_SQL}
+SELECT a.doc_id, a.span_pos,
+       b.doc_id AS b_doc_id, b.span_pos AS b_span_pos,
+       (a.qlat - b.qlat) * (a.qlat - b.qlat)
+       + (a.qlon - b.qlon) * (a.qlon - b.qlon) AS d2
+FROM points a JOIN points b
+  ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+ AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+WHERE (a.doc_id < b.doc_id
+       OR (a.doc_id = b.doc_id AND a.span_pos < b.span_pos))
+  AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+      + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+      <= {SELF_RADIUS * SELF_RADIUS}
+"""
+# NB: the pair-order predicate is the EXPANDED lexicographic form on
+# purpose — a row-value comparison `(a.doc_id, a.span_pos) < (b...)` inside
+# this inequality join silently drops rows on DuckDB 1.0.0 (14 of 6.99M at
+# sf0.1, reproduced & isolated; Spark and the expanded form agree).
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2347,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "group_quantiles": q_group_quantiles,
         "geocode_float": q_geocode_float,
+        "dwithin_self": q_dwithin_self,
     }
 
 
@@ -2405,4 +2438,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "group_quantiles": SQL_GROUP_QUANTILES,
         "geocode_float": SQL_GEOCODE_FLOAT,
+        "dwithin_self": SQL_DWITHIN_SELF,
     }

@@ -329,3 +329,24 @@ def test_polygon_stats_open_ring_closed_like_pip(spark):
     got = {r.polygon_id: (r.n_vertices, r.area2, r.perim_cheb)
            for r in polygon_stats(df).collect()}
     assert got["open"] == got["closed"] == (4, 200, 40)
+
+
+def test_dwithin_self_join_unordered_unique_pairs(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.spatial import dwithin_self_join
+
+    rng = np.random.RandomState(47)
+    n = 150
+    lat, lon = rng.randint(0, 2000, n), rng.randint(0, 2000, n)
+    pts = _points_df(spark, (np.arange(n), np.zeros(n)), lat, lon)
+    rows = dwithin_self_join(pts, 300).collect()
+    pairs = [((r.doc_id, r.span_pos), (r.b_doc_id, r.b_span_pos), r.d2)
+             for r in rows]
+    # each unordered pair exactly once, ordered a < b, no self-pairs
+    assert all(a < b for a, b, _ in pairs)
+    assert len({(a, b) for a, b, _ in pairs}) == len(pairs)
+    want = _brute_pairs(lat, lon, lat, lon, 300)
+    want = {(i, j, d) for i, j, d in want if i < j}
+    got = {(int(a[0]), int(b[0]), d) for a, b, d in pairs}
+    assert got == want and len(got) > 0

@@ -350,3 +350,30 @@ def polygon_stats(polygons: DataFrame) -> DataFrame:
         F.expr("CAST(array_max(transform(ring, r -> r.qlon)) AS BIGINT)")
         .alias("max_qlon"),
     )
+
+
+def dwithin_self_join(
+    points: DataFrame,
+    radius: int,
+    id_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    res: int | None = None,
+) -> DataFrame:
+    """Spatial near-duplicate pairs: all UNORDERED pairs of distinct points
+    within `radius` (the location analogue of the content near-dup
+    operators in operators/dedup.py — co-located records are duplicate
+    candidates for a geocoded corpus).
+
+    Plans exactly like dwithin_join with both sides the same set, then
+    keeps each pair once by the lexicographic id order (a < b), which also
+    drops self-pairs.  Same scale shape: the 9x neighbor explode rides the
+    cell-key equi-join; never all-pairs.
+    """
+    b_renamed = [F.col(c).alias(f"b_{c}") for c in id_cols]
+    b = points.select(*b_renamed, "qlat", "qlon")
+    pairs = dwithin_join(points, b, radius,
+                         a_keep=id_cols,
+                         b_keep=tuple(f"b_{c}" for c in id_cols),
+                         res=res)
+    a_key = F.struct(*[F.col(c) for c in id_cols])
+    b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
+    return pairs.filter(a_key < b_key)

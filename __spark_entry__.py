@@ -2324,6 +2324,36 @@ WHERE (a.doc_id < b.doc_id
 # sf0.1, reproduced & isolated; Spark and the expanded form agree).
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic Bernoulli sample of the corpus:
+    P(keep) == the 6dp quality score, via the content-derived uniform key
+    (pure filter — no shuffle, no randomness)."""
+    from tree_code_chunker_spark.operators.training import sample_weighted
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality"))
+    out = sample_weighted(d, "quality")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "quality",
+        F.col("sample_key").cast("long").alias("sample_key"))
+
+
+def _sample_weighted_sql():
+    from tree_code_chunker_spark.operators.training import sample_weighted_sql
+
+    inner = ("(SELECT doc_id, " + quality_score_sql("text")
+             + " AS quality FROM documents)")
+    body = sample_weighted_sql(inner, "quality", "doc_id")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, quality,
+       CAST(sample_key AS BIGINT) AS sample_key
+FROM ({body})
+"""
+
+
+SQL_SAMPLE_WEIGHTED = _sample_weighted_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2380,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "geocode_float": q_geocode_float,
         "dwithin_self": q_dwithin_self,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -2439,4 +2470,5 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": SQL_GROUP_QUANTILES,
         "geocode_float": SQL_GEOCODE_FLOAT,
         "dwithin_self": SQL_DWITHIN_SELF,
+        "sample_weighted": SQL_SAMPLE_WEIGHTED,
     }

@@ -182,3 +182,27 @@ def test_bpe_pair_counts_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, bpe_pair_counts(docs.repartition(3)).collect()))
     b = sorted(map(tuple, bpe_pair_counts(docs.repartition(13)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_sample_weighted_rate_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.training import sample_weighted
+
+    # constant weight 0.3: keep rate converges to 0.3 (uniform key)
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0.3).alias("w"))
+    kept = sample_weighted(df, "w").count()
+    assert abs(kept / n - 0.3) < 0.03
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert sample_weighted(
+        df.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert sample_weighted(
+        df.withColumn("w", F.lit(1.0)), "w").count() == n
+    # deterministic across partitionings
+    a = sorted(r.doc_id for r in sample_weighted(
+        df.repartition(3), "w").collect())
+    b = sorted(r.doc_id for r in sample_weighted(
+        df.repartition(17), "w").collect())
+    assert a == b

@@ -250,10 +250,55 @@ SELECT * EXCLUDE (_rn) FROM (
 """
 
 
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row independently with probability == its weight in [0,1]
+    (quality-weighted corpus sampling: keep good documents more often).
+
+    Deterministic Bernoulli: the row's keep-threshold is the same
+    content-derived poly31+affine key as sample_per_group (uniform on
+    [0, POLY_MOD)), kept iff key < weight * POLY_MOD.  The comparison is
+    double-exact and oracle-mirrorable as long as the weight is itself
+    identical on both sides (our quality score is 6dp-rounded).  No
+    shuffle at all — a pure filter.
+    """
+    from .media import FEAT_MULT
+
+    key = (
+        poly31_col(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                            F.lit(str(seed))))
+        * F.lit(FEAT_MULT) % F.lit(POLY_MOD)
+    )
+    return (
+        df.withColumn("sample_key", key)
+        .filter(F.col("sample_key")
+                < F.col(weight_col) * F.lit(float(POLY_MOD)))
+    )
+
+
+def sample_weighted_sql(table: str, weight_expr: str, id_col: str,
+                        seed: int = 42) -> str:
+    """DuckDB mirror of sample_weighted (same key, same double compare)."""
+    from .media import FEAT_MULT
+
+    seeded = f"CAST({id_col} AS VARCHAR) || ':{seed}'"
+    key = f"({poly31_sql(seeded)} * {FEAT_MULT} % {POLY_MOD})"
+    return f"""
+SELECT *, {key} AS sample_key FROM {table}
+WHERE {key} < ({weight_expr}) * {float(POLY_MOD)!r}
+"""
+
+
 __all__ = [
     "POLY_MOD",
     "pack_sequences",
     "pack_sequences_sql",
     "sample_per_group",
     "sample_per_group_sql",
+    "sample_weighted",
+    "sample_weighted_sql",
 ]

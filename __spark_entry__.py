@@ -2354,6 +2354,33 @@ FROM ({body})
 SQL_SAMPLE_WEIGHTED = _sample_weighted_sql()
 
 
+OD_RES = 4
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows: per doc trajectory, the (first, last)
+    res-4 cell pair, counted over the corpus."""
+    from tree_code_chunker_spark.operators.spatial import od_matrix
+
+    return od_matrix(_points(spark, sf_dir), OD_RES)
+
+
+_OD_SHIFT = 16 - OD_RES
+SQL_OD_MATRIX = f"""
+{SPANS_CTE}, {POINTS_SQL}, ends AS (
+  SELECT doc_id,
+         arg_min(qlat, span_pos) AS oy, arg_min(qlon, span_pos) AS ox,
+         arg_max(qlat, span_pos) AS dy, arg_max(qlon, span_pos) AS dx
+  FROM points GROUP BY doc_id
+)
+SELECT oy >> {_OD_SHIFT} AS o_cy, ox >> {_OD_SHIFT} AS o_cx,
+       dy >> {_OD_SHIFT} AS d_cy, dx >> {_OD_SHIFT} AS d_cx,
+       count(*) AS n_flows
+FROM ends
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2411,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_float": q_geocode_float,
         "dwithin_self": q_dwithin_self,
         "sample_weighted": q_sample_weighted,
+        "od_matrix": q_od_matrix,
     }
 
 
@@ -2471,4 +2499,5 @@ def oracle_sql() -> dict[str, str]:
         "geocode_float": SQL_GEOCODE_FLOAT,
         "dwithin_self": SQL_DWITHIN_SELF,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "od_matrix": SQL_OD_MATRIX,
     }

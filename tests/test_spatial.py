@@ -350,3 +350,25 @@ def test_dwithin_self_join_unordered_unique_pairs(spark):
     want = {(i, j, d) for i, j, d in want if i < j}
     got = {(int(a[0]), int(b[0]), d) for a, b, d in pairs}
     assert got == want and len(got) > 0
+
+
+def test_od_matrix_vs_python(spark):
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.spatial import od_matrix
+
+    rng = np.random.RandomState(53)
+    rows, df = _traj_df(spark, rng, n_ids=30)
+    res, shift = 6, GRID_BITS - 6
+    got = {(r.o_cy, r.o_cx, r.d_cy, r.d_cx): r.n_flows
+           for r in od_matrix(df, res).collect()}
+    by_id = {}
+    for did, p, y, x in rows:
+        by_id.setdefault(did, []).append((p, y, x))
+    want = {}
+    for pts in by_id.values():
+        pts.sort()
+        (_, oy, ox), (_, dy, dx) = pts[0], pts[-1]
+        k = (oy >> shift, ox >> shift, dy >> shift, dx >> shift)
+        want[k] = want.get(k, 0) + 1
+    assert got == want

@@ -377,3 +377,36 @@ def dwithin_self_join(
     a_key = F.struct(*[F.col(c) for c in id_cols])
     b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
     return pairs.filter(a_key < b_key)
+
+
+def od_matrix(
+    points: DataFrame,
+    res: int,
+    id_col: str = "doc_id",
+    order_col: str = "span_pos",
+) -> DataFrame:
+    """Origin-destination matrix: per trajectory, the (first cell, last
+    cell) pair at `res`, counted over all trajectories — the classic OD
+    flow aggregation.
+
+    One hash aggregation per trajectory (min_by/max_by pick the endpoints;
+    no window, no sort) + one aggregation over (origin, dest).  Trajectories
+    with a single point contribute a self-flow (origin == dest).
+    """
+    shift = GRID_BITS - res
+    ends = points.groupBy(id_col).agg(
+        F.min_by("qlat", order_col).alias("oy"),
+        F.min_by("qlon", order_col).alias("ox"),
+        F.max_by("qlat", order_col).alias("dy"),
+        F.max_by("qlon", order_col).alias("dx"),
+    )
+    return (
+        ends.select(
+            F.shiftright("oy", shift).alias("o_cy"),
+            F.shiftright("ox", shift).alias("o_cx"),
+            F.shiftright("dy", shift).alias("d_cy"),
+            F.shiftright("dx", shift).alias("d_cx"),
+        )
+        .groupBy("o_cy", "o_cx", "d_cy", "d_cx")
+        .agg(F.count("*").alias("n_flows"))
+    )

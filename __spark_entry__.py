@@ -2381,6 +2381,55 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+PR_ITERS = 4
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the spatial proximity graph: directed
+    edges between distinct docs with any span pair within SELF_RADIUS
+    (symmetric by construction — the unordered radius self-join emits both
+    directions).  Fixed-point integer arithmetic makes the iterative
+    result bit-exact at any parallelism and CTE-mirrorable."""
+    from tree_code_chunker_spark.operators.graph import pagerank_int
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    b = pts.select(F.col("doc_id").alias("b_doc_id"), "qlat", "qlon")
+    edges = (
+        dwithin_join(pts, b, SELF_RADIUS,
+                     a_keep=("doc_id",), b_keep=("b_doc_id",))
+        .filter(F.col("doc_id") != F.col("b_doc_id"))
+        .select(F.col("doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+        .distinct()
+    )
+    return pagerank_int(edges, iters=PR_ITERS).select(
+        F.col("node").cast("string").alias("node"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def _pagerank_sql():
+    from tree_code_chunker_spark.operators.graph import pagerank_int_sql
+
+    edges = f"""
+pr_edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+   AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+  WHERE a.doc_id != b.doc_id
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {SELF_RADIUS * SELF_RADIUS}
+)"""
+    return edges + ", " + pagerank_int_sql("pr_edges", iters=PR_ITERS)
+
+
+SQL_PAGERANK = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_pagerank_sql()}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
@@ -2439,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_self": q_dwithin_self,
         "sample_weighted": q_sample_weighted,
         "od_matrix": q_od_matrix,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2500,4 +2550,5 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_self": SQL_DWITHIN_SELF,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "od_matrix": SQL_OD_MATRIX,
+        "pagerank": SQL_PAGERANK,
     }

@@ -1,0 +1,121 @@
+"""Iterative graph analytics: integer-exact PageRank.
+
+Complements the connected-components clustering in operators/dedup.py with
+a centrality measure, built to the engine's determinism contract:
+
+**All arithmetic is INTEGER.**  Ranks live in fixed-point units of
+1/SCALE; each iteration a node sends `rank div out_degree` along every
+out-edge and collects `base + damping_num * (sum of arrivals) div
+damping_den`.  Integer sums are associative, so the result is bit-exact
+at any parallelism / aggregation order — unlike float PageRank, where the
+per-partition sum order perturbs low bits — and the DuckDB oracle mirrors
+it exactly with chained per-iteration CTEs.  The integer divisions
+truncate a little probability mass per hop (as does a dangling node);
+that loss is part of the DEFINED semantics here, not an approximation
+error, and vanishes as SCALE grows.
+
+Scale shape per iteration: one equi-join of the edge list with the
+current rank vector on src (shuffle on node id), one hash aggregation on
+dst, one left join back to the node set.  Rank/degree vectors are
+node-sized (small side), the edge list is the data — the same shape as
+the LSH candidate join.  localCheckpoint per iteration keeps lineage and
+codegen bounded (same reasoning as geo.compact_cover).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """edges(src, dst) directed -> (node, rank) after `iters` iterations.
+
+    Every node starts at `scale` units; base = scale*(den-num) div den.
+    Nodes = distinct src union dst.  Dangling nodes keep receiving base
+    but forward nothing (their mass is dropped, the classic simple
+    variant).  Returns node, rank (bigint, fixed-point 1/scale units).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = scale * (damping_den - damping_num) // damping_den
+    e = edges.select(F.col("src"), F.col("dst")).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")).localCheckpoint(eager=False)
+    rank = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        # per-edge contribution = floor(src rank / src out-degree)
+        contrib = (
+            rank.join(deg, "node")
+            .select("node", (F.col("rank") / F.col("deg"))
+                    .cast("long").alias("c"))
+            .join(e, F.col("node") == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("arrived"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + (F.lit(damping_num) * F.coalesce("arrived", F.lit(0)))
+                 .cast("long") / F.lit(damping_den))
+                .cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank
+
+
+def pagerank_int_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB mirror: chained per-iteration CTEs over `edges_cte`(src, dst).
+
+    Returns 'cte1 AS (...), ..., cteN AS (...)' plus a final SELECT of
+    (node, rank).  Integer ops match pagerank_int exactly: all operands
+    are non-negative, so DuckDB `//` and Spark's cast-truncated division
+    agree.
+    """
+    base = scale * (damping_den - damping_num) // damping_den
+    ctes = [
+        f"pr_nodes AS (SELECT DISTINCT node FROM "
+        f"(SELECT src AS node FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        f"pr_deg AS (SELECT src AS node, count(*) AS deg "
+        f"FROM {edges_cte} GROUP BY 1)",
+        f"pr_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank "
+        f"FROM pr_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"pr_r{i - 1}"
+        ctes.append(
+            f"pr_r{i} AS (SELECT n.node, CAST({base} + "
+            f"({damping_num} * COALESCE(s.arrived, 0)) // {damping_den} "
+            f"AS BIGINT) AS rank "
+            f"FROM pr_nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) "
+            f"AS arrived "
+            f"FROM {edges_cte} e "
+            f"JOIN {prev} r ON e.src = r.node "
+            f"JOIN pr_deg d ON e.src = d.node "
+            f"GROUP BY e.dst) s ON n.node = s.node)")
+    return (", ".join(ctes)
+            + f"\nSELECT node, rank FROM pr_r{iters}")

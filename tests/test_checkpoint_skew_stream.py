@@ -503,3 +503,39 @@ def test_sessionize_stream_subsecond_gap_matches_batch(spark, tmp_path):
     # and the second session starts at the precise .6s instant
     starts = sorted(s for _, _, s in closed)
     assert starts[1] == (base + pd.Timedelta(seconds=1800.6)).value
+
+
+def test_stream_knn_matches_batch(spark, tmp_path):
+    """foreachBatch kNN over a prebuilt KnnIndex == batch knn_ring."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.knn import KnnIndex, knn_ring
+    from tree_code_chunker_spark.streaming.stream_chunk import run_stream_knn
+
+    rng = np.random.RandomState(71)
+    n = 3000
+    corpus = spark.createDataFrame(
+        [(int(i), 0, int(rng.randint(0, 65536)), int(rng.randint(0, 65536)))
+         for i in range(n)],
+        "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+    queries = spark.createDataFrame(
+        [(int(i), int(rng.randint(0, 65536)), int(rng.randint(0, 65536)))
+         for i in range(30)],
+        "query_id bigint, qlat bigint, qlon bigint")
+    idx = KnnIndex(corpus, res=10)
+    want = sorted(map(tuple, knn_ring(queries, k=5, index=idx).collect()))
+    # index reuse must equal the one-shot (corpus=) path
+    one_shot = sorted(map(tuple,
+                          knn_ring(queries, corpus, k=5, res=10).collect()))
+    assert want == one_shot and len(want) == 150
+
+    src = str(tmp_path / "knn_q")
+    queries.repartition(3).write.parquet(src)  # several files -> batches
+    stream = (spark.readStream.schema(queries.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_path = str(tmp_path / "knn_out")
+    q = run_stream_knn(stream, idx, k=5, out_path=out_path,
+                       checkpoint_path=str(tmp_path / "ck_knn"))
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    assert got == want

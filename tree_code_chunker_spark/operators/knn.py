@@ -104,48 +104,76 @@ def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
     return out
 
 
+class KnnIndex:
+    """Build-once corpus side of the ring kNN: the cell-keyed corpus
+    projection plus the histogram SAT used for radius planning.
+
+    Amortizes the one histogram shuffle + collect across many probe
+    batches (interactive query streams, the bench, foreachBatch) — the
+    corpus analogue of pip.PolygonIndex.  Independent of k and of the
+    query set."""
+
+    def __init__(self, corpus: DataFrame,
+                 res: int = DEFAULT_CELL_RES,
+                 tie_cols: list[str] = ["doc_id", "span_pos"],
+                 res_hist: int | None = None):
+        if res_hist is None:
+            # coarse is better: rh=7 -> 16k histogram groups (cheap
+            # shuffle + collect) at the price of a somewhat larger
+            # guarantee radius; the candidate join absorbs that far more
+            # cheaply than a 200k-group histogram costs (measured: hist
+            # 3.2s at rh=9 vs ~0.4s at rh=7)
+            res_hist = min(res, 7)
+        self.res, self.res_hist, self.tie_cols = res, res_hist, list(tie_cols)
+        shift = GRID_BITS - res
+        self.corpus = corpus
+        self.corp = corpus.select(
+            *tie_cols, "qlat", "qlon",
+            F.shiftright("qlat", shift).alias("ccy"),
+            F.shiftright("qlon", shift).alias("ccx"),
+        )
+        sh = GRID_BITS - res_hist
+        hist = (
+            self.corp.groupBy(
+                F.shiftright("qlat", sh).alias("hy"),
+                F.shiftright("qlon", sh).alias("hx"),
+            ).agg(F.count("*").alias("n")).toPandas()  # Arrow path: a plain
+            # collect() of ~10^5 hist rows through py4j dominated kNN time
+        )
+        n = 1 << res_hist
+        grid = np.zeros((n, n), dtype=np.int64)
+        grid[hist["hy"].to_numpy(), hist["hx"].to_numpy()] = \
+            hist["n"].to_numpy()
+        self.sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+        np.cumsum(grid, axis=0, out=self.sat[1:, 1:])
+        np.cumsum(self.sat[1:, 1:], axis=1, out=self.sat[1:, 1:])
+        self.total = int(self.sat[n, n])
+
+
 def knn_ring(
-    queries: DataFrame, corpus: DataFrame, k: int,
+    queries: DataFrame, corpus: DataFrame = None, k: int = 5,
     res: int = DEFAULT_CELL_RES,
     tie_cols: list[str] = ["doc_id", "span_pos"],
     res_hist: int | None = None,
     max_rho: int = 64,
     broadcast_cap_rows: int = 4_000_000,
+    index: KnnIndex | None = None,
 ) -> DataFrame:
     """Cell ring kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
-    qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact."""
+    qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact.
+    Pass a prebuilt KnnIndex to amortize the histogram/SAT across probe
+    batches (res/res_hist/tie_cols then come from the index)."""
     spark = queries.sparkSession
-    if res_hist is None:
-        # coarse is better: rh=7 -> 16k histogram groups (cheap shuffle +
-        # collect) at the price of a somewhat larger guarantee radius; the
-        # candidate join absorbs that far more cheaply than a 200k-group
-        # histogram costs (measured: hist 3.2s at rh=9 vs ~0.4s at rh=7)
-        res_hist = min(res, 7)
+    if index is None:
+        if corpus is None:
+            raise ValueError("knn_ring needs a corpus= or an index=")
+        index = KnnIndex(corpus, res=res, tie_cols=tie_cols,
+                         res_hist=res_hist)
+    res, res_hist, tie_cols = index.res, index.res_hist, index.tie_cols
+    corp, sat = index.corp, index.sat
     shift = GRID_BITS - res
-
-    corp = corpus.select(
-        *tie_cols, "qlat", "qlon",
-        F.shiftright("qlat", shift).alias("ccy"),
-        F.shiftright("qlon", shift).alias("ccx"),
-    )
-
-    # --- phase 1: histogram -> SAT -> per-query guarantee radius ---
-    sh = GRID_BITS - res_hist
-    hist = (
-        corp.groupBy(
-            F.shiftright("qlat", sh).alias("hy"),
-            F.shiftright("qlon", sh).alias("hx"),
-        ).agg(F.count("*").alias("n")).toPandas()  # Arrow path: a plain
-        # collect() of ~10^5 histogram rows through py4j dominated kNN time
-    )
-    n = 1 << res_hist
-    grid = np.zeros((n, n), dtype=np.int64)
-    grid[hist["hy"].to_numpy(), hist["hx"].to_numpy()] = hist["n"].to_numpy()
-    sat = np.zeros((n + 1, n + 1), dtype=np.int64)
-    np.cumsum(grid, axis=0, out=sat[1:, 1:])
-    np.cumsum(sat[1:, 1:], axis=1, out=sat[1:, 1:])
-    if int(sat[n, n]) < k:  # whole corpus smaller than k: no prune possible
-        return knn_bruteforce(queries, corpus, k, tie_cols)
+    if index.total < k:  # whole corpus smaller than k: no prune possible
+        return knn_bruteforce(queries, index.corpus, k, tie_cols)
 
     # plan the radii on the DRIVER (query set is the SMALL side by design):
     # one tiny collect, numpy planning in-process, then a literal DataFrame

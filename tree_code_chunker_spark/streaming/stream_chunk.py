@@ -83,3 +83,36 @@ def stream_pip(points_stream: DataFrame, index) -> DataFrame:
     from ..operators.pip import pip_join
 
     return pip_join(points_stream, index=index)
+
+
+def run_stream_knn(
+    query_stream: DataFrame,
+    index,
+    k: int,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming kNN: an unbounded query stream probes a static corpus.
+
+    The ring-kNN planner needs a driver-side step per batch (SAT radius
+    planning), so this runs via foreachBatch rather than a pure
+    declarative stream — the corpus side (cell projection + histogram
+    SAT) is a prebuilt operators.knn.KnnIndex, built ONCE and amortized
+    across every micro-batch.  Results append to parquet exactly-once
+    under Spark's checkpoint; batch==stream equality is pinned by
+    tests/test_checkpoint_skew_stream.py.  Completes the streaming form
+    of all four core operators (chunk, PIP, tiles, kNN)."""
+    from ..operators.knn import knn_ring
+
+    def _batch(df: DataFrame, _batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        knn_ring(df, k=k, index=index) \
+            .write.mode("append").parquet(out_path)
+
+    writer = (query_stream.writeStream.foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

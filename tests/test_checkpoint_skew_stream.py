@@ -537,5 +537,6 @@ def test_stream_knn_matches_batch(spark, tmp_path):
     q = run_stream_knn(stream, idx, k=5, out_path=out_path,
                        checkpoint_path=str(tmp_path / "ck_knn"))
     q.awaitTermination(180)
-    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    got = sorted(map(tuple, spark.read.parquet(out_path)
+                 .drop("_batch_id").collect()))
     assert got == want

@@ -60,8 +60,10 @@ def pagerank_int(
         # per-edge contribution = floor(src rank / src out-degree)
         contrib = (
             rank.join(deg, "node")
-            .select("node", (F.col("rank") / F.col("deg"))
-                    .cast("long").alias("c"))
+            # `div` = Spark's INTEGRAL division: bit-exact vs DuckDB `//`
+            # (the float `/` operator + cast can round up across the
+            # truncation boundary once quotients near 2^53 / half-ulp 0.01)
+            .select("node", F.expr("rank div deg").alias("c"))
             .join(e, F.col("node") == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("arrived"))
@@ -70,9 +72,9 @@ def pagerank_int(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (F.lit(base)
-                 + (F.lit(damping_num) * F.coalesce("arrived", F.lit(0)))
-                 .cast("long") / F.lit(damping_den))
+                (F.lit(base) + F.expr(
+                    f"(({damping_num} * coalesce(arrived, CAST(0 AS BIGINT)))"
+                    f" div {damping_den})"))
                 .cast("long").alias("rank"),
             )
             .localCheckpoint(eager=False)
@@ -90,9 +92,8 @@ def pagerank_int_sql(
     """DuckDB mirror: chained per-iteration CTEs over `edges_cte`(src, dst).
 
     Returns 'cte1 AS (...), ..., cteN AS (...)' plus a final SELECT of
-    (node, rank).  Integer ops match pagerank_int exactly: all operands
-    are non-negative, so DuckDB `//` and Spark's cast-truncated division
-    agree.
+    (node, rank).  Integer ops match pagerank_int exactly: both engines use
+    INTEGRAL division (`div` / `//`) on non-negative operands.
     """
     base = scale * (damping_den - damping_num) // damping_den
     ctes = [

@@ -169,6 +169,11 @@ def knn_ring(
             raise ValueError("knn_ring needs a corpus= or an index=")
         index = KnnIndex(corpus, res=res, tie_cols=tie_cols,
                          res_hist=res_hist)
+    elif corpus is not None and corpus is not index.corpus:
+        raise ValueError(
+            "knn_ring got BOTH corpus= and index= (built from a different "
+            "DataFrame): the index's snapshot would silently win — pass "
+            "one or the other")
     res, res_hist, tie_cols = index.res, index.res_hist, index.tie_cols
     corp, sat = index.corp, index.sat
     shift = GRID_BITS - res

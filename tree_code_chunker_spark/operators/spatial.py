@@ -214,10 +214,14 @@ def trajectory_stats(
         id_col, order_col, "qlat", "qlon",
         dy.alias("dy"), dx.alias("dx"),
     )
-    lat_first = F.min_by("qlat", order_col)
-    lon_first = F.min_by("qlon", order_col)
-    lat_last = F.max_by("qlat", order_col)
-    lon_last = F.max_by("qlon", order_col)
+    # endpoints picked as ONE struct per min_by/max_by: with tied
+    # order_col values the chosen row is arbitrary but COHERENT (both
+    # coords from the same row) — four independent picks could pair
+    # qlat and qlon from different tied rows into a phantom point
+    first = F.min_by(F.struct("qlat", "qlon"), order_col)
+    last = F.max_by(F.struct("qlat", "qlon"), order_col)
+    lat_first, lon_first = first["qlat"], first["qlon"]
+    lat_last, lon_last = last["qlat"], last["qlon"]
     return stepped.groupBy(id_col).agg(
         F.count("*").alias("n_points"),
         F.count("dy").alias("n_segs"),
@@ -394,11 +398,16 @@ def od_matrix(
     with a single point contribute a self-flow (origin == dest).
     """
     shift = GRID_BITS - res
+    # endpoint = ONE struct pick per aggregate (see trajectory_stats):
+    # tied order_col values choose an arbitrary-but-coherent row, never a
+    # phantom mix of coords from two rows
     ends = points.groupBy(id_col).agg(
-        F.min_by("qlat", order_col).alias("oy"),
-        F.min_by("qlon", order_col).alias("ox"),
-        F.max_by("qlat", order_col).alias("dy"),
-        F.max_by("qlon", order_col).alias("dx"),
+        F.min_by(F.struct("qlat", "qlon"), order_col).alias("o"),
+        F.max_by(F.struct("qlat", "qlon"), order_col).alias("d"),
+    ).select(
+        id_col,
+        F.col("o.qlat").alias("oy"), F.col("o.qlon").alias("ox"),
+        F.col("d.qlat").alias("dy"), F.col("d.qlon").alias("dx"),
     )
     return (
         ends.select(

@@ -195,6 +195,26 @@ packed_pos AS (
 )"""
 
 
+def _sample_key_col(id_col: str, seed: int):
+    """Shared content-derived uniform key: poly31(id:seed) scattered by the
+    affine FEAT_MULT mix (see sample_per_group's docstring).  ONE place so
+    the Spark and SQL forms cannot drift apart per caller."""
+    from .media import FEAT_MULT
+
+    return (
+        poly31_col(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                            F.lit(str(seed))))
+        * F.lit(FEAT_MULT) % F.lit(POLY_MOD)
+    )
+
+
+def _sample_key_sql(id_col: str, seed: int) -> str:
+    from .media import FEAT_MULT
+
+    seeded = f"CAST({id_col} AS VARCHAR) || ':{seed}'"
+    return f"({poly31_sql(seeded)} * {FEAT_MULT} % {POLY_MOD})"
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,
@@ -214,13 +234,7 @@ def sample_per_group(
     mix (* FEAT_MULT mod p) after the hash — a bijection that scatters
     adjacent ids ~10^6 apart.  A spreading hash, not a cryptographic one.
     """
-    from .media import FEAT_MULT
-
-    key = (
-        poly31_col(F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                            F.lit(str(seed))))
-        * F.lit(FEAT_MULT) % F.lit(POLY_MOD)
-    )
+    key = _sample_key_col(id_col, seed)
     w = Window.partitionBy(group_col).orderBy(
         F.col("_skey").asc(), F.col(id_col).asc())
     return (
@@ -235,10 +249,7 @@ def sample_per_group(
 def sample_per_group_sql(table: str, group_col: str, n_per_group: int,
                          id_col: str, seed: int = 42) -> str:
     """DuckDB mirror of sample_per_group (same poly31+affine key)."""
-    from .media import FEAT_MULT
-
-    seeded = f"CAST({id_col} AS VARCHAR) || ':{seed}'"
-    key = f"({poly31_sql(seeded)} * {FEAT_MULT} % {POLY_MOD})"
+    key = _sample_key_sql(id_col, seed)
     return f"""
 SELECT * EXCLUDE (_rn) FROM (
   SELECT *, {key} AS sample_key,
@@ -266,13 +277,7 @@ def sample_weighted(
     identical on both sides (our quality score is 6dp-rounded).  No
     shuffle at all — a pure filter.
     """
-    from .media import FEAT_MULT
-
-    key = (
-        poly31_col(F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                            F.lit(str(seed))))
-        * F.lit(FEAT_MULT) % F.lit(POLY_MOD)
-    )
+    key = _sample_key_col(id_col, seed)
     return (
         df.withColumn("sample_key", key)
         .filter(F.col("sample_key")
@@ -283,10 +288,7 @@ def sample_weighted(
 def sample_weighted_sql(table: str, weight_expr: str, id_col: str,
                         seed: int = 42) -> str:
     """DuckDB mirror of sample_weighted (same key, same double compare)."""
-    from .media import FEAT_MULT
-
-    seeded = f"CAST({id_col} AS VARCHAR) || ':{seed}'"
-    key = f"({poly31_sql(seeded)} * {FEAT_MULT} % {POLY_MOD})"
+    key = _sample_key_sql(id_col, seed)
     return f"""
 SELECT *, {key} AS sample_key FROM {table}
 WHERE {key} < ({weight_expr}) * {float(POLY_MOD)!r}

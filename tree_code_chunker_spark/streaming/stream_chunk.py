@@ -99,17 +99,26 @@ def run_stream_knn(
     planning), so this runs via foreachBatch rather than a pure
     declarative stream — the corpus side (cell projection + histogram
     SAT) is a prebuilt operators.knn.KnnIndex, built ONCE and amortized
-    across every micro-batch.  Results append to parquet exactly-once
-    under Spark's checkpoint; batch==stream equality is pinned by
+    across every micro-batch.  foreachBatch is only AT-LEAST-once, so the
+    write is made idempotent: each batch overwrites its own
+    `_batch_id=<n>` partition (dynamic partition overwrite) — a replayed
+    batch rewrites identical rows instead of duplicating them.
+    batch==stream equality is pinned by
     tests/test_checkpoint_skew_stream.py.  Completes the streaming form
     of all four core operators (chunk, PIP, tiles, kNN)."""
+    from pyspark.sql import functions as F
+
     from ..operators.knn import knn_ring
 
-    def _batch(df: DataFrame, _batch_id: int) -> None:
+    def _batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
-        knn_ring(df, k=k, index=index) \
-            .write.mode("append").parquet(out_path)
+        (knn_ring(df, k=k, index=index)
+         .withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
 
     writer = (query_stream.writeStream.foreachBatch(_batch)
               .option("checkpointLocation", checkpoint_path))

@@ -35,15 +35,23 @@ def column_profile(df: DataFrame, cols: list[str],
             distinct.alias(f"{c}__n_distinct"),
             F.round(F.min(col).cast("double"), ROUND).alias(f"{c}__min_v"),
             F.round(F.max(col).cast("double"), ROUND).alias(f"{c}__max_v"),
-            F.round(F.sum(col.cast("double")), ROUND).alias(f"{c}__sum_v"),
-            F.round(F.avg(col.cast("double")), ROUND).alias(f"{c}__avg_v"),
+            # sum in DECIMAL(38,12), not double: decimal addition is exact
+            # and associative, so the aggregate is independent of partition
+            # / combine order — a double sum's low bits vary with
+            # partitioning and can flip the 6dp rounding at large scale.
+            # (double -> decimal(38,12) rounding can't tie: a tie needs the
+            # value to equal n*1e-12 + 5e-13 exactly, which is not a dyadic
+            # rational, so both engines round to the same nearest decimal.)
+            F.sum(col.cast("decimal(38,12)")).alias(f"{c}__sum_dec"),
         ]
     wide = df.agg(*aggs)
     rows = wide.selectExpr(*[
         f"struct('{c}' AS col_name, `{c}__n` AS n, `{c}__n_null` AS n_null, "
         f"`{c}__n_distinct` AS n_distinct, `{c}__min_v` AS min_v, "
-        f"`{c}__max_v` AS max_v, `{c}__sum_v` AS sum_v, "
-        f"`{c}__avg_v` AS avg_v) AS `{c}__s`"
+        f"`{c}__max_v` AS max_v, "
+        f"round(CAST(`{c}__sum_dec` AS DOUBLE), {ROUND}) AS sum_v, "
+        f"round(CAST(`{c}__sum_dec` AS DOUBLE) / `{c}__n`, {ROUND}) "
+        f"AS avg_v) AS `{c}__s`"
         for c in cols
     ])
     stacked = rows.select(
@@ -65,8 +73,10 @@ SELECT '{c}' AS col_name,
        count(DISTINCT {c}) AS n_distinct,
        round(CAST(min({c}) AS DOUBLE), {ROUND}) AS min_v,
        round(CAST(max({c}) AS DOUBLE), {ROUND}) AS max_v,
-       round(sum(CAST({c} AS DOUBLE)), {ROUND}) AS sum_v,
-       round(avg(CAST({c} AS DOUBLE)), {ROUND}) AS avg_v
+       round(CAST(sum(CAST({c} AS DECIMAL(38,12))) AS DOUBLE), {ROUND})
+         AS sum_v,
+       round(CAST(sum(CAST({c} AS DECIMAL(38,12))) AS DOUBLE) / count({c}),
+             {ROUND}) AS avg_v
 FROM {table}""")
     return " UNION ALL ".join(parts)
 

@@ -75,8 +75,13 @@ def pack_sequences(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn(
             "seq_id",
-            F.floor((F.col("cum_tokens") - F.col("n_tokens"))
-                    / F.lit(budget)).cast("long"),
+            # INTEGRAL division (`div`), not float `/` + floor: float
+            # division is exact only while cum_tokens < 2^53; past that a
+            # half-ulp round-up can cross the truncation boundary (same
+            # hazard fixed in graph.pagerank_int).  Operands are
+            # non-negative, so `div` == DuckDB `//` bit-exactly.
+            F.expr(f"(cum_tokens - n_tokens) div {int(budget)}")
+            .cast("long"),
         )
     )
     w_seq = Window.partitionBy("shard", "seq_id").orderBy(
@@ -174,7 +179,7 @@ def pack_sequences_sql(docs_cte: str, id_expr: str, token_expr: str,
     return f"""
 packed AS (
   SELECT id, shard,
-         CAST(floor((cum_tokens - n_tokens) / {budget}) AS BIGINT) AS seq_id,
+         CAST((cum_tokens - n_tokens) // {budget} AS BIGINT) AS seq_id,
          n_tokens, cum_tokens
   FROM (
     SELECT CAST({id_expr} AS BIGINT) AS id,

@@ -68,7 +68,22 @@ def sessionize_stream(
     session_gap_s from the last one closes the previous session; state
     timeout at the watermark closes the final session).  Gap comparisons
     run at MICROsecond precision — identical to sessionize_batch, so the
-    two are true twins on any input."""
+    two are true twins on any input.
+
+    KNOWN stream-only approximation (state holds ONE live session per
+    key): late-but-admitted events that form sessions EARLIER than the
+    stored one are emitted as closed immediately.  If a later batch
+    delivers another admitted event belonging to one of those
+    already-emitted early sessions, it starts a second session row, so
+    under REPEATED late arrivals into the same early session the stream
+    can split one logical session across rows where sessionize_batch
+    would merge them.  Holding every early session in state until the
+    watermark passes its end would fix it at the cost of unbounded
+    per-key state under sustained lateness; the batch pass downstream is
+    the exact answer, this stage favors bounded state (same contract as
+    stream_exact_dedup).  Single late arrivals — the common case — are
+    exact, and events within the gap of the stored session are always
+    merged exactly (min/max fold below)."""
 
     gap_us = session_gap_s * 1_000_000
 

@@ -302,6 +302,46 @@ WHERE rank <= 5
 """
 
 
+KNN_SELF_K = 3
+
+
+def q_knn_self(spark, sf_dir):
+    """Corpus-vs-corpus kNN: every point probes for its 3 nearest OTHER
+    points through the distributed planner (broadcast SAT + vectorized
+    mapInPandas radius planning — the probe side is never collected).
+    The 2-D generalization of reference getSiblings (codechunk.go:653-689)
+    and the ANN-dedup shape where probe == data."""
+    from tree_code_chunker_spark.operators.knn import knn_self_join
+
+    out = knn_self_join(_points(spark, sf_dir), k=KNN_SELF_K, res=10)
+    return out.select(
+        "query_id", "doc_id", "span_pos",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KNN_SELF = f"""
+{SPANS_CTE}, {POINTS_SQL}, scored AS (
+  SELECT a.doc_id || ':' || CAST(a.span_pos AS VARCHAR) AS query_id,
+         b.doc_id, b.span_pos,
+         (b.qlat - a.qlat) * (b.qlat - a.qlat)
+         + (b.qlon - a.qlon) * (b.qlon - a.qlon) AS d2
+  FROM points a JOIN points b
+    ON NOT (a.doc_id = b.doc_id AND a.span_pos = b.span_pos)
+)
+SELECT query_id, doc_id, span_pos, CAST(d2 AS BIGINT) AS d2,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2 ASC, doc_id ASC, span_pos ASC
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {KNN_SELF_K}
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return exact_dedup(d, "doc_id", "text").select(
@@ -2450,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green rounds must sit inside the window; long-green veterans
     # rotate to the back (they are additionally pinned by pytest).
     return {
+        "knn_self": q_knn_self,
         "sessionize": q_sessionize,
         "group_quantiles": q_group_quantiles,
         "geocode_float": q_geocode_float,
@@ -2512,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "knn_self": SQL_KNN_SELF,
         "sessionize": SQL_SESSIONIZE,
         "group_quantiles": SQL_GROUP_QUANTILES,
         "geocode_float": SQL_GEOCODE_FLOAT,

@@ -1,0 +1,167 @@
+"""Distributed-probe kNN: vectorized radius planning, the mapInPandas
+planner on a >=1e5-query probe set, and self-join kNN (the 2-D
+generalization of reference getSiblings, codechunk.go:653-689).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.config import GRID_BITS
+from tree_code_chunker_spark.operators.geo import derive_point_cols
+from tree_code_chunker_spark.operators.knn import (
+    SQRT2_DEN, SQRT2_NUM, KnnIndex, knn_bruteforce, knn_ring, knn_self_join,
+    plan_radii_np,
+)
+
+
+def _plan_radii_loop(sat, qlat, qlon, res_hist, res, k):
+    """r3 scalar reference implementation (per-query Python binary search)
+    — kept here as the golden for the vectorized kernel."""
+    n = 1 << res_hist
+    s_hist = 1 << (GRID_BITS - res_hist)
+    s_res = 1 << (GRID_BITS - res)
+    grid_cap = 1 << res
+
+    def disk_count(hy, hx, rho):
+        y0, y1 = max(hy - rho, 0), min(hy + rho, n - 1)
+        x0, x1 = max(hx - rho, 0), min(hx + rho, n - 1)
+        return (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+                - sat[y1 + 1, x0] + sat[y0, x0])
+
+    out = np.empty(len(qlat), dtype=np.int32)
+    for i in range(len(qlat)):
+        hy = int(qlat[i]) >> (GRID_BITS - res_hist)
+        hx = int(qlon[i]) >> (GRID_BITS - res_hist)
+        lo, hi = 0, n
+        if disk_count(hy, hx, hi) < k:
+            out[i] = grid_cap
+            continue
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if disk_count(hy, hx, mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        rho_hit = lo
+        d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+        out[i] = min(d_max // s_res + 1, grid_cap)
+    return out
+
+
+def _sat_from_grid(grid):
+    n = grid.shape[0]
+    sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+    np.cumsum(grid, axis=0, out=sat[1:, 1:])
+    np.cumsum(sat[1:, 1:], axis=1, out=sat[1:, 1:])
+    return sat
+
+
+@pytest.mark.parametrize("k", [1, 5, 64])
+def test_plan_radii_vectorized_matches_loop(k):
+    rng = np.random.RandomState(7)
+    res_hist, res = 6, 10
+    n = 1 << res_hist
+    # sparse grid with hot spots and empty swathes (the shapes that
+    # stress the bisection): ~10% occupied cells + two dense blocks
+    grid = np.where(rng.rand(n, n) < 0.1,
+                    rng.randint(1, 5, (n, n)), 0).astype(np.int64)
+    grid[3:6, 3:6] += 500
+    grid[40:42, 50:52] += 100
+    sat = _sat_from_grid(grid)
+    qlat = rng.randint(0, 1 << GRID_BITS, 4000).astype(np.int64)
+    qlon = rng.randint(0, 1 << GRID_BITS, 4000).astype(np.int64)
+    got = plan_radii_np(sat, qlat, qlon, res_hist, res, k)
+    want = _plan_radii_loop(sat, qlat, qlon, res_hist, res, k)
+    assert np.array_equal(got, want)
+
+
+def test_plan_radii_infeasible_caps_to_grid():
+    res_hist, res = 5, 8
+    n = 1 << res_hist
+    grid = np.zeros((n, n), dtype=np.int64)
+    grid[0, 0] = 3  # corpus of 3 points total
+    sat = _sat_from_grid(grid)
+    q = np.array([12345], dtype=np.int64)
+    out = plan_radii_np(sat, q, q, res_hist, res, k=10)
+    assert out[0] == (1 << res)  # k > corpus: search the whole grid
+
+
+def _corpus(spark, n, tag="c"):
+    """Deterministic integer-grid corpus derived from range ids (same
+    derivation as the bench points; no external data)."""
+    base = spark.range(n).select(
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("doc_id"),
+        (F.col("id") % 13).alias("span_pos"), F.col("id"))
+    qlat, qlon = derive_point_cols(F.col("id"), F.col("span_pos"))
+    return base.select("doc_id", "span_pos",
+                       qlat.alias("qlat"), qlon.alias("qlon"))
+
+
+def _key(rows):
+    return sorted((r["query_id"], r["rank"], r["doc_id"],
+                   r["span_pos"], r["d2"]) for r in rows)
+
+
+def test_knn_distributed_matches_bruteforce_large_probe(spark):
+    """>=1e5 probe rows through the mapInPandas planner (the probe side is
+    never collected) == brute force.  This is the corpus-vs-corpus scale
+    shape the driver planner cannot reach."""
+    n_q = 120_000
+    corpus = _corpus(spark, 250).cache()
+    qlat, qlon = derive_point_cols(F.col("id") * 7 + 3, F.lit(5))
+    queries = spark.range(n_q).select(
+        F.col("id").cast("string").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon")).cache()
+    k = 3
+    got = knn_ring(queries, corpus, k, res=8,
+                   probe_mode="distributed").collect()
+    want = knn_bruteforce(queries, corpus, k).collect()
+    assert _key(got) == _key(want)
+    assert len(want) == n_q * k
+
+
+def test_knn_distributed_matches_driver_small(spark):
+    corpus = _corpus(spark, 500).cache()
+    qlat, qlon = derive_point_cols(F.col("id") * 11 + 1, F.lit(2))
+    queries = spark.range(200).select(
+        F.col("id").cast("string").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon")).cache()
+    idx = KnnIndex(corpus, res=9)
+    a = knn_ring(queries, k=4, index=idx, probe_mode="driver").collect()
+    b = knn_ring(queries, k=4, index=idx, probe_mode="distributed").collect()
+    c = knn_ring(queries, k=4, index=idx, probe_mode="auto").collect()
+    assert _key(a) == _key(b) == _key(c)
+
+
+def test_knn_self_join_matches_bruteforce(spark):
+    corpus = _corpus(spark, 400).cache()
+    k = 3
+    got = knn_self_join(corpus, k=k, res=8).collect()
+    probes = corpus.select(
+        F.concat_ws(":", F.col("doc_id"),
+                    F.col("span_pos").cast("string")).alias("query_id"),
+        "qlat", "qlon")
+    want = knn_bruteforce(probes, corpus, k, exclude_self=True).collect()
+    assert _key(got) == _key(want)
+    assert len(got) == 400 * k
+    # identity exclusion, not distance exclusion: no row may be its own
+    # neighbor
+    for r in got:
+        assert r["query_id"] != f"{r['doc_id']}:{r['span_pos']}"
+
+
+def test_knn_self_join_keeps_colocated_twins(spark):
+    """Two points at the SAME coordinates must be each other's rank-1
+    neighbor at d2=0 — exclusion is by identity, never by distance."""
+    rows = [("a", 0, 100, 100), ("b", 0, 100, 100),
+            ("c", 0, 5000, 5000), ("d", 0, 5001, 5001),
+            ("e", 0, 60000, 60000), ("f", 0, 60002, 60001)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long")
+    out = {r["query_id"]: (r["doc_id"], r["d2"])
+           for r in knn_self_join(corpus, k=1, res=8).collect()}
+    assert out["a:0"] == ("b", 0)
+    assert out["b:0"] == ("a", 0)
+    assert out["c:0"] == ("d", 2)
+    assert out["e:0"] == ("f", 5)

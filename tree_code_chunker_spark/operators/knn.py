@@ -10,27 +10,48 @@ round and was ~20x slower):
  1. **Radius planning** (tiny): a cell-count histogram of the corpus at
     res_hist is collected once and turned into a summed-area table (SAT) —
     O(1) "how many corpus points within Chebyshev radius rho" per query.
-    Driver-side numpy binary-searches the smallest rho_hit whose disk
-    holds >= k points, then inflates it to a GUARANTEE radius rho_g with
+    A VECTORIZED numpy bisection (log2(n)+1 rounds of O(Q) SAT lookups —
+    no per-query Python) finds the smallest rho_hit whose disk holds >= k
+    points, then inflates it to a GUARANTEE radius rho_g with
     rho_g*S + 1 > sqrt(2) * ((rho_hit+1)*S_hist - 1) >= d_k, using the
     integer bound 1449/1024 > sqrt(2) — so no point outside the searched
     disk can beat the provisional k-th neighbor.  One histogram shuffle +
     one small collect, independent of corpus size.
+
+    The planner runs in one of two places:
+      * **driver** (small probe sets, the interactive contract): one tiny
+        toPandas + in-process numpy → a literal DataFrame; the candidate
+        join's DAG is pure JVM with zero Python workers.
+      * **distributed** (large probe sets / self-join): the SAT — an
+        (n+1)^2 int64 array, ~130 KB at res_hist 7 — is broadcast and the
+        same numpy kernel runs as an Arrow-batched mapInPandas over the
+        probe DataFrame.  The probe side is NEVER collected in this mode;
+        the only driver-sized data is one 2-value stats row.
+    `probe_mode='auto'` sniffs at most driver_probe_cap+1 rows to pick.
+
  2. **Candidate join** (one shuffle): each query explodes its own
     (2*rho_g+1)^2 cell offsets via F.sequence (per-row bounds — no driver
     loop), equi-joins the corpus on the cell key, exact top-k by INTEGER
     squared distance with total-order tie-break (d2, doc_id, span_pos) via
     row_number.
 
+**Self-join kNN** (`knn_self_join` — the 2-D generalization of reference
+getSiblings, codechunk.go:653-689, where EVERY chunk is a query): the
+corpus probes itself through the distributed planner; each point plans for
+k+1 (its own disk count includes itself) and an identity filter — not a
+distance filter, co-located twins at d2=0 must survive — drops the self
+row before top-k.
+
 Exactness: guaranteed by construction (step 1's radius bound), verified
-against brute force in tests and against a DuckDB brute-force oracle by the
-driver gate.  All-integer math -> bit-exact at any parallelism.
+against brute force in tests (including a >=1e5-query probe through the
+distributed path) and against a DuckDB brute-force oracle by the driver
+gate.  All-integer math -> bit-exact at any parallelism.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..config import DEFAULT_CELL_RES, GRID_BITS
 
@@ -53,55 +74,73 @@ def _scored(q: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
+def _self_key(tie_cols: list[str]) -> Column:
+    """Identity key of a corpus row in self-join mode: must equal the
+    probe-side query_id built by knn_self_join (concat_ws ':')."""
+    return F.concat_ws(":", *[F.col(c).cast("string") for c in tie_cols])
+
+
 def knn_bruteforce(
     queries: DataFrame, corpus: DataFrame, k: int,
     tie_cols: list[str] = ["doc_id", "span_pos"],
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact baseline: broadcast queries x full corpus + window top-k.
     O(Q x N) — correctness oracle and small-corpus fallback."""
     q = F.broadcast(queries.select(
         "query_id", F.col("qlat").alias("q_qlat"), F.col("qlon").alias("q_qlon")))
     c = corpus.select(*tie_cols, "qlat", "qlon")
-    return _topk(_scored(q, c), k, tie_cols).select(
+    scored = _scored(q, c)
+    if exclude_self:
+        scored = scored.filter(_self_key(tie_cols) != F.col("query_id"))
+    return _topk(scored, k, tie_cols).select(
         "query_id", *tie_cols, "d2", "rank")
 
 
 def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
                   res_hist: int, res: int, k: int) -> np.ndarray:
-    """Guarantee radius (in res-cells) per query from the histogram SAT —
-    plain numpy, run ON THE DRIVER: the query set is the small side by
-    contract and the SAT already lives there, so shipping 50 rows to an
-    executor python worker was one whole Spark job of pure fixed cost."""
+    """Guarantee radius (in res-cells) per query from the histogram SAT.
+
+    Fully VECTORIZED: one bisection over all queries at once — each round
+    is four fancy-indexed SAT reads over the whole query batch, and the
+    loop runs at most log2(n)+1 rounds (n = 2^res_hist), so there is no
+    per-query Python.  The same kernel serves both the driver planner
+    (tiny probe sets) and the executor-side mapInPandas planner (large
+    probe sets / self-join) — pinned equal to the r3 scalar-loop form by
+    tests/test_spark_e2e.py::test_plan_radii_vectorized_matches_loop."""
     n = 1 << res_hist
     s_hist = 1 << (GRID_BITS - res_hist)
     s_res = 1 << (GRID_BITS - res)
     grid_cap = 1 << res  # full-grid radius cap
 
-    def disk_count(hy: int, hx: int, rho: int) -> int:
-        y0, y1 = max(hy - rho, 0), min(hy + rho, n - 1)
-        x0, x1 = max(hx - rho, 0), min(hx + rho, n - 1)
+    hy = qlat.astype(np.int64) >> (GRID_BITS - res_hist)
+    hx = qlon.astype(np.int64) >> (GRID_BITS - res_hist)
+
+    def disk_counts(rho: np.ndarray) -> np.ndarray:
+        y0 = np.maximum(hy - rho, 0)
+        y1 = np.minimum(hy + rho, n - 1)
+        x0 = np.maximum(hx - rho, 0)
+        x1 = np.minimum(hx + rho, n - 1)
         return (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
                 - sat[y1 + 1, x0] + sat[y0, x0])
 
-    out = np.empty(len(qlat), dtype=np.int32)
-    for i in range(len(qlat)):
-        hy = int(qlat[i]) >> (GRID_BITS - res_hist)
-        hx = int(qlon[i]) >> (GRID_BITS - res_hist)
-        # binary search smallest rho_hit with disk count >= k
-        lo, hi = 0, n  # disk at rho=n covers the whole grid
-        if disk_count(hy, hx, hi) < k:
-            out[i] = grid_cap  # corpus smaller than k: search everything
-            continue
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if disk_count(hy, hx, mid) >= k:
-                hi = mid
-            else:
-                lo = mid + 1
-        rho_hit = lo
-        d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
-        out[i] = min(d_max // s_res + 1, grid_cap)
-    return out
+    lo = np.zeros(hy.shape, dtype=np.int64)
+    hi = np.full(hy.shape, n, dtype=np.int64)
+    # disk at rho=n covers the whole grid; if even that holds < k points
+    # the corpus is smaller than k and the caller must search everything
+    feasible = disk_counts(hi) >= k
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) >> 1
+        ge = disk_counts(mid) >= k
+        hi = np.where(active & ge, mid, hi)
+        lo = np.where(active & ~ge, mid + 1, lo)
+    rho_hit = lo  # smallest rho with disk count >= k (where feasible)
+    d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+    out = np.minimum(d_max // s_res + 1, grid_cap)
+    return np.where(feasible, out, grid_cap).astype(np.int32)
 
 
 class KnnIndex:
@@ -158,11 +197,34 @@ def knn_ring(
     max_rho: int = 64,
     broadcast_cap_rows: int = 4_000_000,
     index: KnnIndex | None = None,
+    probe_mode: str = "auto",
+    driver_probe_cap: int = 100_000,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Cell ring kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
     qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact.
+
     Pass a prebuilt KnnIndex to amortize the histogram/SAT across probe
-    batches (res/res_hist/tie_cols then come from the index)."""
+    batches (res/res_hist/tie_cols then come from the index).
+
+    probe_mode:
+      * 'driver' — collect the probe set and plan radii in-process (the
+        r1-r3 path; measured fastest for interactive-sized query sets: no
+        python worker in the join DAG).
+      * 'distributed' — broadcast the SAT and plan radii in a vectorized
+        mapInPandas over the probe DataFrame: the probe side is never
+        collected, so Q is bounded by the cluster, not the driver.  One
+        extra tiny action (a 2-value stats agg over the persisted planned
+        probe) picks broadcast-vs-shuffle and whether any sparse query
+        needs the brute-force union.
+      * 'auto' — sniff limit(driver_probe_cap+1): if the probe fits it IS
+        the driver collect (zero extra cost), else go distributed.
+
+    exclude_self: identity-exclusion for self-join probes — requires
+    query_id == concat_ws(':', tie_cols...) of the probe's own corpus row
+    (knn_self_join builds exactly that).  Plans for k+1 (each query's disk
+    count includes itself) and filters the identity row — NOT distance 0:
+    co-located twins must survive — before top-k."""
     spark = queries.sparkSession
     if index is None:
         if corpus is None:
@@ -174,33 +236,82 @@ def knn_ring(
             "knn_ring got BOTH corpus= and index= (built from a different "
             "DataFrame): the index's snapshot would silently win — pass "
             "one or the other")
+    if probe_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     res, res_hist, tie_cols = index.res, index.res_hist, index.tie_cols
     corp, sat = index.corp, index.sat
     shift = GRID_BITS - res
-    if index.total < k:  # whole corpus smaller than k: no prune possible
-        return knn_bruteforce(queries, index.corpus, k, tie_cols)
+    k_plan = k + 1 if exclude_self else k  # self row occupies one disk slot
+    self_pred = (_self_key(tie_cols) != F.col("query_id")) if exclude_self \
+        else None
+    if index.total < k_plan:  # whole corpus smaller than k: no prune possible
+        return knn_bruteforce(queries, index.corpus, k, tie_cols,
+                              exclude_self=exclude_self)
 
-    # plan the radii on the DRIVER (query set is the SMALL side by design):
-    # one tiny collect, numpy planning in-process, then a literal DataFrame
-    # — no executor python worker, no UDF in the candidate join's DAG, and
-    # the join plan is pure JVM end-to-end
-    q_pd = queries.select(
+    qsel = queries.select(
         "query_id",
-        F.col("qlat").alias("q_qlat"),
-        F.col("qlon").alias("q_qlon"),
-    ).toPandas()
-    q_pd["rho"] = plan_radii_np(
-        sat, q_pd["q_qlat"].to_numpy(np.int64),
-        q_pd["q_qlon"].to_numpy(np.int64), res_hist, res, k)
-    qid_type = dict(queries.dtypes)["query_id"]
-    q_all = spark.createDataFrame(
-        q_pd, f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, rho int"
+        F.col("qlat").cast("long").alias("q_qlat"),
+        F.col("qlon").cast("long").alias("q_qlon"),
     )
+    qid_type = dict(queries.dtypes)["query_id"]
+    plan_schema = f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, rho int"
+
+    q_pd = None
+    if probe_mode == "driver":
+        q_pd = qsel.toPandas()
+    elif probe_mode == "auto":
+        # sniff: for a small probe set this IS the driver collect (no
+        # wasted work); for a large one it is bounded at cap+1 rows
+        q_pd = qsel.limit(driver_probe_cap + 1).toPandas()
+        if len(q_pd) > driver_probe_cap:
+            q_pd = None  # too big for the driver: fall through
+
+    if q_pd is not None:
+        # --- driver planning: literal probe DataFrame, pure-JVM join DAG ---
+        q_pd["rho"] = plan_radii_np(
+            sat, q_pd["q_qlat"].to_numpy(np.int64),
+            q_pd["q_qlon"].to_numpy(np.int64), res_hist, res, k_plan)
+        q_all = spark.createDataFrame(q_pd, plan_schema)
+        rho_col = q_pd["rho"].to_numpy()
+        est_exploded = int(
+            ((2 * rho_col[rho_col <= max_rho] + 1) ** 2).sum())
+        has_sparse = bool((rho_col > max_rho).any())
+    else:
+        # --- distributed planning: broadcast SAT + vectorized mapInPandas;
+        # the probe side is NEVER collected in this mode ---
+        import pandas as pd
+
+        sat_b = spark.sparkContext.broadcast(sat)
+        rh, r, kp = res_hist, res, k_plan
+
+        def plan_part(batches):
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.copy()
+                    pdf["rho"] = plan_radii_np(
+                        sat_b.value, pdf["q_qlat"].to_numpy(np.int64),
+                        pdf["q_qlon"].to_numpy(np.int64), rh, r, kp)
+                else:
+                    pdf["rho"] = pd.Series([], dtype="int32")
+                yield pdf
+
+        # persist: the planned probe is read three times (stats agg, dense
+        # branch, sparse branch) and the planning UDF must not rerun
+        q_all = qsel.mapInPandas(plan_part, plan_schema).persist()
+        stats = q_all.agg(
+            F.sum(F.when(
+                F.col("rho") <= max_rho,
+                (2 * F.col("rho") + 1) * (2 * F.col("rho") + 1),
+            ).otherwise(F.lit(0))).alias("est"),
+            F.count(F.when(F.col("rho") > max_rho, 1)).alias("n_sparse"),
+        ).first()
+        est_exploded = int(stats["est"] or 0)
+        has_sparse = int(stats["n_sparse"]) > 0
+
     # sparse-region queries (huge guarantee radius) would explode the
     # candidate join; route them to the brute-force path instead
     q = q_all.filter(F.col("rho") <= max_rho)
     q_sparse = q_all.filter(F.col("rho") > max_rho)
-    has_sparse = bool((q_pd["rho"] > max_rho).any())
 
     # --- phase 2: one candidate join with per-query radius ---
     probe = (
@@ -223,22 +334,56 @@ def knn_ring(
     # the exploded probe is (2*rho+1)^2 rows per query — broadcast only while
     # the estimated exploded size fits comfortably in memory; past the cap,
     # fall back to a shuffle equi-join on the cell key (same result, bounded
-    # memory; a huge query set should not be able to OOM the driver)
-    rho_col = q_pd["rho"].to_numpy()
-    est_exploded = int(((2 * rho_col[rho_col <= max_rho] + 1) ** 2).sum())
+    # memory; a huge query set should not be able to OOM an executor)
     probe_side = F.broadcast(probe) if est_exploded <= broadcast_cap_rows else probe
     cand = probe_side.join(corp, ["ccy", "ccx"], "inner").withColumn(
         "d2",
         (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
         + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
     )
+    if self_pred is not None:
+        cand = cand.filter(self_pred)
     out = _topk(cand, k, tie_cols).select("query_id", *tie_cols, "d2", "rank")
     # only pay the brute-force corpus scan if some query actually needs it
     if has_sparse:
-        sparse_out = _topk(
-            _scored(F.broadcast(q_sparse.drop("rho")),
-                    corp.select(*tie_cols, "qlat", "qlon")),
-            k, tie_cols,
-        ).select("query_id", *tie_cols, "d2", "rank")
+        sparse_scored = _scored(
+            F.broadcast(q_sparse.drop("rho")),
+            corp.select(*tie_cols, "qlat", "qlon"))
+        if self_pred is not None:
+            sparse_scored = sparse_scored.filter(self_pred)
+        sparse_out = _topk(sparse_scored, k, tie_cols).select(
+            "query_id", *tie_cols, "d2", "rank")
         out = out.unionByName(sparse_out)
     return out
+
+
+def knn_self_join(
+    corpus: DataFrame, k: int = 5,
+    res: int = DEFAULT_CELL_RES,
+    tie_cols: list[str] = ["doc_id", "span_pos"],
+    res_hist: int | None = None,
+    max_rho: int = 64,
+    broadcast_cap_rows: int = 4_000_000,
+    index: KnnIndex | None = None,
+) -> DataFrame:
+    """Corpus-vs-corpus kNN: every corpus point probes for its k nearest
+    OTHER points — the 2-D generalization of reference getSiblings
+    (codechunk.go:653-689), and the ANN-dedup shape where the probe side
+    equals the data.  Runs the distributed planner unconditionally (the
+    probe side is the corpus — never collect it).
+
+    query_id in the output is the probe row's identity key
+    concat_ws(':', tie_cols...) — callers with ':'-free key columns (the
+    engine contract: doc_id/span_pos) can split it back losslessly.
+    Returns (query_id, tie_cols..., d2, rank <= k), exact; co-located
+    twins (d2=0) of the probe row are real neighbors and kept — only the
+    row's own identity is excluded."""
+    if index is None:
+        index = KnnIndex(corpus, res=res, tie_cols=tie_cols,
+                         res_hist=res_hist)
+    probes = index.corpus.select(
+        _self_key(index.tie_cols).alias("query_id"), "qlat", "qlon")
+    return knn_ring(
+        probes, k=k, max_rho=max_rho,
+        broadcast_cap_rows=broadcast_cap_rows, index=index,
+        probe_mode="distributed", exclude_self=True)

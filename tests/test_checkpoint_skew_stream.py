@@ -540,3 +540,75 @@ def test_stream_knn_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_path)
                  .drop("_batch_id").collect()))
     assert got == want
+
+
+def test_sessionize_two_phase_equals_single_window(spark):
+    """The scalable (key, time-bucket) two-phase sessionizer is
+    bit-identical to the single-window form at several bucket sizes —
+    including a bucket far SMALLER than the gap (heavy artificial
+    splitting, all repaired by the merge pass) and data where one
+    session straddles many buckets."""
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "ts")
+    # plus a synthetic key whose single session straddles many bucket
+    # edges (events every 5 min for 3 hours), and one with events exactly
+    # ON bucket edges
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    extra = [("straddle", (base + pd.Timedelta(minutes=5 * i)).to_pydatetime())
+             for i in range(37)]
+    extra += [("edges", (base + pd.Timedelta(seconds=3600 * i)).to_pydatetime())
+              for i in range(4)]
+    ev = ev.unionByName(spark.createDataFrame(
+        extra, "event_type string, ts timestamp"))
+    want = sorted(map(tuple, sessionize_batch(
+        ev, session_gap_s=1800, bucket_s=None).collect()))
+    assert len(want) > 0
+    for bucket_s in (600, 3600, 86400):
+        got = sorted(map(tuple, sessionize_batch(
+            ev, session_gap_s=1800, bucket_s=bucket_s).collect()))
+        assert got == want, f"bucket_s={bucket_s}"
+
+
+def test_sessionize_stream_equals_two_phase_batch_three_buckets(
+        spark, tmp_path):
+    """Stream sessionizer == two-phase batch on a session straddling
+    THREE 10-minute buckets (events every 5 min for 30 min; a 2h-later
+    event closes it in the stream)."""
+    import pandas as pd
+
+    from tree_code_chunker_spark.streaming.windows import (
+        sessionize_batch, sessionize_stream)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [("A", (base + pd.Timedelta(minutes=5 * i)).to_pydatetime(), 1.0)
+            for i in range(7)]  # 00:00 .. 00:30 — buckets 0, 1, 2, 3
+    rows.append(("A", (base + pd.Timedelta(minutes=200)).to_pydatetime(), 1.0))
+    schema = "event_type string, ts timestamp, value double"
+    src = str(tmp_path / "sess3b_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, session_gap_s=1800)
+    q = (out.writeStream.format("memory").queryName("sess3b")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sess3b"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {
+        (r["key"], int(r["session_start"].timestamp() * 1_000_000),
+         int(r["session_end"].timestamp() * 1_000_000), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess3b").collect()}
+    batch = sessionize_batch(
+        spark.createDataFrame(rows, schema), session_gap_s=1800,
+        bucket_s=600).collect()
+    straddler = [(r["key"], r["start_us"], r["end_us"], r["n_events"])
+                 for r in batch if r["n_events"] == 7]
+    assert len(straddler) == 1
+    # the 30-min session crosses bucket edges at 00:10, 00:20, 00:30 and
+    # the stream (which has no buckets) emits the identical closed row
+    assert straddler[0] in streamed

@@ -2484,6 +2484,56 @@ SQL_PAGERANK = f"""
 """
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """Dangling-mass PageRank variant: the proximity graph kept one
+    direction only (src < doc_id dst), so docs that never appear as a
+    source are true sinks; their mass is redistributed evenly each
+    iteration (M div n_nodes inside the damped term, integer-exact,
+    mirrored as scalar subqueries in the CTE chain)."""
+    from tree_code_chunker_spark.operators.graph import pagerank_int
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    b = pts.select(F.col("doc_id").alias("b_doc_id"), "qlat", "qlon")
+    edges = (
+        dwithin_join(pts, b, SELF_RADIUS,
+                     a_keep=("doc_id",), b_keep=("b_doc_id",))
+        # one direction only (byte-wise string <, identical in DuckDB for
+        # these ASCII ids) -> guaranteed dangling sinks
+        .filter(F.col("doc_id") < F.col("b_doc_id"))
+        .select(F.col("doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+        .distinct()
+    )
+    return pagerank_int(edges, iters=PR_ITERS,
+                        dangling="redistribute").select(
+        F.col("node").cast("string").alias("node"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def _pagerank_dangling_sql():
+    from tree_code_chunker_spark.operators.graph import pagerank_int_sql
+
+    edges = f"""
+pr_edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+   AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+  WHERE a.doc_id < b.doc_id
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {SELF_RADIUS * SELF_RADIUS}
+)"""
+    return edges + ", " + pagerank_int_sql(
+        "pr_edges", iters=PR_ITERS, dangling="redistribute")
+
+
+SQL_PAGERANK_DANGLING = f"""
+{SPANS_CTE}, {POINTS_SQL}, {_pagerank_dangling_sql()}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered newest-coverage-first: if the driver gate caps how many
     # entries it checks per round, the queries with the fewest prior
@@ -2491,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate to the back (they are additionally pinned by pytest).
     return {
         "knn_self": q_knn_self,
+        "pagerank_dangling": q_pagerank_dangling,
         "sessionize": q_sessionize,
         "group_quantiles": q_group_quantiles,
         "geocode_float": q_geocode_float,
@@ -2554,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_self": SQL_KNN_SELF,
+        "pagerank_dangling": SQL_PAGERANK_DANGLING,
         "sessionize": SQL_SESSIONIZE,
         "group_quantiles": SQL_GROUP_QUANTILES,
         "geocode_float": SQL_GEOCODE_FLOAT,

@@ -153,6 +153,23 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         .collect()
     ))
 
+    # analytics breadth stages (round-4 additions): the two-phase batch
+    # sessionizer, the OD-flow aggregation over the full 9.2M-point
+    # corpus, and one PageRank iteration over the order->part bipartite
+    # graph (the per-iteration edge-join + agg is THE unit of iterative
+    # graph cost; edge count scales with lineitem)
+    from tree_code_chunker_spark.operators.graph import pagerank_int
+    from tree_code_chunker_spark.operators.spatial import od_matrix
+    from tree_code_chunker_spark.streaming.windows import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("sessionize", lambda: sessionize_batch(ev).count())
+    timed("od_matrix", lambda: od_matrix(pts, 4).count())
+    pr_edges = li.select(F.col("l_orderkey").alias("src"),
+                         F.col("l_partkey").alias("dst"))
+    timed("pagerank_1it", lambda: pagerank_int(pr_edges, iters=1).count())
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "pip_tile_docs_per_sec",

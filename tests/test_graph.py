@@ -70,3 +70,93 @@ def test_pagerank_sink_concentrates_rank(spark):
     assert all(hub > v for n, v in got.items() if n != 99)
     # spokes have no in-edges: rank = base every iteration
     assert got[1] == SCALE * 15 // 100
+
+
+def _pagerank_py_dangling(edges, iters=5, num=85, den=100, scale=SCALE):
+    """Python mirror of dangling='redistribute' (integer semantics)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = scale * (den - num) // den
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        arrived = {}
+        for s, d in edges:
+            arrived[d] = arrived.get(d, 0) + rank[s] // deg[s]
+        mass = sum(rank[n] for n in nodes if n not in deg)
+        share = mass // len(nodes)
+        rank = {n: base + num * (arrived.get(n, 0) + share) // den
+                for n in nodes}
+    return rank
+
+
+def test_pagerank_deltas_monotone(spark):
+    """L1 rank deltas decay geometrically with damping — the telemetry a
+    user reads to choose `iters` from data."""
+    rng = np.random.RandomState(71)
+    edges = _rand_edges(rng, n_nodes=30, n_edges=150)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    deltas = []
+    pagerank_int(df, iters=6, deltas_out=deltas).collect()
+    assert len(deltas) == 6
+    assert deltas[0] > 0
+    assert all(deltas[i + 1] <= deltas[i] for i in range(5))
+    assert deltas[5] < deltas[0] // 4  # geometric decay, not a plateau
+
+
+def test_pagerank_tol_early_stop(spark):
+    rng = np.random.RandomState(73)
+    edges = _rand_edges(rng, n_nodes=20, n_edges=80)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    deltas = []
+    out = pagerank_int(df, iters=50, tol=10_000, deltas_out=deltas)
+    got = {r.node: r.rank for r in out.collect()}
+    assert len(deltas) < 50  # converged early
+    assert deltas[-1] <= 10_000 and all(d > 10_000 for d in deltas[:-1])
+    # the returned vector is exactly the len(deltas)-iteration result
+    want = _pagerank_py(edges, iters=len(deltas))
+    assert got == want
+
+
+def test_pagerank_dangling_redistribute_vs_python(spark):
+    # chain + star with true sinks: nodes with no out-edges hold mass
+    edges = [(1, 2), (2, 3), (1, 3), (4, 3), (5, 1), (5, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.rank
+           for r in pagerank_int(df, iters=5,
+                                 dangling="redistribute").collect()}
+    assert got == _pagerank_py_dangling(edges, iters=5)
+    # redistribution conserves the dangling mass the drop variant loses
+    drop = {r.node: r.rank for r in pagerank_int(df, iters=5).collect()}
+    assert sum(got.values()) > sum(drop.values())
+
+
+def test_pagerank_dangling_noop_without_sinks(spark):
+    # symmetric edges -> every node has out-degree >= 1 -> zero dangling
+    # mass -> redistribute == drop bit-for-bit
+    base = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = base + [(d, s) for s, d in base]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = sorted(map(tuple, pagerank_int(df, iters=4).collect()))
+    b = sorted(map(tuple, pagerank_int(
+        df, iters=4, dangling="redistribute").collect()))
+    assert a == b
+
+
+def test_pagerank_dangling_duckdb_mirror(spark):
+    import duckdb
+
+    rng = np.random.RandomState(79)
+    # asymmetric random edges (keep src < dst) -> guaranteed sinks
+    edges = sorted({(s, d) if s < d else (d, s)
+                    for s, d in _rand_edges(rng, n_nodes=25, n_edges=90)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted((r.node, r.rank)
+                 for r in pagerank_int(
+                     df, iters=4, dangling="redistribute").collect())
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = (f"WITH e(src, dst) AS (VALUES {vals}), "
+           + pagerank_int_sql("e", iters=4, dangling="redistribute"))
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want

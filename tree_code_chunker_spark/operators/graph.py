@@ -35,16 +35,40 @@ def pagerank_int(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = SCALE,
+    dangling: str = "drop",
+    deltas_out: list | None = None,
+    tol: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) directed -> (node, rank) after `iters` iterations.
 
     Every node starts at `scale` units; base = scale*(den-num) div den.
-    Nodes = distinct src union dst.  Dangling nodes keep receiving base
-    but forward nothing (their mass is dropped, the classic simple
-    variant).  Returns node, rank (bigint, fixed-point 1/scale units).
+    Nodes = distinct src union dst.  Returns node, rank (bigint,
+    fixed-point 1/scale units).
+
+    dangling:
+      * 'drop' (default) — dangling nodes keep receiving base but forward
+        nothing; their mass is dropped (the classic simple variant).
+      * 'redistribute' — each iteration the total dangling mass M is
+        split evenly: every node additionally receives M div n_nodes
+        inside the damped term.  M and n_nodes ride the plan as one-row
+        cross-joined aggregates (broadcast nested loop of a single row),
+        so the variant stays fully lazy — no per-iteration driver action
+        — and stays integer-exact / CTE-mirrorable (scalar subqueries).
+
+    deltas_out: pass a list to receive the per-iteration L1 rank delta
+    sum(|rank_i - rank_{i-1}|) in scale units — ONE extra agg per
+    iteration over the node-sized vector (an action, so only pay it when
+    asked).  The deltas decay geometrically with the damping factor,
+    so `iters` can be chosen from data instead of guessed.
+
+    tol: with deltas enabled (implies the per-iteration agg), stop early
+    once the L1 delta <= tol scale units; the returned vector is the
+    first one meeting the tolerance.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"unknown dangling mode {dangling!r}")
     base = scale * (damping_den - damping_num) // damping_den
     e = edges.select(F.col("src"), F.col("dst")).localCheckpoint(eager=False)
     nodes = (
@@ -55,6 +79,8 @@ def pagerank_int(
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")).localCheckpoint(eager=False)
+    n_nodes_df = nodes.agg(F.count("*").alias("n_nodes"))
+    track = deltas_out is not None or tol is not None
     rank = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iters):
         # per-edge contribution = floor(src rank / src out-degree)
@@ -68,17 +94,41 @@ def pagerank_int(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("arrived"))
         )
-        rank = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.expr(
-                    f"(({damping_num} * coalesce(arrived, CAST(0 AS BIGINT)))"
-                    f" div {damping_den})"))
-                .cast("long").alias("rank"),
+        gathered = nodes.join(contrib, "node", "left")
+        if dangling == "redistribute":
+            # one-row aggregates ride the plan via crossJoin (broadcast
+            # nested loop of a single row) — lazy, deterministic, integer
+            dang_df = (
+                rank.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long")
+                     .alias("dang_mass"))
             )
+            gathered = gathered.crossJoin(dang_df).crossJoin(n_nodes_df)
+            damped = F.expr(
+                f"(({damping_num} * (coalesce(arrived, CAST(0 AS BIGINT))"
+                f" + (dang_mass div n_nodes))) div {damping_den})")
+        else:
+            damped = F.expr(
+                f"(({damping_num} * coalesce(arrived, CAST(0 AS BIGINT)))"
+                f" div {damping_den})")
+        new_rank = (
+            gathered.select(
+                "node", (F.lit(base) + damped).cast("long").alias("rank"))
             .localCheckpoint(eager=False)
         )
+        if track:
+            delta = int(
+                rank.join(
+                    new_rank.withColumnRenamed("rank", "rank_new"), "node")
+                .agg(F.sum(F.abs(F.col("rank_new") - F.col("rank"))))
+                .first()[0])
+            if deltas_out is not None:
+                deltas_out.append(delta)
+            rank = new_rank
+            if tol is not None and delta <= tol:
+                break
+        else:
+            rank = new_rank
     return rank
 
 
@@ -88,13 +138,19 @@ def pagerank_int_sql(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = SCALE,
+    dangling: str = "drop",
 ) -> str:
     """DuckDB mirror: chained per-iteration CTEs over `edges_cte`(src, dst).
 
     Returns 'cte1 AS (...), ..., cteN AS (...)' plus a final SELECT of
     (node, rank).  Integer ops match pagerank_int exactly: both engines use
-    INTEGRAL division (`div` / `//`) on non-negative operands.
+    INTEGRAL division (`div` / `//`) on non-negative operands.  The
+    dangling='redistribute' variant mirrors the engine's one-row mass
+    aggregates as scalar subqueries (per-iteration dangling mass via an
+    anti-join on out-degree, split M div n_nodes inside the damped term).
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"unknown dangling mode {dangling!r}")
     base = scale * (damping_den - damping_num) // damping_den
     ctes = [
         f"pr_nodes AS (SELECT DISTINCT node FROM "
@@ -107,9 +163,18 @@ def pagerank_int_sql(
     ]
     for i in range(1, iters + 1):
         prev = f"pr_r{i - 1}"
+        if dangling == "redistribute":
+            recv = (
+                f"(COALESCE(s.arrived, 0) + "
+                f"(SELECT COALESCE(SUM(r.rank), 0) FROM {prev} r "
+                f"LEFT JOIN pr_deg d ON r.node = d.node "
+                f"WHERE d.node IS NULL) "
+                f"// (SELECT count(*) FROM pr_nodes))")
+        else:
+            recv = "COALESCE(s.arrived, 0)"
         ctes.append(
             f"pr_r{i} AS (SELECT n.node, CAST({base} + "
-            f"({damping_num} * COALESCE(s.arrived, 0)) // {damping_den} "
+            f"({damping_num} * {recv}) // {damping_den} "
             f"AS BIGINT) AS rank "
             f"FROM pr_nodes n LEFT JOIN ("
             f"SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) "

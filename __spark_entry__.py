@@ -262,6 +262,31 @@ FROM points JOIN rects
 """
 
 
+def q_pip_anti(spark, sf_dir):
+    """Points contained in NO polygon (the spatial filter-out): pip_join
+    finds the matches off the broadcast classified cover, then one LEFT
+    ANTI equi-join on the point identity drops them — probe side still
+    never shuffled by the PIP stage itself."""
+    from tree_code_chunker_spark.operators.pip import pip_anti_join
+
+    pts = _points(spark, sf_dir)
+    polys = _rect_polygons(spark)
+    return pip_anti_join(pts, polys).select(
+        "doc_id", "span_pos", "qlat", "qlon")
+
+
+SQL_PIP_ANTI = f"""
+{SPANS_CTE}, {POINTS_SQL}, {RECTS_SQL}
+SELECT doc_id, span_pos, qlat, qlon
+FROM points p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rects r
+  WHERE p.qlat >= r.y0 AND p.qlat < r.y1
+    AND p.qlon >= r.x0 AND p.qlon < r.x1
+)
+"""
+
+
 def q_knn(spark, sf_dir):
     corpus = _points(spark, sf_dir)
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -2542,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_self": q_knn_self,
         "pagerank_dangling": q_pagerank_dangling,
+        "pip_anti": q_pip_anti,
         "sessionize": q_sessionize,
         "group_quantiles": q_group_quantiles,
         "geocode_float": q_geocode_float,
@@ -2606,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn_self": SQL_KNN_SELF,
         "pagerank_dangling": SQL_PAGERANK_DANGLING,
+        "pip_anti": SQL_PIP_ANTI,
         "sessionize": SQL_SESSIONIZE,
         "group_quantiles": SQL_GROUP_QUANTILES,
         "geocode_float": SQL_GEOCODE_FLOAT,

@@ -612,3 +612,38 @@ def test_sessionize_stream_equals_two_phase_batch_three_buckets(
     # the 30-min session crosses bucket edges at 00:10, 00:20, 00:30 and
     # the stream (which has no buckets) emits the identical closed row
     assert straddler[0] in streamed
+
+
+def test_stream_dwithin_matches_batch(spark, tmp_path):
+    """Streaming radius join (stream-static, broadcast 3x3 static side)
+    == batch dwithin_join on the same points."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+    from tree_code_chunker_spark.streaming.stream_chunk import stream_dwithin
+
+    rng = np.random.RandomState(37)
+    pts_rows = [(int(i), 0, int(rng.randint(0, 65536)),
+                 int(rng.randint(0, 65536))) for i in range(3000)]
+    pts = spark.createDataFrame(
+        pts_rows, "doc_id bigint, span_pos bigint, qlat bigint, qlon bigint")
+    q_rows = [(int(i), int(rng.randint(0, 65536)), int(rng.randint(0, 65536)))
+              for i in range(40)]
+    queries = spark.createDataFrame(
+        q_rows, "query_id bigint, qlat bigint, qlon bigint")
+    radius = 3000
+    want = sorted(map(tuple, dwithin_join(
+        pts, queries, radius, broadcast_b=True).collect()))
+    assert len(want) > 0
+
+    src = str(tmp_path / "dw_pts")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    out = stream_dwithin(stream, queries, radius)
+    q = (out.writeStream.format("memory").queryName("sdw")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dw"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sdw").collect()))
+    assert got == want

@@ -110,3 +110,27 @@ def test_determinism_across_parallelism(spark, docs):
     a = sorted(map(tuple, out1.select(*k, "text", "nws_size").collect()))
     b = sorted(map(tuple, out8.select(*k, "text", "nws_size").collect()))
     assert a == b
+
+
+def test_pip_anti_partitions_points(spark, docs):
+    """pip_anti_join is the exact complement of pip_join's matched key
+    set: hits + anti == all points, disjoint, nothing dropped."""
+    from tree_code_chunker_spark.operators.pip import pip_anti_join, pip_join
+    from tree_code_chunker_spark.sources.datagen import gen_polygons
+
+    chunks = chunk_documents(docs, max_size=1500)
+    pts = chunks.select(
+        "doc_id", F.col("chunk_index").alias("span_pos")
+    ).withColumn("doc_key", F.abs(F.hash("doc_id")).cast("long"))
+    qlat, qlon = derive_point_cols(F.col("doc_key"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos",
+                     qlat.alias("qlat"), qlon.alias("qlon")).cache()
+    polys = gen_polygons(spark, 60, seed=43)
+    hits = pip_join(pts, polys).select("doc_id", "span_pos").distinct().cache()
+    anti = pip_anti_join(pts, polys).cache()
+    n_pts, n_hits, n_anti = pts.count(), hits.count(), anti.count()
+    assert 0 < n_hits < n_pts
+    assert n_anti == n_pts - n_hits
+    assert anti.join(hits, ["doc_id", "span_pos"], "inner").count() == 0
+    # anti rows pass through with all their columns intact
+    assert anti.columns == pts.columns

@@ -499,3 +499,32 @@ def pip_join(
             ).select(*keep_cols, "polygon_id", "qlat", "qlon")
         )
     return out
+
+
+def pip_anti_join(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    res: int = DEFAULT_COVER_RES,
+    keys: tuple[str, ...] = ("doc_id", "span_pos"),
+    index: PolygonIndex | None = None,
+) -> DataFrame:
+    """Points contained in NO polygon — the spatial filter-out (mask out
+    covered regions, keep open water/unzoned points, etc.).
+
+    Scale shape: the ordinary pip_join finds the matches (broadcast
+    classified cover, probe never shuffled), their `keys` are distinct'd
+    (matches <= points, usually far fewer), and one LEFT ANTI equi-join on
+    `keys` drops them from the original point set — the anti join shuffles
+    on the compact key columns only, and every input column of `points`
+    passes through untouched (the anti join adds none).
+
+    `keys` must uniquely identify a point row (the engine contract's
+    doc_id/span_pos); a duplicate key would drop its innocent twin.
+    """
+    hits = (
+        pip_join(points, polygons=polygons, res=res,
+                 keep_cols=tuple(keys), index=index)
+        .select(*keys)
+        .distinct()
+    )
+    return points.join(hits, list(keys), "left_anti")

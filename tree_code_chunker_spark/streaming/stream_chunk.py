@@ -85,6 +85,32 @@ def stream_pip(points_stream: DataFrame, index) -> DataFrame:
     return pip_join(points_stream, index=index)
 
 
+def stream_dwithin(
+    points_stream: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    b_keep: tuple[str, ...] = ("query_id",),
+    res: int | None = None,
+) -> DataFrame:
+    """Streaming radius join: an unbounded point stream against a STATIC
+    query set (geofences, sensor sites) — every (point, query) pair within
+    `radius`, exact integer d2.
+
+    Stateless stream-static equi-join: the static side is exploded to its
+    3x3 cell neighborhood and broadcast (it is the small side by
+    contract), each micro-batch probes it exactly like the batch path
+    (operators/spatial.dwithin_join), so stream output == batch output on
+    the same rows — pinned by tests/test_checkpoint_skew_stream.py.  No
+    watermark is needed (no state accrues).  Completes streaming parity
+    for the whole spatial-join surface: chunk, PIP, tiles, kNN, dwithin.
+    """
+    from ..operators.spatial import dwithin_join
+
+    return dwithin_join(points_stream, queries, radius, a_keep=a_keep,
+                        b_keep=b_keep, res=res, broadcast_b=True)
+
+
 def run_stream_knn(
     query_stream: DataFrame,
     index,

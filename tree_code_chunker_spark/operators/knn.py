@@ -333,9 +333,18 @@ def knn_ring(
     )
     # the exploded probe is (2*rho+1)^2 rows per query — broadcast only while
     # the estimated exploded size fits comfortably in memory; past the cap,
-    # fall back to a shuffle equi-join on the cell key (same result, bounded
-    # memory; a huge query set should not be able to OOM an executor)
-    probe_side = F.broadcast(probe) if est_exploded <= broadcast_cap_rows else probe
+    # FORCE a sort-merge join on the cell key (same result, spill-safe).
+    # The hint is load-bearing, not cosmetic — both measured at 162k
+    # probes x 25 cells vs the 9.2M bench corpus: (a) Catalyst sizes an
+    # explode at its child's row count, so a large probe set still looks
+    # broadcastable to AQE and the un-hinted plan OOMs building the
+    # broadcast table; (b) a shuffle_hash hint OOMs too once AQE
+    # partition coalescing folds the underestimated build side into a few
+    # oversized partitions (hash builds cannot spill).  Sort-merge spills
+    # gracefully and the downstream top-k wants no particular
+    # partitioning preserved.
+    probe_side = (F.broadcast(probe) if est_exploded <= broadcast_cap_rows
+                  else probe.hint("merge"))
     cand = probe_side.join(corp, ["ccy", "ccx"], "inner").withColumn(
         "d2",
         (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
@@ -377,8 +386,18 @@ def knn_self_join(
     engine contract: doc_id/span_pos) can split it back losslessly.
     Returns (query_id, tie_cols..., d2, rank <= k), exact; co-located
     twins (d2=0) of the probe row are real neighbors and kept — only the
-    row's own identity is excluded."""
+    row's own identity is excluded.
+
+    res_hist defaults FINER here than in interactive knn_ring
+    (min(res, 10) instead of min(res, 7)): the guarantee-radius
+    overshoot of a coarse histogram is multiplied by EVERY corpus row
+    when the probe side is the corpus — measured 625 candidate cells per
+    probe at rh7 vs 25 at rh10 on the 9.2M-point bench corpus, a 25x
+    candidate-volume swing for a one-off 3s histogram (SAT at rh10 is
+    8 MB, still a trivial broadcast)."""
     if index is None:
+        if res_hist is None:
+            res_hist = min(res, 10)
         index = KnnIndex(corpus, res=res, tie_cols=tie_cols,
                          res_hist=res_hist)
     probes = index.corpus.select(

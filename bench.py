@@ -129,21 +129,15 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
 
     # corpus-vs-corpus kNN through the DISTRIBUTED planner (broadcast SAT
     # + mapInPandas radius planning — the probe side is never collected):
-    # a ~160k-point slice of the corpus probes the full 9.2M-point index
-    # for its nearest other points.  This is the ANN-dedup / getSiblings
-    # shape the r3 driver-side planner could not reach.  Non-hot probes
-    # only, same rationale as the dwithin stage: a hot-box probe's k-ring
-    # disk contains the ~600k co-located hot points (one res-10 cell
-    # holds a whole 64x64 hot box), so hot self-kNN is output-bound
-    # candidate materialization, not join engine — the skew path is
-    # already measured by pip/tile.
-    from tree_code_chunker_spark.operators.geo import HOT_DOC_MOD
+    # a ~200k-point slice of the corpus, INCLUDING the hot boxes, probes
+    # the full 9.2M-point index for its nearest other points.  This is
+    # the ANN-dedup / getSiblings shape the r3 driver-side planner could
+    # not reach; hot probes ride the index's density-adaptive fine tier
+    # (unit-granularity local SATs) and near-hot probes the known-hot
+    # salted merge join — without them this stage does not finish.
     from tree_code_chunker_spark.operators.knn import _self_key
 
-    probe_self = pts.filter(
-        (F.col("span_pos") % 46 == 0)
-        & (F.col("doc_id").cast("long") % HOT_DOC_MOD != 0)
-    ).select(
+    probe_self = pts.filter(F.col("span_pos") % 46 == 0).select(
         _self_key(["doc_id", "span_pos"]).alias("query_id"), "qlat", "qlon")
     # self-probing needs the FINE histogram (rh10): coarse-rh radius
     # overshoot multiplies by every probe (see knn_self_join docstring)
@@ -157,7 +151,7 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
                  exclude_self=True).count()
         return time.perf_counter() - t0
 
-    timings["knn_self_160k"] = round(
+    timings["knn_self_200k"] = round(
         min(knn_self_once() for _ in range(2)), 3)
 
     # dwithin radius join (spatial-join breadth): ~9.2M points x ~800

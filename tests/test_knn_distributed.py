@@ -165,3 +165,86 @@ def test_knn_self_join_keeps_colocated_twins(spark):
     assert out["b:0"] == ("a", 0)
     assert out["c:0"] == ("d", 2)
     assert out["e:0"] == ("f", 5)
+
+
+def _cluster_corpus(spark, n_hot=20_000, n_uniform=3_000):
+    """Dense cluster straddling a hist-cell boundary + uniform background.
+
+    At res=10/res_hist=10 the hist cell side is 64; the cluster spans
+    coords 1000..1063 on both axes, crossing the 1024 cell edge, so FOUR
+    hist cells go hot and edge probes exercise the clipped-disk fallback.
+    """
+    hot = spark.range(n_hot).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit(0).cast("long").alias("span_pos"),
+        (1000 + F.xxhash64(F.col("id")) % 64
+         + F.when(F.xxhash64(F.col("id")) % 64 < 0, 64).otherwise(0)
+         ).alias("qlat"),
+        (1000 + F.xxhash64(F.col("id"), F.lit(1)) % 64
+         + F.when(F.xxhash64(F.col("id"), F.lit(1)) % 64 < 0, 64)
+         .otherwise(0)).alias("qlon"),
+    )
+    uni = spark.range(n_uniform).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit(0).cast("long").alias("span_pos"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % 65536).alias("qlat"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(3))) % 65536).alias("qlon"),
+    )
+    return hot.unionByName(uni)
+
+
+def test_knn_fine_tier_self_join_matches_bruteforce(spark):
+    """Self-join kNN over a corpus with a dense cluster: the fine tier
+    must activate (hot cells get local SATs) and the result must equal
+    brute force — including co-located duplicates inside the cluster and
+    cell-edge probes that fall back to the coarse plan."""
+    corpus = _cluster_corpus(spark).cache()
+    idx = KnnIndex(corpus, res=10, res_hist=10, hot_cell_cap=2_000)
+    assert idx.fine_sats, "dense cluster must trigger the fine tier"
+    assert idx.corp_fine is not None
+    from tree_code_chunker_spark.operators.knn import knn_self_join
+
+    k = 3
+    # probe subset: 1200 cluster points + 300 uniform (bruteforce cost)
+    probes_src = corpus.filter(
+        ((F.col("doc_id").startswith("h"))
+         & (F.substring("doc_id", 2, 10).cast("long") % 17 == 0))
+        | ((F.col("doc_id").startswith("u"))
+           & (F.substring("doc_id", 2, 10).cast("long") % 10 == 0))
+    ).cache()
+    probes = probes_src.select(
+        F.concat_ws(":", F.col("doc_id"),
+                    F.col("span_pos").cast("string")).alias("query_id"),
+        "qlat", "qlon")
+    got = knn_ring(probes, k=k, index=idx, probe_mode="distributed",
+                   exclude_self=True).collect()
+    want = knn_bruteforce(probes, corpus, k, exclude_self=True).collect()
+    assert _key(got) == _key(want)
+    assert len(got) == probes_src.count() * k
+
+
+def test_knn_fine_tier_interactive_queries(spark):
+    """Driver-planned (small probe set) queries inside and around the
+    dense cluster route through the fine tier and stay exact."""
+    corpus = _cluster_corpus(spark).cache()
+    idx = KnnIndex(corpus, res=10, res_hist=10, hot_cell_cap=2_000)
+    rows = [("inhot", 1030, 1030), ("edge", 1000, 1063),
+            ("nearhot", 1100, 1100), ("far", 50000, 50000)]
+    queries = spark.createDataFrame(
+        rows, "query_id string, qlat long, qlon long")
+    for mode in ("driver", "distributed"):
+        got = knn_ring(queries, k=5, index=idx, probe_mode=mode).collect()
+        want = knn_bruteforce(queries, corpus, 5).collect()
+        assert _key(got) == _key(want), mode
+
+
+def test_knn_fine_tier_disabled_still_exact(spark):
+    corpus = _cluster_corpus(spark, n_hot=5_000, n_uniform=500).cache()
+    idx = KnnIndex(corpus, res=10, res_hist=10, hot_cell_cap=None)
+    assert not idx.fine_sats and idx.corp_fine is None
+    queries = spark.createDataFrame(
+        [("a", 1030, 1030), ("b", 40000, 40000)],
+        "query_id string, qlat long, qlon long")
+    got = knn_ring(queries, k=4, index=idx).collect()
+    want = knn_bruteforce(queries, corpus, 4).collect()
+    assert _key(got) == _key(want)

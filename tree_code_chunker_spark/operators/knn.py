@@ -143,6 +143,73 @@ def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
     return np.where(feasible, out, grid_cap).astype(np.int32)
 
 
+def plan_radii_fine_np(fine_sats: dict, qlat: np.ndarray, qlon: np.ndarray,
+                       res_hist: int, k: int,
+                       fine_max_rho: int) -> np.ndarray:
+    """UNIT-granularity guarantee radius for probes inside hot histogram
+    cells (the density-adaptive tier).  Returns rho in GRID UNITS per
+    probe, or -1 where the fine tier does not apply (probe not in a hot
+    cell, clipped disk short of k, or radius past fine_max_rho).
+
+    Exactness argument: each hot cell carries a local SAT of its own
+    s_hist x s_hist unit grid.  If the disk of Chebyshev radius rho_hit
+    UNITS around the probe, CLIPPED to the cell, holds >= k points, those
+    k points are within Euclidean sqrt(2)*rho_hit of the probe — a valid
+    upper bound on the true k-th distance d_k regardless of clipping
+    (points outside the cell can only be closer).  Any point with
+    Euclidean distance <= d_k has Chebyshev distance <= d_k, so searching
+    Chebyshev radius d_max = floor(1449*rho_hit/1024)+1 >= d_k units
+    around the probe (against the FULL corpus, margin-expanded — not just
+    the hot cell) is exact.  Probes whose clipped disk never reaches k
+    (cell-edge slivers) fall back to the coarse plan: exact either way.
+    """
+    s = 1 << (GRID_BITS - res_hist)
+    out = np.full(qlat.shape, -1, dtype=np.int32)
+    if not fine_sats:
+        return out
+    hy = qlat.astype(np.int64) >> (GRID_BITS - res_hist)
+    hx = qlon.astype(np.int64) >> (GRID_BITS - res_hist)
+    for (cy, cx), fsat in fine_sats.items():
+        m = (hy == cy) & (hx == cx)
+        if not m.any():
+            continue
+        ly = (qlat[m].astype(np.int64)) - cy * s
+        lx = (qlon[m].astype(np.int64)) - cx * s
+
+        def disk(rho):
+            y0 = np.maximum(ly - rho, 0)
+            y1 = np.minimum(ly + rho, s - 1)
+            x0 = np.maximum(lx - rho, 0)
+            x1 = np.minimum(lx + rho, s - 1)
+            return (fsat[y1 + 1, x1 + 1] - fsat[y0, x1 + 1]
+                    - fsat[y1 + 1, x0] + fsat[y0, x0])
+
+        lo = np.zeros(ly.shape, dtype=np.int64)
+        hi = np.full(ly.shape, s - 1, dtype=np.int64)
+        feasible = disk(hi) >= k
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) >> 1
+            ge = disk(mid) >= k
+            hi = np.where(active & ge, mid, hi)
+            lo = np.where(active & ~ge, mid + 1, lo)
+        d_max = (SQRT2_NUM * lo) // SQRT2_DEN + 1
+        # no +1 cell here, unlike the coarse planner: at unit granularity
+        # the probe IS its cell (zero in-cell offset), and d_max already
+        # strictly exceeds sqrt(2)*rho_hit >= d_k, so a Chebyshev search
+        # of d_max units covers every point with Euclid <= d_k, ties
+        # included (Cheb <= Euclid).  25 -> 9 candidate cells at rho_hit=0
+        # — a 3x candidate-volume cut on dense clusters.
+        rho_f = d_max.astype(np.int32)
+        out[m] = np.where(feasible & (rho_f <= fine_max_rho), rho_f, -1)
+    return out
+
+
+FINE_MAX_RHO = 64  # unit-radius cap for the fine tier (margin bound)
+
+
 class KnnIndex:
     """Build-once corpus side of the ring kNN: the cell-keyed corpus
     projection plus the histogram SAT used for radius planning.
@@ -150,12 +217,32 @@ class KnnIndex:
     Amortizes the one histogram shuffle + collect across many probe
     batches (interactive query streams, the bench, foreachBatch) — the
     corpus analogue of pip.PolygonIndex.  Independent of k and of the
-    query set."""
+    query set.
+
+    **Density-adaptive fine tier** (hot_cell_cap): histogram cells holding
+    more than hot_cell_cap points (a whole hot spot can fall inside ONE
+    cell) additionally get a LOCAL unit-granularity SAT of their own
+    s_hist x s_hist area, collected in one small aggregate (distinct
+    coordinates within hot cells only).  Probes inside those cells then
+    plan unit-scale guarantee radii (plan_radii_fine_np) and join against
+    a margin-expanded slice of the corpus keyed by RAW coordinates —
+    turning a ~hot_cell_cap-candidate coarse probe into a ~(2*rho+1)^2
+    unit-cell probe (measured 600k -> ~3.6k candidates on the bench's
+    hot boxes).  hot_cell_cap=None disables the tier.
+
+    The default cap is LOW (20k) on purpose: a hot spot that straddles
+    histogram-cell edges splits its mass across up to four cells
+    (measured: a 600k-point box quartered into ~150k-point cells, each
+    under a 200k cap and each still catastrophic to probe coarsely),
+    while a false-positive hot cell costs only a <=s^2-row slice of one
+    small aggregate and a ~2 MB local SAT.  Uniform corpora never
+    approach 20k points per histogram cell at sane res_hist."""
 
     def __init__(self, corpus: DataFrame,
                  res: int = DEFAULT_CELL_RES,
                  tie_cols: list[str] = ["doc_id", "span_pos"],
-                 res_hist: int | None = None):
+                 res_hist: int | None = None,
+                 hot_cell_cap: int | None = 20_000):
         if res_hist is None:
             # coarse is better: rh=7 -> 16k histogram groups (cheap
             # shuffle + collect) at the price of a somewhat larger
@@ -188,6 +275,52 @@ class KnnIndex:
         np.cumsum(self.sat[1:, 1:], axis=1, out=self.sat[1:, 1:])
         self.total = int(self.sat[n, n])
 
+        # --- density-adaptive fine tier over hot histogram cells ---
+        self.fine_sats: dict = {}
+        self.corp_fine = None
+        s = 1 << sh
+        if hot_cell_cap is not None:
+            hot = hist[hist["n"].to_numpy() > hot_cell_cap]
+            if len(hot):
+                hot_cells = list(zip(hot["hy"].astype(int),
+                                     hot["hx"].astype(int)))
+                in_hot = None
+                for cy, cx in hot_cells:
+                    c = ((F.shiftright("qlat", sh) == cy)
+                         & (F.shiftright("qlon", sh) == cx))
+                    in_hot = c if in_hot is None else (in_hot | c)
+                # one aggregate over hot-cell points only: rows bounded by
+                # distinct coordinates (<= s^2 per hot cell), not points
+                fine_pd = (corpus.filter(in_hot)
+                           .groupBy("qlat", "qlon")
+                           .agg(F.count("*").alias("n")).toPandas())
+                fy = fine_pd["qlat"].to_numpy(np.int64)
+                fx = fine_pd["qlon"].to_numpy(np.int64)
+                fn = fine_pd["n"].to_numpy(np.int64)
+                for cy, cx in hot_cells:
+                    m = ((fy >> sh) == cy) & ((fx >> sh) == cx)
+                    g = np.zeros((s, s), dtype=np.int64)
+                    g[fy[m] - cy * s, fx[m] - cx * s] = fn[m]
+                    fsat = np.zeros((s + 1, s + 1), dtype=np.int64)
+                    np.cumsum(g, axis=0, out=fsat[1:, 1:])
+                    np.cumsum(fsat[1:, 1:], axis=1, out=fsat[1:, 1:])
+                    self.fine_sats[(cy, cx)] = fsat
+                # fine candidates join against the FULL corpus restricted
+                # to the hot areas + the largest possible fine radius —
+                # edge probes legitimately reach neighbors outside the
+                # hot cell, so the margin is load-bearing for exactness
+                marg = FINE_MAX_RHO + 1
+                in_marg = None
+                for cy, cx in hot_cells:
+                    c = (F.col("qlat").between(cy * s - marg,
+                                               (cy + 1) * s - 1 + marg)
+                         & F.col("qlon").between(cx * s - marg,
+                                                 (cx + 1) * s - 1 + marg))
+                    in_marg = c if in_marg is None else (in_marg | c)
+                self.corp_fine = corpus.filter(in_marg).select(
+                    *tie_cols, "qlat", "qlon",
+                    F.col("qlat").alias("fcy"), F.col("qlon").alias("fcx"))
+
 
 def knn_ring(
     queries: DataFrame, corpus: DataFrame = None, k: int = 5,
@@ -207,16 +340,27 @@ def knn_ring(
     Pass a prebuilt KnnIndex to amortize the histogram/SAT across probe
     batches (res/res_hist/tie_cols then come from the index).
 
+    Probes split THREE ways after planning, each to the join shape that
+    fits its local density (all exact):
+      * fine  — inside a hot histogram cell with a unit-scale radius
+        (KnnIndex fine tier): explode (2*rho_f+1)^2 UNIT offsets, join
+        the margin-expanded hot slice on raw coordinates.
+      * dense — ordinary guarantee radius <= max_rho: explode res-cell
+        offsets, join the cell-keyed corpus.
+      * sparse — guarantee radius > max_rho (k-th neighbor far away):
+        brute-force against the corpus (a handful of probes by
+        construction; cheaper than exploding a giant disk).
+
     probe_mode:
       * 'driver' — collect the probe set and plan radii in-process (the
         r1-r3 path; measured fastest for interactive-sized query sets: no
         python worker in the join DAG).
-      * 'distributed' — broadcast the SAT and plan radii in a vectorized
+      * 'distributed' — broadcast the SATs and plan radii in a vectorized
         mapInPandas over the probe DataFrame: the probe side is never
         collected, so Q is bounded by the cluster, not the driver.  One
-        extra tiny action (a 2-value stats agg over the persisted planned
-        probe) picks broadcast-vs-shuffle and whether any sparse query
-        needs the brute-force union.
+        extra tiny action (a 4-value stats agg over the persisted planned
+        probe) picks broadcast-vs-shuffle per branch and which branches
+        exist at all.
       * 'auto' — sniff limit(driver_probe_cap+1): if the probe fits it IS
         the driver collect (zero extra cost), else go distributed.
 
@@ -240,6 +384,7 @@ def knn_ring(
         raise ValueError(f"unknown probe_mode {probe_mode!r}")
     res, res_hist, tie_cols = index.res, index.res_hist, index.tie_cols
     corp, sat = index.corp, index.sat
+    fine_sats = index.fine_sats
     shift = GRID_BITS - res
     k_plan = k + 1 if exclude_self else k  # self row occupies one disk slot
     self_pred = (_self_key(tie_cols) != F.col("query_id")) if exclude_self \
@@ -254,7 +399,14 @@ def knn_ring(
         F.col("qlon").cast("long").alias("q_qlon"),
     )
     qid_type = dict(queries.dtypes)["query_id"]
-    plan_schema = f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, rho int"
+    plan_schema = (f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, "
+                   f"rho int, rho_fine int")
+
+    def plan_arrays(la, lo):
+        rho = plan_radii_np(sat, la, lo, res_hist, res, k_plan)
+        rho_f = plan_radii_fine_np(fine_sats, la, lo, res_hist, k_plan,
+                                   FINE_MAX_RHO)
+        return rho, rho_f
 
     q_pd = None
     if probe_mode == "driver":
@@ -268,52 +420,98 @@ def knn_ring(
 
     if q_pd is not None:
         # --- driver planning: literal probe DataFrame, pure-JVM join DAG ---
-        q_pd["rho"] = plan_radii_np(
-            sat, q_pd["q_qlat"].to_numpy(np.int64),
-            q_pd["q_qlon"].to_numpy(np.int64), res_hist, res, k_plan)
+        q_pd["rho"], q_pd["rho_fine"] = plan_arrays(
+            q_pd["q_qlat"].to_numpy(np.int64),
+            q_pd["q_qlon"].to_numpy(np.int64))
         q_all = spark.createDataFrame(q_pd, plan_schema)
         rho_col = q_pd["rho"].to_numpy()
-        est_exploded = int(
-            ((2 * rho_col[rho_col <= max_rho] + 1) ** 2).sum())
-        has_sparse = bool((rho_col > max_rho).any())
+        fine_col = q_pd["rho_fine"].to_numpy()
+        coarse_m = (rho_col <= max_rho) & (fine_col < 0)
+        est_exploded = int(((2 * rho_col[coarse_m] + 1) ** 2).sum())
+        has_sparse = bool(((rho_col > max_rho) & (fine_col < 0)).any())
+        est_fine = int(((2 * fine_col[fine_col >= 0] + 1) ** 2).sum())
+        has_fine = bool((fine_col >= 0).any())
     else:
-        # --- distributed planning: broadcast SAT + vectorized mapInPandas;
-        # the probe side is NEVER collected in this mode ---
+        # --- distributed planning: broadcast SATs + vectorized
+        # mapInPandas; the probe side is NEVER collected in this mode ---
         import pandas as pd
 
-        sat_b = spark.sparkContext.broadcast(sat)
+        sat_b = spark.sparkContext.broadcast((sat, fine_sats))
         rh, r, kp = res_hist, res, k_plan
 
         def plan_part(batches):
             for pdf in batches:
                 if len(pdf):
                     pdf = pdf.copy()
-                    pdf["rho"] = plan_radii_np(
-                        sat_b.value, pdf["q_qlat"].to_numpy(np.int64),
-                        pdf["q_qlon"].to_numpy(np.int64), rh, r, kp)
+                    csat, cfine = sat_b.value
+                    la = pdf["q_qlat"].to_numpy(np.int64)
+                    lo_ = pdf["q_qlon"].to_numpy(np.int64)
+                    pdf["rho"] = plan_radii_np(csat, la, lo_, rh, r, kp)
+                    pdf["rho_fine"] = plan_radii_fine_np(
+                        cfine, la, lo_, rh, kp, FINE_MAX_RHO)
                 else:
                     pdf["rho"] = pd.Series([], dtype="int32")
+                    pdf["rho_fine"] = pd.Series([], dtype="int32")
                 yield pdf
 
-        # persist: the planned probe is read three times (stats agg, dense
-        # branch, sparse branch) and the planning UDF must not rerun
+        # persist: the planned probe is read several times (stats agg +
+        # one branch each) and the planning UDF must not rerun
         q_all = qsel.mapInPandas(plan_part, plan_schema).persist()
+        not_fine = F.col("rho_fine") < 0
         stats = q_all.agg(
             F.sum(F.when(
-                F.col("rho") <= max_rho,
+                (F.col("rho") <= max_rho) & not_fine,
                 (2 * F.col("rho") + 1) * (2 * F.col("rho") + 1),
             ).otherwise(F.lit(0))).alias("est"),
-            F.count(F.when(F.col("rho") > max_rho, 1)).alias("n_sparse"),
+            F.count(F.when((F.col("rho") > max_rho) & not_fine, 1))
+            .alias("n_sparse"),
+            F.sum(F.when(
+                ~not_fine,
+                (2 * F.col("rho_fine") + 1) * (2 * F.col("rho_fine") + 1),
+            ).otherwise(F.lit(0))).alias("est_fine"),
+            F.count(F.when(~not_fine, 1)).alias("n_fine"),
         ).first()
         est_exploded = int(stats["est"] or 0)
         has_sparse = int(stats["n_sparse"]) > 0
+        est_fine = int(stats["est_fine"] or 0)
+        has_fine = int(stats["n_fine"]) > 0
 
-    # sparse-region queries (huge guarantee radius) would explode the
-    # candidate join; route them to the brute-force path instead
-    q = q_all.filter(F.col("rho") <= max_rho)
-    q_sparse = q_all.filter(F.col("rho") > max_rho)
+    not_fine = F.col("rho_fine") < 0
+    q = q_all.filter((F.col("rho") <= max_rho) & not_fine)
+    q_sparse = q_all.filter((F.col("rho") > max_rho) & not_fine)
+    q_fine = q_all.filter(~not_fine)
 
-    # --- phase 2: one candidate join with per-query radius ---
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def joined(probe_df, est, build, keys):
+        # broadcast only while the estimated exploded size fits
+        # comfortably in memory; past the cap, FORCE a sort-merge join
+        # (spill-safe) over EXPLICITLY co-repartitioned inputs.  All
+        # three deviations from the default plan are load-bearing,
+        # measured at >=162k probes vs the 9.2M bench corpus: (a)
+        # Catalyst sizes an explode at its child's row count, so a large
+        # probe set still looks broadcastable to AQE and the un-hinted
+        # plan OOMs building the broadcast table; (b) a shuffle_hash
+        # hint OOMs too once AQE partition coalescing folds the
+        # underestimated build side into a few oversized partitions
+        # (hash builds cannot spill); (c) even sort-merge straggles if
+        # AQE coalesces the small-LOOKING inputs of an OUTPUT-exploding
+        # join into a few partitions — join-output explosion is
+        # invisible to input-size-based coalescing, so the explicit
+        # numPartitions repartition (which AQE must respect) keeps the
+        # output spread across the cluster.
+        if est <= broadcast_cap_rows:
+            return F.broadcast(probe_df).join(build, keys, "inner")
+        return (probe_df.repartition(nparts, *keys).hint("merge")
+                .join(build.repartition(nparts, *keys), keys, "inner"))
+
+    d2_expr = (
+        (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
+        + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon"))
+    )
+    out_cols = ["query_id", *tie_cols, "d2", "rank"]
+
+    # --- dense branch: res-cell candidate join with per-query radius ---
     probe = (
         q.withColumn(
             "ccy",
@@ -331,38 +529,83 @@ def knn_ring(
         )
         .select("query_id", "q_qlat", "q_qlon", "ccy", "ccx")
     )
-    # the exploded probe is (2*rho+1)^2 rows per query — broadcast only while
-    # the estimated exploded size fits comfortably in memory; past the cap,
-    # FORCE a sort-merge join on the cell key (same result, spill-safe).
-    # The hint is load-bearing, not cosmetic — both measured at 162k
-    # probes x 25 cells vs the 9.2M bench corpus: (a) Catalyst sizes an
-    # explode at its child's row count, so a large probe set still looks
-    # broadcastable to AQE and the un-hinted plan OOMs building the
-    # broadcast table; (b) a shuffle_hash hint OOMs too once AQE
-    # partition coalescing folds the underestimated build side into a few
-    # oversized partitions (hash builds cannot spill).  Sort-merge spills
-    # gracefully and the downstream top-k wants no particular
-    # partitioning preserved.
-    probe_side = (F.broadcast(probe) if est_exploded <= broadcast_cap_rows
-                  else probe.hint("merge"))
-    cand = probe_side.join(corp, ["ccy", "ccx"], "inner").withColumn(
-        "d2",
-        (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
-        + (F.col("qlon") - F.col("q_qlon")) * (F.col("qlon") - F.col("q_qlon")),
-    )
+    if est_exploded <= broadcast_cap_rows or not fine_sats:
+        cand = joined(probe, est_exploded, corp, ["ccy", "ccx"]) \
+            .withColumn("d2", d2_expr)
+    else:
+        # KNOWN-skew salting for the merge path: a probe NEAR a hot cell
+        # (not inside it — those take the fine tier) legitimately pulls
+        # the whole hot cell into its candidate set, and every such
+        # probe's rows land on the SAME few join keys.  AQE cannot help:
+        # the hot cells' INPUT partitions are small (a few MB), only the
+        # join OUTPUT explodes, which input-size-based skew splitting
+        # never sees (measured: 3 straggler tasks, 264s vs 31s salted).
+        # The hot keys are known from the index, so salt exactly them:
+        # corp rows in hot cells get a deterministic xxhash64 salt,
+        # probe rows exploding onto hot cells replicate across all
+        # salts; everything else keeps salt 0 (no expansion).
+        SALT = 16
+        dr = res - res_hist  # res cells per hist cell edge = 2^dr
+        hot_ids = [cy * (1 << res_hist) + cx for cy, cx in fine_sats]
+
+        def hot_key(cy_col, cx_col):
+            return (F.shiftright(cy_col, dr) * (1 << res_hist)
+                    + F.shiftright(cx_col, dr))
+
+        corp_j = corp.withColumn(
+            "_salt",
+            F.when(hot_key(F.col("ccy"), F.col("ccx")).isin(hot_ids),
+                   F.pmod(F.xxhash64(*tie_cols), F.lit(SALT)).cast("int"))
+            .otherwise(F.lit(0)))
+        probe_j = probe.withColumn(
+            "_salt",
+            F.explode(
+                F.when(hot_key(F.col("ccy"), F.col("ccx")).isin(hot_ids),
+                       F.sequence(F.lit(0), F.lit(SALT - 1)))
+                .otherwise(F.sequence(F.lit(0), F.lit(0)))))
+        keys_s = ["ccy", "ccx", "_salt"]
+        cand = (probe_j.repartition(nparts, *keys_s).hint("merge")
+                .join(corp_j.repartition(nparts, *keys_s), keys_s, "inner")
+                .drop("_salt").withColumn("d2", d2_expr))
     if self_pred is not None:
         cand = cand.filter(self_pred)
-    out = _topk(cand, k, tie_cols).select("query_id", *tie_cols, "d2", "rank")
-    # only pay the brute-force corpus scan if some query actually needs it
+    out = _topk(cand, k, tie_cols).select(*out_cols)
+
+    # --- fine branch: unit-cell candidate join in hot regions ---
+    if has_fine and index.corp_fine is not None:
+        fprobe = (
+            q_fine.withColumn(
+                "fcy",
+                F.explode(F.sequence(
+                    F.col("q_qlat") - F.col("rho_fine"),
+                    F.col("q_qlat") + F.col("rho_fine"),
+                )),
+            )
+            .withColumn(
+                "fcx",
+                F.explode(F.sequence(
+                    F.col("q_qlon") - F.col("rho_fine"),
+                    F.col("q_qlon") + F.col("rho_fine"),
+                )),
+            )
+            .select("query_id", "q_qlat", "q_qlon", "fcy", "fcx")
+        )
+        cand_f = joined(fprobe, est_fine, index.corp_fine,
+                        ["fcy", "fcx"]).withColumn("d2", d2_expr)
+        if self_pred is not None:
+            cand_f = cand_f.filter(self_pred)
+        out = out.unionByName(_topk(cand_f, k, tie_cols).select(*out_cols))
+
+    # --- sparse branch: only pay the brute-force corpus scan if some
+    # query actually needs it ---
     if has_sparse:
         sparse_scored = _scored(
-            F.broadcast(q_sparse.drop("rho")),
+            F.broadcast(q_sparse.drop("rho", "rho_fine")),
             corp.select(*tie_cols, "qlat", "qlon"))
         if self_pred is not None:
             sparse_scored = sparse_scored.filter(self_pred)
-        sparse_out = _topk(sparse_scored, k, tie_cols).select(
-            "query_id", *tie_cols, "d2", "rank")
-        out = out.unionByName(sparse_out)
+        out = out.unionByName(
+            _topk(sparse_scored, k, tie_cols).select(*out_cols))
     return out
 
 

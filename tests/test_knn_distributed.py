@@ -248,3 +248,24 @@ def test_knn_fine_tier_disabled_still_exact(spark):
     got = knn_ring(queries, k=4, index=idx).collect()
     want = knn_bruteforce(queries, corpus, 4).collect()
     assert _key(got) == _key(want)
+
+
+def test_knn_salted_merge_path_equals_broadcast_path(spark):
+    """broadcast_cap_rows=0 forces the co-repartitioned sort-merge path
+    WITH known-hot salting (the cluster corpus has hot cells) — results
+    must be bit-equal to the broadcast-hash path on the same probes."""
+    corpus = _cluster_corpus(spark, n_hot=8_000, n_uniform=2_000).cache()
+    idx = KnnIndex(corpus, res=10, res_hist=10, hot_cell_cap=2_000)
+    assert idx.fine_sats
+    probes = corpus.filter(
+        F.substring("doc_id", 2, 10).cast("long") % 23 == 0
+    ).select(
+        F.concat_ws(":", F.col("doc_id"),
+                    F.col("span_pos").cast("string")).alias("query_id"),
+        "qlat", "qlon").cache()
+    a = knn_ring(probes, k=3, index=idx, probe_mode="distributed",
+                 exclude_self=True).collect()
+    b = knn_ring(probes, k=3, index=idx, probe_mode="distributed",
+                 exclude_self=True, broadcast_cap_rows=0).collect()
+    assert _key(a) == _key(b)
+    assert len(a) == probes.count() * 3

@@ -327,6 +327,54 @@ WHERE rank <= 5
 """
 
 
+KNN_WITHIN_R = 4000
+
+
+def q_knn_within(spark, sf_dir):
+    """Bounded kNN: each nation probe's 5 nearest points WITHIN radius
+    4000 (fewer if the disk is short) — dwithin cell-bucket prune feeding
+    the shared top-k window; no SAT planning, the radius IS the bound."""
+    from tree_code_chunker_spark.operators.knn import knn_within
+
+    corpus = _points(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qlat, qlon = derive_point_cols(F.col("n_nationkey").cast("long"), F.lit(999))
+    queries = n.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon"),
+    )
+    out = knn_within(queries, corpus, k=5, radius=KNN_WITHIN_R)
+    return out.select(
+        "query_id", "doc_id", "span_pos",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KNN_WITHIN = f"""
+{SPANS_CTE}, {POINTS_SQL}, queries AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {_QLAT_Q} AS qlat, {_QLON_Q} AS qlon
+  FROM nation
+), scored AS (
+  SELECT q.query_id, p.doc_id, p.span_pos,
+         (p.qlat - q.qlat) * (p.qlat - q.qlat)
+         + (p.qlon - q.qlon) * (p.qlon - q.qlon) AS d2
+  FROM queries q CROSS JOIN points p
+)
+SELECT query_id, doc_id, span_pos, CAST(d2 AS BIGINT) AS d2,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2 ASC, doc_id ASC, span_pos ASC
+  ) AS rank
+  FROM scored
+  WHERE d2 <= {KNN_WITHIN_R * KNN_WITHIN_R}
+)
+WHERE rank <= 5
+"""
+
+
 KNN_SELF_K = 3
 
 
@@ -2566,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate to the back (they are additionally pinned by pytest).
     return {
         "knn_self": q_knn_self,
+        "knn_within": q_knn_within,
         "pagerank_dangling": q_pagerank_dangling,
         "pip_anti": q_pip_anti,
         "sessionize": q_sessionize,
@@ -2631,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_self": SQL_KNN_SELF,
+        "knn_within": SQL_KNN_WITHIN,
         "pagerank_dangling": SQL_PAGERANK_DANGLING,
         "pip_anti": SQL_PIP_ANTI,
         "sessionize": SQL_SESSIONIZE,

@@ -269,3 +269,28 @@ def test_knn_salted_merge_path_equals_broadcast_path(spark):
                  exclude_self=True, broadcast_cap_rows=0).collect()
     assert _key(a) == _key(b)
     assert len(a) == probes.count() * 3
+
+
+def test_knn_within_matches_filtered_bruteforce(spark):
+    """Radius-bounded kNN == brute force filtered to the radius then
+    top-k; queries whose disk holds fewer than k points return fewer
+    rows (never padded), and empty disks return nothing."""
+    from tree_code_chunker_spark.operators.knn import knn_within
+
+    corpus = _corpus(spark, 300).cache()
+    qlat, qlon = derive_point_cols(F.col("id") * 13 + 5, F.lit(1))
+    queries = spark.range(60).select(
+        F.col("id").cast("string").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon")).cache()
+    k, radius = 4, 3000
+    got = knn_within(queries, corpus, k=k, radius=radius).collect()
+    scored = knn_bruteforce(queries, corpus, 300)  # all ranks
+    want = [r for r in scored.collect()
+            if r["d2"] <= radius * radius and r["rank"] <= k]
+    # bruteforce ranks all corpus rows; within the radius the relative
+    # order is identical, but ranks can shift if a closer point was
+    # OUTSIDE the radius — impossible (closer => smaller d2 => inside),
+    # so ranks agree and the sets must match exactly
+    assert _key(got) == _key(want)
+    assert any(len([r for r in got if r["query_id"] == q]) < k
+               for q in {r["query_id"] for r in got}) or len(got) == 60 * k

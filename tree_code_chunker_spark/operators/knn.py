@@ -649,3 +649,29 @@ def knn_self_join(
         probes, k=k, max_rho=max_rho,
         broadcast_cap_rows=broadcast_cap_rows, index=index,
         probe_mode="distributed", exclude_self=True)
+
+
+def knn_within(
+    queries: DataFrame, corpus: DataFrame, k: int, radius: int,
+    tie_cols: list[str] = ["doc_id", "span_pos"],
+    res: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Bounded kNN: for each query, its k nearest corpus points WITHIN
+    `radius` (fewer rows if the disk holds fewer) — the radius-capped
+    variant every spatial engine ships next to pure kNN.
+
+    Pure composition of existing exact plans: the dwithin cell-bucket
+    radius join (3x3 neighborhood prune, exact integer d2 in the join)
+    feeds the shared top-k window — no SAT planning needed, because the
+    radius bound replaces the guarantee radius.  One bounded shuffle;
+    map-side WindowGroupLimit prunes before the top-k exchange."""
+    from .spatial import dwithin_join
+
+    cand = dwithin_join(
+        corpus, queries, radius,
+        a_keep=tuple(tie_cols), b_keep=("query_id",),
+        res=res, broadcast_b=broadcast_queries,
+    )
+    return _topk(cand, k, tie_cols).select(
+        "query_id", *tie_cols, "d2", "rank")

@@ -375,6 +375,48 @@ WHERE rank <= 5
 """
 
 
+IDW_R = 3000
+
+
+def q_idw(spark, sf_dir):
+    """Power-2 IDW surface interpolation at the nation probe locations
+    from the points within radius 3000 — dwithin cell-bucket join + ONE
+    hash agg with DECIMAL(38,18) weighted sums (order-stable where float
+    sums are not)."""
+    from tree_code_chunker_spark.operators.spatial import idw_interpolate
+
+    pts = _points(spark, sf_dir).withColumn(
+        "value",
+        F.col("span_pos") * 7 + F.col("doc_id").cast("long") % 13)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qlat, qlon = derive_point_cols(F.col("n_nationkey").cast("long"), F.lit(999))
+    queries = n.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        qlat.alias("qlat"), qlon.alias("qlon"),
+    )
+    return idw_interpolate(pts, queries, IDW_R)
+
+
+def _idw_sql():
+    from tree_code_chunker_spark.operators.spatial import idw_interpolate_sql
+
+    return f"""
+{SPANS_CTE}, {POINTS_SQL}, idw_pts AS (
+  SELECT qlat, qlon,
+         span_pos * 7 + CAST(doc_id AS BIGINT) % 13 AS value
+  FROM points
+), idw_q AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {_QLAT_Q} AS qlat, {_QLON_Q} AS qlon
+  FROM nation
+)
+{idw_interpolate_sql('idw_pts', 'idw_q', IDW_R)}
+"""
+
+
+SQL_IDW = _idw_sql()
+
+
 KNN_SELF_K = 3
 
 
@@ -2615,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_self": q_knn_self,
         "knn_within": q_knn_within,
+        "idw": q_idw,
         "pagerank_dangling": q_pagerank_dangling,
         "pip_anti": q_pip_anti,
         "sessionize": q_sessionize,
@@ -2681,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
+        "idw": SQL_IDW,
         "pagerank_dangling": SQL_PAGERANK_DANGLING,
         "pip_anti": SQL_PIP_ANTI,
         "sessionize": SQL_SESSIONIZE,

@@ -372,3 +372,34 @@ def test_od_matrix_vs_python(spark):
         k = (oy >> shift, ox >> shift, dy >> shift, dx >> shift)
         want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_idw_interpolate_vs_python(spark):
+    """Power-2 IDW == a python reference, including the d2=0 singularity
+    rule (exact hits average, ignoring non-hit neighbors) and absent rows
+    for empty disks."""
+    from tree_code_chunker_spark.operators.spatial import idw_interpolate
+
+    pts = [(100, 100, 10.0), (110, 100, 20.0), (100, 130, 40.0),
+           (5000, 5000, 7.0), (5000, 5000, 9.0),
+           (40000, 40000, 3.0)]
+    points = spark.createDataFrame(
+        pts, "qlat long, qlon long, value double")
+    qs = [(1, 105, 100), (2, 5000, 5000), (3, 60000, 60000)]
+    queries = spark.createDataFrame(
+        qs, "query_id long, qlat long, qlon long")
+    out = {r["query_id"]: (r["n_pts"], r["est"])
+           for r in idw_interpolate(points, queries, radius=200).collect()}
+    # query 1: plain weighted mean over 3 in-radius points
+    import math
+    cand = [(v, (y - 105) ** 2 + (x - 100) ** 2)
+            for y, x, v in pts if max(abs(y - 105), abs(x - 100)) <= 200
+            and (y - 105) ** 2 + (x - 100) ** 2 <= 200 * 200]
+    num = sum(v / d2 for v, d2 in cand)
+    den = sum(1.0 / d2 for v, d2 in cand)
+    assert out[1][0] == len(cand)
+    assert math.isclose(out[1][1], round(num / den, 6), abs_tol=1e-6)
+    # query 2: two exact hits -> their mean, the in-radius non-hit ignored
+    assert out[2] == (2, 8.0)
+    # query 3: empty disk -> no row
+    assert 3 not in out

@@ -419,3 +419,87 @@ def od_matrix(
         .groupBy("o_cy", "o_cx", "d_cy", "d_cx")
         .agg(F.count("*").alias("n_flows"))
     )
+
+
+def idw_interpolate(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    value_col: str = "value",
+    res: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Inverse-distance-weighted (power-2) interpolation: estimate a
+    surface value at each query location from the points within `radius`
+    — the classic scattered-data -> surface operator.
+
+    est = sum(v / d2) / sum(1 / d2) over in-radius points (power-2 IDW
+    uses squared distance directly, so no sqrt ever happens); an exact
+    hit (d2 = 0) switches to the mean of the co-located values (the IDW
+    singularity rule).  Queries with an empty disk produce no row.
+
+    Scale + determinism shape: one dwithin cell-bucket join (3x3 prune,
+    bounded shuffle) and ONE hash aggregation.  The weighted sums are
+    accumulated in DECIMAL(38,18) — each double ratio v/d2 converts to
+    the same decimal in any engine (a tie would need a non-dyadic
+    rational), and decimal addition is exact and associative, so the
+    aggregate is independent of partition order where double sums are
+    not; the division back to double happens once, after aggregation
+    (same order-stability construction as profile.column_profile).
+    """
+    cand = dwithin_join(
+        points, queries, radius,
+        a_keep=(value_col,), b_keep=("query_id",),
+        res=res, broadcast_b=broadcast_queries,
+    )
+    v = F.col(value_col).cast("double")
+    hit = F.col("d2") == 0
+    agg = cand.groupBy("query_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(F.when(~hit, (v / F.col("d2")).cast("decimal(38,18)")))
+        .alias("_num"),
+        F.sum(F.when(~hit, (F.lit(1.0) / F.col("d2"))
+                     .cast("decimal(38,18)"))).alias("_den"),
+        F.count(F.when(hit, 1)).alias("_n_hits"),
+        # decimal sum, divide once after the agg: an avg() of doubles
+        # would re-introduce the partition-order dependence the decimal
+        # accumulators exist to remove
+        F.sum(F.when(hit, v.cast("decimal(38,12)"))).alias("_hit_sum"),
+    )
+    est = F.when(
+        F.col("_n_hits") > 0,
+        F.col("_hit_sum").cast("double") / F.col("_n_hits"),
+    ).otherwise(
+        F.col("_num").cast("double") / F.col("_den").cast("double"))
+    return agg.select(
+        "query_id", "n_pts", F.round(est, 6).alias("est"))
+
+
+def idw_interpolate_sql(points_cte: str, queries_cte: str, radius: int,
+                        value_expr: str = "value") -> str:
+    """DuckDB mirror of idw_interpolate over `points_cte`(qlat, qlon, +
+    value_expr) x `queries_cte`(query_id, qlat, qlon)."""
+    return f"""
+SELECT query_id, count(*) AS n_pts,
+       round(CASE WHEN count(CASE WHEN d2 = 0 THEN 1 END) > 0
+             THEN CAST(sum(CASE WHEN d2 = 0 THEN
+                      CAST(v AS DECIMAL(38,12)) END) AS DOUBLE)
+                  / count(CASE WHEN d2 = 0 THEN 1 END)
+             ELSE CAST(sum(CASE WHEN d2 != 0 THEN
+                      CAST(v / d2 AS DECIMAL(38,18)) END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN d2 != 0 THEN
+                      CAST(1.0 / d2 AS DECIMAL(38,18)) END) AS DOUBLE)
+             END, 6) AS est
+FROM (
+  SELECT q.query_id,
+         CAST(p.{value_expr} AS DOUBLE) AS v,
+         (p.qlat - q.qlat) * (p.qlat - q.qlat)
+         + (p.qlon - q.qlon) * (p.qlon - q.qlon) AS d2
+  FROM {queries_cte} q JOIN {points_cte} p
+    ON p.qlat BETWEEN q.qlat - {radius} AND q.qlat + {radius}
+   AND p.qlon BETWEEN q.qlon - {radius} AND q.qlon + {radius}
+  WHERE (p.qlat - q.qlat) * (p.qlat - q.qlat)
+        + (p.qlon - q.qlon) * (p.qlon - q.qlon) <= {radius * radius}
+)
+GROUP BY query_id
+"""

@@ -294,3 +294,50 @@ def test_knn_within_matches_filtered_bruteforce(spark):
     assert _key(got) == _key(want)
     assert any(len([r for r in got if r["query_id"] == q]) < k
                for q in {r["query_id"] for r in got}) or len(got) == 60 * k
+
+
+def test_knn_self_key_collision_safe(spark):
+    """Tie tuples that collide under a naive concat_ws(':') — ':' inside a
+    value, NULL-skipping, or a literal '\\N' vs a real NULL — must stay
+    distinct identity keys (ADVICE r4): each probe excludes ONLY itself,
+    so every co-located twin survives as the rank-1 neighbor at d2=0."""
+    rows = [
+        ("a:b", "5", 100, 100), ("a", "b:5", 100, 100),
+        (None, "x", 300, 300), ("x", None, 300, 300),
+        ("\\N", "y", 500, 500), (None, "y", 500, 500),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "k1 string, k2 string, qlat long, qlon long")
+    out = knn_self_join(corpus, k=1, res=8, tie_cols=["k1", "k2"]).collect()
+    assert len(out) == 6
+    assert all(r["d2"] == 0 for r in out), [r.asDict() for r in out]
+
+    def esc(v):
+        if v is None:
+            return "\\N"
+        return v.replace("\\", "\\\\").replace(":", "\\:")
+
+    def key(k1, k2):
+        return esc(k1) + ":" + esc(k2)
+
+    twin = {}
+    for a, b in ((0, 1), (2, 3), (4, 5)):
+        twin[key(rows[a][0], rows[a][1])] = (rows[b][0], rows[b][1])
+        twin[key(rows[b][0], rows[b][1])] = (rows[a][0], rows[a][1])
+    for r in out:
+        assert (r["k1"], r["k2"]) == twin[r["query_id"]], r.asDict()
+
+
+def test_knn_sparse_cap_falls_back_to_nonbroadcast(spark):
+    """A sparse probe set larger than sparse_broadcast_cap must route
+    through the non-broadcast scored join and still be exact."""
+    corpus = _corpus(spark, 50)  # tiny corpus: most probes plan rho > max_rho
+    queries = spark.range(200).select(
+        F.col("id").cast("string").alias("query_id"),
+        (F.abs(F.xxhash64("id")) % 65536).alias("qlat"),
+        (F.abs(F.xxhash64("id", F.lit(7))) % 65536).alias("qlon"),
+    )
+    got = knn_ring(queries, corpus, k=3, res=8, max_rho=1,
+                   sparse_broadcast_cap=10).collect()
+    want = knn_bruteforce(queries, corpus, 3).collect()
+    assert _key(got) == _key(want)

@@ -408,3 +408,130 @@ def test_corpus_ngram_stats_top_k(spark):
     # next by (freq desc, gram asc) is 'b c d' (doc 1) vs 'b c x' (doc 2)
     # vs 'zz' (doc 4) all freq 1 -> 'b c d' wins the tie alphabetically
     assert got == [("a b c", 3), ("b c d", 1)]
+
+
+def _planted_twin_vectors(spark, sf_dir="/root/testdata/sf0.001"):
+    """Embeddings + a deterministically perturbed twin for every third
+    vector (<=0.3% per-component jitter -> cosine ~0.9999): the gold
+    fixture where near-duplicates EXIST at a tight threshold, so banded
+    LSH genuinely prunes (the raw table's pairs top out near sim 0.5)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    twins = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x * (1 + ((F.col("vec_id") * 31 + i) % 7 - 3)
+                              / 1000.0),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+def test_embedding_lsh_near_dup_equals_exact(spark):
+    """The LSH scale path must return EXACTLY the exact form's pairs on the
+    planted-twin fixture at the gate threshold (recall 1.0 via the band
+    pigeonhole bound — planted twins sketch at Hamming <= 1, bands=4
+    guarantees Hamming <= 3; precision exact by the verify stage)."""
+    from tree_code_chunker_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    aug = _planted_twin_vectors(spark)
+    exact = embedding_near_dup_pairs(aug, "vec_id", "v", threshold=0.99)
+    lsh = embedding_near_dup_pairs_lsh(
+        aug, "vec_id", "v", dim=64, threshold=0.99, n_bits=32, bands=4)
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["sim"]) for r in rows)
+    e_rows, l_rows = exact.collect(), lsh.collect()
+    assert key(e_rows) == key(l_rows)
+    assert len(e_rows) > 0  # the fixture must actually contain near-dups
+    # every planted twin pair found
+    planted = {r["vec_id"] for r in aug.filter("vec_id >= 100000").collect()}
+    found_b = {r["id_b"] for r in l_rows}
+    assert planted <= found_b
+
+
+def test_embedding_lsh_candidates_prune(spark):
+    """The banded candidate set must be a small fraction of all pairs —
+    the reason the LSH form is the scale default (measured ~2% at
+    n_bits=32/bands=4 on the fixture)."""
+    from tree_code_chunker_spark.operators.dedup import minhash_bands  # noqa: F401
+    from tree_code_chunker_spark.operators.similarity import lsh_bucket_col
+
+    aug = _planted_twin_vectors(spark).cache()
+    n = aug.count()
+    r = 32 // 4
+    mask = (1 << r) - 1
+    sk = aug.withColumn("sk", lsh_bucket_col(F.col("v"), 64, 32, 42))
+    banded = sk.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.shiftright("sk", b * r).bitwiseAND(F.lit(mask))
+            for b in range(4)
+        ])).alias("band_id", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    n_cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select("a.vec_id", "b.vec_id").distinct().count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs * 0.10, (n_cand, all_pairs)
+    aug.unpersist()
+
+
+def test_embedding_exact_near_dup_row_guard(spark):
+    """The O(n^2) exact form refuses oversized inputs and points at the
+    LSH path; force=True overrides."""
+    from tree_code_chunker_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("v"))
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
+        embedding_near_dup_pairs(df, "vec_id", "v", max_rows=10)
+    assert embedding_near_dup_pairs(
+        df, "vec_id", "v", threshold=0.999, max_rows=10, force=True
+    ).count() >= 0
+
+
+def test_dedup_increment_equals_full_recompute(spark, tmp_path):
+    """increment(batch0) ∪ increment(batch1) == full-corpus LSH candidate
+    pairs recomputed from scratch — the incremental index introduces each
+    cross pair exactly once, in the increment that adds its newer side."""
+    from tree_code_chunker_spark.operators.dedup import (
+        dedup_increment,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index")
+    p0 = dedup_increment(b0, idx).collect()
+    p1 = dedup_increment(b1, idx).collect()
+    full = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text")).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
+    got = sorted(set(key(p0)) | set(key(p1)))
+    assert got == key(full)
+    assert len(full) > 0  # the corpus must actually contain near-dups
+    # no pair reported twice across increments
+    assert not (set(key(p0)) & set(key(p1)))
+
+
+def test_dedup_increment_param_mismatch_raises(spark, tmp_path):
+    from tree_code_chunker_spark.operators.dedup import dedup_increment
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(10)
+    idx = str(tmp_path / "mh_index2")
+    dedup_increment(docs, idx)
+    with pytest.raises(ValueError, match="do not match the index"):
+        dedup_increment(docs, idx, bands=8)

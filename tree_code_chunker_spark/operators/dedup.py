@@ -137,9 +137,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        n_perm: int = N_PERM_DEFAULT) -> DataFrame:
-    """(id_a, id_b) candidate near-dup pairs, id_a < id_b, deduped.
+def minhash_bands(sigs: DataFrame, bands: int = 16,
+                  n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+    """(id, band_id, band_key) banded signature rows — the LSH join key
+    material, shared by the one-shot candidate join (lsh_candidate_pairs)
+    and the persisted incremental index (dedup_increment).
 
     n_perm must match the signature length produced by minhash_signatures
     (fail-fast per row: the length guard is folded INTO the band-key
@@ -148,9 +150,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     and degenerate the candidate set toward all-pairs.
 
     The band key is the '_'-joined decimal minima of the band's slice (an
-    explicit, oracle-expressible formula — not an opaque builtin hash); the
-    candidate join is an equi-join on (band_id, band_key), never all-pairs.
-    """
+    explicit, oracle-expressible formula — not an opaque builtin hash)."""
     if n_perm % bands != 0:
         raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
     rows_per_band = n_perm // bands
@@ -174,10 +174,21 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
             )
         )
     )
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.posexplode(guarded).alias("band_id", "band_key"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        n_perm: int = N_PERM_DEFAULT) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs, id_a < id_b, deduped.
+
+    The candidate join is an equi-join on (band_id, band_key) over
+    minhash_bands rows — only colliding pairs are compared, never
+    all-pairs.  See minhash_bands for the key construction + guards.
+    """
+    banded = minhash_bands(sigs, bands, n_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -431,16 +442,28 @@ def _cc_star(pairs: DataFrame, id_a: str, id_b: str,
 
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    round_to: int = 6,
+    round_to: int = 6, max_rows: int = 100_000, force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
     Exact all-pairs via a self cross join with JVM-side higher-order
-    functions — the oracle-checkable baseline.  At corpus scale, pre-bucket
-    with similarity.ann_lsh_topk and verify only candidates; this exact form
-    is for the build side / gold sets."""
+    functions — the oracle-checkable baseline for gold sets and build
+    sides.  O(n^2) by construction, so it REFUSES inputs past `max_rows`
+    (one bounded limit+count probe): at corpus scale use
+    embedding_near_dup_pairs_lsh — banded LSH candidates + the same exact
+    cosine verify, identical output whenever every >=threshold pair is
+    within the band Hamming bound (pinned by test on the gold fixture).
+    Pass force=True to run the quadratic form anyway."""
     from .similarity import _dot, _norm
 
+    if not force:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is O(n^2) all-pairs and the "
+                f"input exceeds max_rows={max_rows}: use "
+                f"embedding_near_dup_pairs_lsh (banded candidates + exact "
+                f"verify) for the scale path, or pass force=True")
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"),
@@ -448,6 +471,88 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))), round_to),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    threshold: float = 0.95, n_bits: int = 32, bands: int = 4,
+    seed: int = 42, round_to: int = 6, bucket_impl: str = "jvm",
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded hyperplane-LSH candidate
+    join + exact cosine verify.  Same output columns as
+    embedding_near_dup_pairs (id_a < id_b, sim >= threshold).
+
+    Plan (never all-pairs):
+      1. sketch — n_bits sign bits per vector (random hyperplanes, fixed
+         seed; signs on the 6dp-rounded dot so any mirror agrees),
+      2. band   — split the sketch into `bands` contiguous bit slices;
+         candidates = pairs agreeing EXACTLY on at least one slice, found
+         by an equi-join on (band_id, band_key) — the same banded-join
+         machinery as MinHash LSH (lsh_candidate_pairs),
+      3. verify — join the two vectors back by id and keep pairs whose
+         EXACT rounded cosine >= threshold, so precision is exact by
+         construction and false candidates only cost compute.
+
+    Recall bound (pigeonhole): a pair whose sketches differ in fewer than
+    `bands` bits always agrees on at least one whole band, so recall vs
+    the exact form is 1.0 whenever every >=threshold pair sketches within
+    Hamming distance bands-1.  For genuine near-duplicates the angle is
+    tiny (cos 0.95 -> ~18deg -> expected flips ~ n_bits/10), so the
+    default (n_bits=32, bands=4, Hamming <= 3 guaranteed) holds with wide
+    margin — measured on the gold fixture: planted twins sketch at
+    Hamming <= 1 and the candidate set is ~2% of all pairs (pinned equal
+    to the exact form by tests/test_media_dedup_sim.py).
+
+    100 TB shape: the sketch pass is one narrow projection (JVM codegen by
+    default), the band join is a bounded equi-join on short keys, and only
+    candidate PAIRS (<< n^2 by the band bound) carry vectors through the
+    verify joins."""
+    from .similarity import _dot, _norm, lsh_bucket_col, lsh_bucket_udf
+
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    r = n_bits // bands
+    if bucket_impl == "jvm":
+        def bucket(col):
+            return lsh_bucket_col(col, dim, n_bits, seed)
+    elif bucket_impl == "pandas":
+        bucket = lsh_bucket_udf(dim, n_bits, seed)
+    else:
+        raise ValueError(f"unknown bucket_impl {bucket_impl!r}")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    mask = (1 << r) - 1
+    band_keys = F.array(*[
+        F.shiftright("sk", b * r).bitwiseAND(F.lit(mask)) for b in range(bands)
+    ])
+    banded = (
+        base.withColumn("sk", bucket(F.col("v")))
+        .select("id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn(
             "sim",
             F.round(_dot(F.col("va"), F.col("vb"))
@@ -536,3 +641,128 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+# ------------------------------------------------ incremental MinHash ----
+
+_INDEX_META = "_index_meta.json"
+
+
+def _index_meta_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, _INDEX_META)
+
+
+def read_index_meta(index_path: str) -> dict | None:
+    import json
+    import os
+
+    p = _index_meta_path(index_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def dedup_increment(
+    new_df: DataFrame, index_path: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_perm: int = N_PERM_DEFAULT, shingle_n: int = 5,
+    bands: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Incremental MinHash dedup of a NEW batch against a persisted banded
+    corpus index — the new-crawl-vs-corpus shape a training-data pipeline
+    runs daily: signature ONLY the new batch, equi-join its band keys
+    against the stored corpus bands, and append the batch to the index.
+
+    Returns the candidate near-dup pairs INTRODUCED by this batch:
+    new-vs-corpus plus new-vs-new, (id_a < id_b, distinct).  The union of
+    every increment's pairs equals lsh_candidate_pairs over the full
+    corpus recomputed from scratch (pinned by test — each cross-corpus
+    pair appears exactly in the increment that introduced its newer side).
+
+    Index layout (parquet + JSON manifest, the operators/checkpoint.py
+    commit pattern): `index_path/bands/batch=K/` holds batch K's
+    (id, band_id, band_key) rows partitioned by band_id (so the candidate
+    equi-join prunes corpus partitions by the probe's band ids);
+    `_index_meta.json` records the signature parameters and the COMMITTED
+    batch list, rewritten atomically AFTER the batch directory lands — a
+    crashed increment leaves the manifest unchanged and the rerun
+    overwrites the orphan directory.  Signature params are validated
+    against the manifest: a mismatched n_perm/shingle_n/seed would
+    silently produce non-colliding keys (zero recall), so it raises.
+
+    100 TB shape: each increment touches O(|batch|) signature work + one
+    banded equi-join whose corpus side is read band-partitioned from the
+    index — the corpus is never re-signatured, never re-shuffled."""
+    import json
+    import os
+
+    spark = new_df.sparkSession
+    params = {"n_perm": n_perm, "shingle_n": shingle_n, "bands": bands,
+              "seed": seed}
+    meta = read_index_meta(index_path)
+    if meta is not None:
+        got = {k: meta[k] for k in params}
+        if got != params:
+            raise ValueError(
+                f"dedup_increment params {params} do not match the index at "
+                f"{index_path} (built with {got}): mixed signature "
+                "parameters never collide — rebuild or match the index")
+        committed = list(meta["batches"])
+    else:
+        committed = []
+    bands_root = os.path.join(index_path, "bands")
+    old_paths = [os.path.join(bands_root, f"batch={k}") for k in committed]
+
+    sigs = minhash_signatures(new_df, id_col, text_col, n_perm, shingle_n,
+                              seed)
+    batch_id = (max(committed) + 1) if committed else 0
+    batch_dir = os.path.join(bands_root, f"batch={batch_id}")
+    # overwrite: an orphan dir from a crashed (uncommitted) increment is
+    # replaced, never double-counted — only the manifest defines the corpus
+    minhash_bands(sigs, bands, n_perm).write.mode("overwrite") \
+        .partitionBy("band_id").parquet(batch_dir)
+
+    new_banded = spark.read.parquet(batch_dir)
+    a = new_banded.alias("a")
+    b = new_banded.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = within
+    if old_paths:
+        old = spark.read.parquet(*old_paths).alias("o")
+        n = new_banded.alias("n")
+        cross = (
+            old.join(
+                n,
+                (F.col("o.band_id") == F.col("n.band_id"))
+                & (F.col("o.band_key") == F.col("n.band_key"))
+                & (F.col("o.id") != F.col("n.id")),
+            )
+            .select(
+                F.least(F.col("o.id"), F.col("n.id")).alias("id_a"),
+                F.greatest(F.col("o.id"), F.col("n.id")).alias("id_b"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+
+    new_meta = {**params, "batches": committed + [batch_id]}
+    os.makedirs(index_path, exist_ok=True)
+    tmp = _index_meta_path(index_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _index_meta_path(index_path))  # atomic commit
+    # the returned plan reads only immutable batch dirs (file listings were
+    # resolved at read time), so later increments cannot leak into it
+    return pairs.distinct()

@@ -76,8 +76,22 @@ def _scored(q: DataFrame, c: DataFrame) -> DataFrame:
 
 def _self_key(tie_cols: list[str]) -> Column:
     """Identity key of a corpus row in self-join mode: must equal the
-    probe-side query_id built by knn_self_join (concat_ws ':')."""
-    return F.concat_ws(":", *[F.col(c).cast("string") for c in tie_cols])
+    probe-side query_id built by knn_self_join.
+
+    Injective encoding: per column, backslashes double ('\\' -> '\\\\') and
+    ':' escapes ('\\:') BEFORE joining on ':', and NULL becomes the marker
+    '\\N' (unreachable from any real value — a real backslash is always
+    doubled) — so distinct tie tuples can never collide ((NULL, 5) vs
+    ('5', NULL), or ids containing ':').  For ':'-free, backslash-free,
+    non-null keys (the engine contract: doc_id/span_pos) this is byte-
+    identical to the plain concat_ws(':') of earlier rounds."""
+    parts = []
+    for c in tie_cols:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit(":"), F.lit("\\:"))
+        parts.append(F.coalesce(s, F.lit("\\N")))
+    return F.concat_ws(":", *parts)
 
 
 def knn_bruteforce(
@@ -333,6 +347,7 @@ def knn_ring(
     probe_mode: str = "auto",
     driver_probe_cap: int = 100_000,
     exclude_self: bool = False,
+    sparse_broadcast_cap: int = 200_000,
 ) -> DataFrame:
     """Cell ring kNN.  queries(query_id, qlat, qlon); corpus(tie_cols...,
     qlat, qlon).  Returns (query_id, tie_cols..., d2, rank <= k), exact.
@@ -365,10 +380,15 @@ def knn_ring(
         the driver collect (zero extra cost), else go distributed.
 
     exclude_self: identity-exclusion for self-join probes — requires
-    query_id == concat_ws(':', tie_cols...) of the probe's own corpus row
-    (knn_self_join builds exactly that).  Plans for k+1 (each query's disk
-    count includes itself) and filters the identity row — NOT distance 0:
-    co-located twins must survive — before top-k."""
+    query_id == _self_key(tie_cols) of the probe's own corpus row (the
+    escaped ':'-joined tie tuple; knn_self_join builds exactly that).
+    Plans for k+1 (each query's disk count includes itself) and filters
+    the identity row — NOT distance 0: co-located twins must survive —
+    before top-k.
+
+    sparse_broadcast_cap: max sparse-branch probe rows that may be
+    broadcast; a larger sparse set falls back to a non-broadcast scored
+    cross join (see the branch comment)."""
     spark = queries.sparkSession
     if index is None:
         if corpus is None:
@@ -428,7 +448,8 @@ def knn_ring(
         fine_col = q_pd["rho_fine"].to_numpy()
         coarse_m = (rho_col <= max_rho) & (fine_col < 0)
         est_exploded = int(((2 * rho_col[coarse_m] + 1) ** 2).sum())
-        has_sparse = bool(((rho_col > max_rho) & (fine_col < 0)).any())
+        n_sparse = int(((rho_col > max_rho) & (fine_col < 0)).sum())
+        has_sparse = n_sparse > 0
         est_fine = int(((2 * fine_col[fine_col >= 0] + 1) ** 2).sum())
         has_fine = bool((fine_col >= 0).any())
     else:
@@ -454,9 +475,15 @@ def knn_ring(
                     pdf["rho_fine"] = pd.Series([], dtype="int32")
                 yield pdf
 
-        # persist: the planned probe is read several times (stats agg +
-        # one branch each) and the planning UDF must not rerun
-        q_all = qsel.mapInPandas(plan_part, plan_schema).persist()
+        # materialize ONCE via localCheckpoint (eager): the planned probe
+        # is read several times (stats agg + one branch each) and the
+        # planning UDF must not rerun.  Unlike .persist(), whose entry the
+        # CacheManager pins until an explicit unpersist (repeated calls —
+        # bench, foreachBatch — would accumulate probe-sized cache entries
+        # forever), checkpoint blocks are released by the ContextCleaner
+        # as soon as the returned DataFrame is garbage-collected.
+        q_all = qsel.mapInPandas(plan_part, plan_schema) \
+            .localCheckpoint(eager=True)
         not_fine = F.col("rho_fine") < 0
         stats = q_all.agg(
             F.sum(F.when(
@@ -472,7 +499,8 @@ def knn_ring(
             F.count(F.when(~not_fine, 1)).alias("n_fine"),
         ).first()
         est_exploded = int(stats["est"] or 0)
-        has_sparse = int(stats["n_sparse"]) > 0
+        n_sparse = int(stats["n_sparse"])
+        has_sparse = n_sparse > 0
         est_fine = int(stats["est_fine"] or 0)
         has_fine = int(stats["n_fine"]) > 0
 
@@ -481,7 +509,19 @@ def knn_ring(
     q_sparse = q_all.filter((F.col("rho") > max_rho) & not_fine)
     q_fine = q_all.filter(~not_fine)
 
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _nparts_cache: list[int] = []
+
+    def nparts_lazy() -> int:
+        # evaluated only when a merge-join branch is actually taken; the
+        # conf can be non-numeric on some deployments ("auto" under
+        # AQE-managed platforms) — fall back to the context parallelism
+        if not _nparts_cache:
+            try:
+                _nparts_cache.append(
+                    int(spark.conf.get("spark.sql.shuffle.partitions")))
+            except (TypeError, ValueError):
+                _nparts_cache.append(spark.sparkContext.defaultParallelism)
+        return _nparts_cache[0]
 
     def joined(probe_df, est, build, keys):
         # broadcast only while the estimated exploded size fits
@@ -502,8 +542,9 @@ def knn_ring(
         # output spread across the cluster.
         if est <= broadcast_cap_rows:
             return F.broadcast(probe_df).join(build, keys, "inner")
-        return (probe_df.repartition(nparts, *keys).hint("merge")
-                .join(build.repartition(nparts, *keys), keys, "inner"))
+        np_ = nparts_lazy()
+        return (probe_df.repartition(np_, *keys).hint("merge")
+                .join(build.repartition(np_, *keys), keys, "inner"))
 
     d2_expr = (
         (F.col("qlat") - F.col("q_qlat")) * (F.col("qlat") - F.col("q_qlat"))
@@ -564,8 +605,9 @@ def knn_ring(
                        F.sequence(F.lit(0), F.lit(SALT - 1)))
                 .otherwise(F.sequence(F.lit(0), F.lit(0)))))
         keys_s = ["ccy", "ccx", "_salt"]
-        cand = (probe_j.repartition(nparts, *keys_s).hint("merge")
-                .join(corp_j.repartition(nparts, *keys_s), keys_s, "inner")
+        np_ = nparts_lazy()
+        cand = (probe_j.repartition(np_, *keys_s).hint("merge")
+                .join(corp_j.repartition(np_, *keys_s), keys_s, "inner")
                 .drop("_salt").withColumn("d2", d2_expr))
     if self_pred is not None:
         cand = cand.filter(self_pred)
@@ -599,9 +641,20 @@ def knn_ring(
     # --- sparse branch: only pay the brute-force corpus scan if some
     # query actually needs it ---
     if has_sparse:
+        # broadcast only while the sparse probe count is bounded: in
+        # distributed mode the probe side is unbounded by design, and a
+        # workload where MANY probes plan rho > max_rho (large k on a
+        # thin/clustered corpus) would otherwise broadcast an unbounded
+        # probe subset.  Past the cap, run the same scored cross join
+        # non-broadcast over a repartitioned probe side — still brute
+        # force (that is the branch's contract) but spill-safe.
+        q_sp = q_sparse.drop("rho", "rho_fine")
+        if n_sparse <= sparse_broadcast_cap:
+            q_sp = F.broadcast(q_sp)
+        else:
+            q_sp = q_sp.repartition(nparts_lazy())
         sparse_scored = _scored(
-            F.broadcast(q_sparse.drop("rho", "rho_fine")),
-            corp.select(*tie_cols, "qlat", "qlon"))
+            q_sp, corp.select(*tie_cols, "qlat", "qlon"))
         if self_pred is not None:
             sparse_scored = sparse_scored.filter(self_pred)
         out = out.unionByName(
@@ -624,9 +677,11 @@ def knn_self_join(
     equals the data.  Runs the distributed planner unconditionally (the
     probe side is the corpus — never collect it).
 
-    query_id in the output is the probe row's identity key
-    concat_ws(':', tie_cols...) — callers with ':'-free key columns (the
-    engine contract: doc_id/span_pos) can split it back losslessly.
+    query_id in the output is the probe row's identity key (_self_key:
+    ':'-joined tie tuple with '\\'/':' escaped and NULL as '\\N', so
+    distinct tuples never collide) — for ':'-free, backslash-free,
+    non-null key columns (the engine contract: doc_id/span_pos) this is
+    the plain ':' join and splits back losslessly.
     Returns (query_id, tie_cols..., d2, rank <= k), exact; co-located
     twins (d2=0) of the probe row are real neighbors and kept — only the
     row's own identity is excluded.

@@ -128,7 +128,7 @@ def test_batched_cover_classification_matches_per_polygon():
     for pid, ring in polygon_rings(120, seed=43):
         ys = np.array([p[0] for p in ring], dtype=np.int64)
         xs = np.array([p[1] for p in ring], dtype=np.int64)
-        pack[pid] = (ys, xs)
+        pack[pid] = [(ys, xs)]
     ids, Y1, X1, Y2, X2 = _edge_tensor(pack)
     for res in (6, 7, 9):
         pix, cy, cx, full = _classify_cells_all_np(
@@ -136,7 +136,7 @@ def test_batched_cover_classification_matches_per_polygon():
         got = set(zip(pix.tolist(), cy.tolist(), cx.tolist(), full.tolist()))
         want = set()
         for i, pid in enumerate(ids):
-            ys, xs = pack[pid]
+            (ys, xs), = pack[pid]
             c_y, c_x, f = _classify_cells_np(ys, xs, res)
             want |= {(i, int(a), int(b), bool(g))
                      for a, b, g in zip(c_y, c_x, f)}
@@ -380,3 +380,45 @@ def test_compact_cover_zero_levels_passthrough(spark):
     import duckdb
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+def test_pip_join_holes_matches_bruteforce(spark):
+    """Donut + multipolygon geometries (rings column): pip_join must equal
+    the multi-ring even-odd brute force — points inside a hole excluded,
+    points in a second disjoint shell included, full-cell classification
+    never swallowing hole interiors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.geo import derive_point_cols
+    from tree_code_chunker_spark.operators.pip import (
+        _collect_polygon_pack,
+        pip_join,
+        ray_cast_rings_np,
+    )
+    from tree_code_chunker_spark.sources.datagen import gen_polygons_holes
+
+    polys = gen_polygons_holes(spark, 12, seed=47)
+    pts = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos",
+                     qlat.alias("qlat"), qlon.alias("qlon"))
+    got = {(r["doc_id"], r["polygon_id"])
+           for r in pip_join(pts, polys).collect()}
+
+    pack = _collect_polygon_pack(polys)
+    prows = pts.collect()
+    py = np.array([r["qlat"] for r in prows], dtype=np.int64)
+    px = np.array([r["qlon"] for r in prows], dtype=np.int64)
+    want, in_hole = set(), 0
+    for pid, rings in pack.items():
+        inside = ray_cast_rings_np(rings, py, px)
+        for i in np.nonzero(inside)[0]:
+            want.add((prows[i]["doc_id"], pid))
+        # count points the hole excluded: inside shell ring 0 but not the poly
+        shell_only = ray_cast_rings_np(rings[:1], py, px)
+        in_hole += int((shell_only & ~inside).sum())
+    assert got == want
+    assert len(want) > 0
+    assert in_hole > 0  # the fixture's holes genuinely exclude points

@@ -15,6 +15,7 @@ from tree_code_chunker_spark.operators.geo import (
 from tree_code_chunker_spark.operators.knn import knn_bruteforce, knn_ring
 from tree_code_chunker_spark.operators.pip import (
     _collect_polygon_pack,
+    ray_cast_rings_np,
     pip_join,
     ray_cast_np,
 )
@@ -78,8 +79,8 @@ def test_pip_join_matches_bruteforce(spark, docs):
     py = np.array([r["qlat"] for r in prows], dtype=np.int64)
     px = np.array([r["qlon"] for r in prows], dtype=np.int64)
     want = set()
-    for pid, (ys, xs) in pack.items():
-        inside = ray_cast_np(ys, xs, py, px)
+    for pid, rings in pack.items():
+        inside = ray_cast_rings_np(rings, py, px)
         for i in np.nonzero(inside)[0]:
             want.add((prows[i]["doc_id"], prows[i]["span_pos"], pid))
     assert got == want

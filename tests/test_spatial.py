@@ -403,3 +403,120 @@ def test_idw_interpolate_vs_python(spark):
     assert out[2] == (2, 8.0)
     # query 3: empty disk -> no row
     assert 3 not in out
+
+
+# ------------------------------------------------------------- geodesic ----
+
+
+def _deg_points(spark, n, seed, lat_range=(-89.99, 89.99),
+                lon_range=(-180.0, 180.0), id0=0):
+    rng = np.random.RandomState(seed)
+    lat = rng.uniform(*lat_range, n)
+    lon = rng.uniform(*lon_range, n)
+    rows = [(id0 + i, float(a), float(o)) for i, (a, o) in
+            enumerate(zip(lat, lon))]
+    return (
+        spark.createDataFrame(rows, "pid bigint, lat double, lon double"),
+        lat, lon,
+    )
+
+
+def _hav_pairs_np(alat, alon, aid, blat, blon, bid, radius_m):
+    from tree_code_chunker_spark.operators.geo import haversine_m_np
+
+    d = haversine_m_np(alat[:, None], alon[:, None],
+                       blat[None, :], blon[None, :])
+    d = np.round(d, 3)
+    ia, ib = np.where(d <= radius_m)
+    return sorted((int(aid[i]), int(bid[j]), float(d[i, j]))
+                  for i, j in zip(ia, ib))
+
+
+@pytest.mark.parametrize("radius_m", [5_000, 50_000, 400_000])
+def test_dwithin_geo_matches_bruteforce(spark, radius_m):
+    """Geodesic radius join == brute-force haversine over uniformly global
+    points including high latitudes and the antimeridian band."""
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo
+
+    a, alat, alon = _deg_points(spark, 300, seed=1)
+    b, blat, blon = _deg_points(spark, 200, seed=2, id0=1000)
+    got = dwithin_geo(
+        a, b.withColumnRenamed("pid", "query_id"), radius_m,
+        a_keep=("pid",), b_keep=("query_id",)).collect()
+    want = _hav_pairs_np(alat, alon, np.arange(300),
+                         blat, blon, np.arange(1000, 1200), radius_m)
+    got_k = sorted((r["pid"], r["query_id"], r["dist_m"]) for r in got)
+    assert got_k == want
+
+
+def test_dwithin_geo_antimeridian_and_pole(spark):
+    """Cross-seam pairs (lon +-179.99) must match; a cap containing the
+    pole must see every longitude."""
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo
+
+    rows_a = [(1, 60.0, 179.99), (2, 89.995, 10.0), (3, 89.995, -170.0)]
+    rows_b = [(10, 60.0, -179.99), (11, 89.999, 120.0)]
+    a = spark.createDataFrame(rows_a, "pid bigint, lat double, lon double")
+    b = spark.createDataFrame(rows_b, "query_id bigint, lat double, lon double")
+    got = {(r["pid"], r["query_id"])
+           for r in dwithin_geo(a, b, 5_000, a_keep=("pid",)).collect()}
+    # seam pair: 60N +-179.99 are ~1.1 km apart; polar: 89.995 at any lon is
+    # within 5 km of 89.999 at any other lon (both < 0.56 + 0.11 deg arc)
+    assert (1, 10) in got
+    assert (2, 11) in got and (3, 11) in got
+
+
+def test_knn_geo_equator_agrees_pole_differs(spark):
+    """Planar grid ranking == geodesic ranking at the equator (cells are
+    square there); near the pole the geodesic order genuinely differs —
+    the reason knn_geo exists."""
+    from tree_code_chunker_spark.operators.geo import haversine_m_np
+    from tree_code_chunker_spark.operators.spatial import knn_geo
+
+    # equator: two corpus points, planar-nearer is also geodesic-nearer
+    eq_corpus = spark.createDataFrame(
+        [(1, 0, 0.0, 0.10), (2, 0, 0.0, 0.20)],
+        "doc_id bigint, span_pos bigint, lat double, lon double")
+    q = spark.createDataFrame([(100, 0.0, 0.0)],
+                              "query_id bigint, lat double, lon double")
+    out = knn_geo(q, eq_corpus, k=1, radius_m=50_000).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(1, 1)]
+
+    # pole (lat 88): dlon=1.0 deg is ~3.9 km; dlat=0.05 deg is ~5.6 km.
+    # PLANAR grid units: dlon 1 deg = 182 units >> dlat 0.05 deg = 18
+    # units, so the planar metric picks the dlat point — geodesically
+    # WRONG; knn_geo must pick the dlon point.
+    po_corpus = spark.createDataFrame(
+        [(1, 0, 88.0, 1.0), (2, 0, 88.05, 0.0)],
+        "doc_id bigint, span_pos bigint, lat double, lon double")
+    qp = spark.createDataFrame([(200, 88.0, 0.0)],
+                               "query_id bigint, lat double, lon double")
+    d1 = haversine_m_np(88.0, 0.0, 88.0, 1.0)
+    d2 = haversine_m_np(88.0, 0.0, 88.05, 0.0)
+    assert d1 < d2  # the fixture really is discordant
+    # planar d2 (grid units): point 2 is closer
+    gq = np.floor((np.array([88.0, 88.05, 88.0]) + 90) / 180 * 65536)
+    go = np.floor((np.array([1.0, 0.0, 0.0]) + 180) / 360 * 65536)
+    pl = (gq[:2] - gq[2]) ** 2 + (go[:2] - go[2]) ** 2
+    assert pl[1] < pl[0]
+    out = knn_geo(qp, po_corpus, k=2, radius_m=50_000).collect()
+    ranks = {r["rank"]: r["doc_id"] for r in out}
+    assert ranks == {1: 1, 2: 2}
+
+
+def test_dwithin_geo_res_guards(spark):
+    from tree_code_chunker_spark.operators.spatial import (
+        dwithin_geo,
+        dwithin_geo_res,
+    )
+
+    with pytest.raises(ValueError, match="> 0"):
+        dwithin_geo_res(0)
+    with pytest.raises(ValueError, match="2500 km"):
+        dwithin_geo_res(5_000_000)
+    a = spark.createDataFrame([(1, 0.0, 0.0)],
+                              "pid bigint, lat double, lon double")
+    b = spark.createDataFrame([(2, 0.0, 0.0)],
+                              "query_id bigint, lat double, lon double")
+    with pytest.raises(ValueError, match="smaller than radius"):
+        dwithin_geo(a, b, 100_000, a_keep=("pid",), res=14)

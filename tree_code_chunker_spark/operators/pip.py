@@ -37,17 +37,31 @@ from .geo import cell_at_res_col
 DEFAULT_COVER_RES = 7
 
 
+def _rings_norm_col(polygons: DataFrame):
+    """Column expression yielding array<array<struct<qlat,qlon>>> from
+    EITHER geometry schema: `rings` (multi-ring: shell(s) + holes — ring
+    orientation is irrelevant under the even-odd rule) or the single-ring
+    `ring`.  Every operator here normalizes through this, so holes and
+    multipolygons ride every path (cover, classification, exact test)."""
+    cols = polygons.columns
+    if "rings" in cols:
+        return F.col("rings")
+    if "ring" in cols:
+        return F.array(F.col("ring"))
+    raise ValueError("polygons need a 'ring' or 'rings' column")
+
+
 def polygon_cover(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFrame:
-    """(polygon_id, ring) -> (polygon_id, cov_cy, cov_cx) covering-cell rows.
+    """(polygon_id, ring|rings) -> (polygon_id, cov_cy, cov_cx) cover rows.
 
     Covering = all res-`res` grid cells intersecting the bbox (conservative
     superset of the true polygon cover; exactness is restored by step 3).
     """
     shift = GRID_BITS - res
-    # bbox straight from the ring array (array_min over a projection) — a
-    # pure per-row expression: no explode, no groupBy, no shuffle, no AQE
-    # rounds on the (small but latency-critical) build side
-    ring = F.col("ring")
+    # bbox straight from the flattened ring array (array_min over a
+    # projection) — a pure per-row expression: no explode, no groupBy, no
+    # shuffle, no AQE rounds on the (small but latency-critical) build side
+    ring = F.flatten(_rings_norm_col(polygons))
     bbox = polygons.select(
         "polygon_id",
         F.array_min(F.transform(ring, lambda p: p["qlat"])).alias("min_qlat"),
@@ -80,16 +94,29 @@ def polygon_cover(polygons: DataFrame, res: int = DEFAULT_COVER_RES) -> DataFram
     )
 
 
+def _close_np(ys: np.ndarray, xs: np.ndarray):
+    if len(ys) and (ys[0] != ys[-1] or xs[0] != xs[-1]):
+        ys = np.append(ys, ys[0])
+        xs = np.append(xs, xs[0])
+    return ys, xs
+
+
 def _collect_polygon_pack(polygons: DataFrame) -> dict:
-    """polygon_id -> (ys, xs) closed-ring int64 numpy arrays (build side)."""
+    """polygon_id -> [(ys, xs), ...] list of CLOSED int64 rings (build
+    side).  Single-ring inputs (`ring` column) pack as a one-ring list;
+    `rings` inputs (shells + holes / multipolygons) keep every ring —
+    edges are enumerated per ring, so no phantom edge ever connects two
+    rings."""
     pack = {}
-    for row in polygons.select("polygon_id", "ring").collect():
-        ys = np.array([v["qlat"] for v in row["ring"]], dtype=np.int64)
-        xs = np.array([v["qlon"] for v in row["ring"]], dtype=np.int64)
-        if len(ys) and (ys[0] != ys[-1] or xs[0] != xs[-1]):
-            ys = np.append(ys, ys[0])
-            xs = np.append(xs, xs[0])
-        pack[row["polygon_id"]] = (ys, xs)
+    sel = polygons.select("polygon_id",
+                          _rings_norm_col(polygons).alias("rings"))
+    for row in sel.collect():
+        rr = []
+        for ring in row["rings"]:
+            ys = np.array([v["qlat"] for v in ring], dtype=np.int64)
+            xs = np.array([v["qlon"] for v in ring], dtype=np.int64)
+            rr.append(_close_np(ys, xs))
+        pack[row["polygon_id"]] = rr
     return pack
 
 
@@ -106,6 +133,16 @@ def ray_cast_np(ys: np.ndarray, xs: np.ndarray, py: np.ndarray, px: np.ndarray) 
         rhs = (py - y1) * (x2 - x1)
         crossing = straddles & ((lhs < rhs) if dy > 0 else (lhs > rhs))
         inside ^= crossing
+    return inside
+
+
+def ray_cast_rings_np(rings: list, py: np.ndarray, px: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast over a list of closed rings: crossings sum over
+    EVERY ring, so a hole's boundary flips its interior back to outside and
+    disjoint shells union — the standard even-odd multi-ring semantics."""
+    inside = np.zeros(len(py), dtype=bool)
+    for ys, xs in rings:
+        inside ^= ray_cast_np(ys, xs, py, px)
     return inside
 
 
@@ -179,29 +216,39 @@ def _inside_col_unrolled(edges, py, px, max_edges: int = MAX_UNROLLED_EDGES):
 
 
 def _classify_cells_np(ys: np.ndarray, xs: np.ndarray, res: int):
-    """Closed ring -> [(cov_cy, cov_cx, is_full)] over the bbox cells at
+    """Single-closed-ring form of _classify_cells_rings_np (tests/oracles)."""
+    return _classify_cells_rings_np([(ys, xs)], res)
+
+
+def _classify_cells_rings_np(rings: list, res: int):
+    """Closed rings -> [(cov_cy, cov_cx, is_full)] over the bbox cells at
     `res`, skipping fully-outside cells.  Conservative: a cell is 'full'
-    only if all 4 corners are inside AND no edge bbox overlaps it."""
+    only if all 4 corners are inside (even-odd over ALL rings) AND no edge
+    bbox of ANY ring overlaps it — a hole edge therefore demotes the cells
+    it crosses to boundary, and cells strictly inside a hole classify
+    corners-out + no-overlap = dropped."""
     shift = GRID_BITS - res
     cell = 1 << shift
-    cy0, cy1 = int(ys.min()) >> shift, int(ys.max()) >> shift
-    cx0, cx1 = int(xs.min()) >> shift, int(xs.max()) >> shift
+    all_y = np.concatenate([ys for ys, _ in rings])
+    all_x = np.concatenate([xs for _, xs in rings])
+    cy0, cy1 = int(all_y.min()) >> shift, int(all_y.max()) >> shift
+    cx0, cx1 = int(all_x.min()) >> shift, int(all_x.max()) >> shift
     gy, gx = np.meshgrid(np.arange(cy0, cy1 + 1), np.arange(cx0, cx1 + 1),
                          indexing="ij")
     gy, gx = gy.ravel(), gx.ravel()
     lo_y, hi_y = gy * cell, (gy + 1) * cell - 1
     lo_x, hi_x = gx * cell, (gx + 1) * cell - 1
-    ey0 = np.minimum(ys[:-1], ys[1:])
-    ey1 = np.maximum(ys[:-1], ys[1:])
-    ex0 = np.minimum(xs[:-1], xs[1:])
-    ex1 = np.maximum(xs[:-1], xs[1:])
+    ey0 = np.concatenate([np.minimum(ys[:-1], ys[1:]) for ys, _ in rings])
+    ey1 = np.concatenate([np.maximum(ys[:-1], ys[1:]) for ys, _ in rings])
+    ex0 = np.concatenate([np.minimum(xs[:-1], xs[1:]) for _, xs in rings])
+    ex1 = np.concatenate([np.maximum(xs[:-1], xs[1:]) for _, xs in rings])
     overlap = (
         (lo_y[:, None] <= ey1[None, :]) & (hi_y[:, None] >= ey0[None, :])
         & (lo_x[:, None] <= ex1[None, :]) & (hi_x[:, None] >= ex0[None, :])
     ).any(axis=1)
     corners_in = np.ones(len(gy), dtype=bool)
     for py, px in ((lo_y, lo_x), (lo_y, hi_x), (hi_y, lo_x), (hi_y, hi_x)):
-        corners_in &= ray_cast_np(ys, xs, py, px)
+        corners_in &= ray_cast_rings_np(rings, py, px)
     full = corners_in & ~overlap
     keep = full | overlap  # corners-out + no-overlap == fully outside
     return gy[keep], gx[keep], full[keep]
@@ -228,13 +275,14 @@ def polygon_cover_classified(polygons: DataFrame, res: int = DEFAULT_COVER_RES) 
     def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_pid, out_cy, out_cx, out_full = [], [], [], []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                ys = np.array([v["qlat"] for v in ring], dtype=np.int64)
-                xs = np.array([v["qlon"] for v in ring], dtype=np.int64)
-                if len(ys) and (ys[0] != ys[-1] or xs[0] != xs[-1]):
-                    ys = np.append(ys, ys[0])
-                    xs = np.append(xs, xs[0])
-                cy, cx, full = _classify_cells_np(ys, xs, res)
+            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+                rr = [
+                    _close_np(
+                        np.array([v["qlat"] for v in ring], dtype=np.int64),
+                        np.array([v["qlon"] for v in ring], dtype=np.int64))
+                    for ring in rings
+                ]
+                cy, cx, full = _classify_cells_rings_np(rr, res)
                 out_pid.extend([pid] * len(cy))
                 out_cy.extend(cy.tolist())
                 out_cx.extend(cx.tolist())
@@ -244,7 +292,9 @@ def polygon_cover_classified(polygons: DataFrame, res: int = DEFAULT_COVER_RES) 
                 "cov_cx": out_cx, "is_full": out_full,
             })
 
-    return polygons.select("polygon_id", "ring").mapInPandas(
+    return polygons.select(
+        "polygon_id", _rings_norm_col(polygons).alias("rings")
+    ).mapInPandas(
         classify, "polygon_id string, cov_cy bigint, cov_cx bigint, is_full boolean"
     )
 
@@ -267,10 +317,12 @@ def _classify_cells_all_np(pack: dict, ids: list, Y1, X1, Y2, X2, res: int):
     cx0 = np.empty(P, np.int64); cx1 = np.empty(P, np.int64)
     n_edges = np.empty(P, np.int64)
     for i, pid in enumerate(ids):  # tiny per-poly mins; the heavy work below
-        ys, xs = pack[pid]
-        cy0[i], cy1[i] = int(ys.min()) >> shift, int(ys.max()) >> shift
-        cx0[i], cx1[i] = int(xs.min()) >> shift, int(xs.max()) >> shift
-        n_edges[i] = len(ys) - 1
+        rr = pack[pid]
+        cy0[i] = min(int(ys.min()) for ys, _ in rr) >> shift
+        cy1[i] = max(int(ys.max()) for ys, _ in rr) >> shift
+        cx0[i] = min(int(xs.min()) for _, xs in rr) >> shift
+        cx1[i] = max(int(xs.max()) for _, xs in rr) >> shift
+        n_edges[i] = sum(len(ys) - 1 for ys, _ in rr)
     ny = cy1 - cy0 + 1
     nx = cx1 - cx0 + 1
     ncells = ny * nx
@@ -313,10 +365,15 @@ def _classify_cells_all_np(pack: dict, ids: list, Y1, X1, Y2, X2, res: int):
 
 
 def _edge_tensor(pack: dict):
-    """polygon pack -> (ids, Y1, X1, Y2, X2) padded [P, E_max] int64 edge
-    matrices; padding rows are degenerate (y1==y2) so they never cross."""
+    """polygon pack -> (ids, Y1, X1, Y2, X2) padded [P, E_max] edge
+    matrices; padding rows are degenerate (y1==y2) so they never cross.
+    Edges concatenate over a polygon's rings PER RING (closure inside each
+    ring), so holes and multipolygon shells contribute their own closed
+    edge loops and no phantom edge connects two rings."""
     ids = sorted(pack)
-    e_max = max((len(pack[p][0]) - 1) for p in ids) if ids else 1
+    e_max = max(
+        sum(len(ys) - 1 for ys, _ in pack[p]) for p in ids) if ids else 1
+    e_max = max(e_max, 1)
     P = len(ids)
     # int32: grid coords are < 2^16; the kernel widens only the products
     Y1 = np.zeros((P, e_max), dtype=np.int32)
@@ -324,10 +381,12 @@ def _edge_tensor(pack: dict):
     Y2 = np.zeros((P, e_max), dtype=np.int32)
     X2 = np.zeros((P, e_max), dtype=np.int32)
     for i, pid in enumerate(ids):
-        ys, xs = pack[pid]
-        n = len(ys) - 1
-        Y1[i, :n], X1[i, :n] = ys[:-1], xs[:-1]
-        Y2[i, :n], X2[i, :n] = ys[1:], xs[1:]
+        o = 0
+        for ys, xs in pack[pid]:
+            n = len(ys) - 1
+            Y1[i, o:o + n], X1[i, o:o + n] = ys[:-1], xs[:-1]
+            Y2[i, o:o + n], X2[i, o:o + n] = ys[1:], xs[1:]
+            o += n
     return ids, Y1, X1, Y2, X2
 
 
@@ -468,11 +527,16 @@ def pip_join(
         ).select(*keep_cols, "polygon_id", "qlat", "qlon")
 
     # JVM variants (kept for environments without Python workers): unrolled
-    # codegen expression for small rings, interpreted HOF for big ones
+    # codegen expression for small rings, interpreted HOF for big ones.
+    # Multi-ring geometries flatten to one edge array per polygon (each
+    # ring closed separately), so the even-odd crossing count handles
+    # holes/multipolygons here too.
     shift = GRID_BITS - res
     cover = polygon_cover(polygons, res)
     edges = polygons.select(
-        "polygon_id", _edges_col(F.col("ring")).alias("edges")
+        "polygon_id",
+        F.flatten(F.transform(_rings_norm_col(polygons),
+                              lambda r: _edges_col(r))).alias("edges"),
     )
     cover_e = cover.join(edges, "polygon_id")
 
@@ -490,7 +554,8 @@ def pip_join(
     ).select(*keep_cols, "polygon_id", "qlat", "qlon")
 
     max_edges = polygons.select(
-        F.max(F.size(F.col("ring"))).alias("m")).first()["m"] or 0
+        F.max(F.size(F.flatten(_rings_norm_col(polygons))))
+        .alias("m")).first()["m"] or 0
     if max_edges - 1 > MAX_UNROLLED_EDGES:
         big = cover_e.filter(F.size("edges") > MAX_UNROLLED_EDGES)
         out = out.unionByName(

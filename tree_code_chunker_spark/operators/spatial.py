@@ -503,3 +503,175 @@ FROM (
 )
 GROUP BY query_id
 """
+
+
+# ------------------------------------------------------------- geodesic ----
+# Planar grid d2 is exact but treats the grid as flat: real lat/lon users
+# hit the planar-vs-geodesic gap first at high latitudes, where lon cells
+# shrink by cos(lat).  These variants keep the same prune-then-exact shape
+# (cell-bucket equi-join, never all-pairs) but prune with latitude-aware
+# lon-cell widening and filter with the exact haversine distance.
+
+import math
+
+from .geo import EARTH_RADIUS_M, haversine_m_col, quantize_col
+
+M_PER_DEG = math.pi * EARTH_RADIUS_M / 180.0  # meters per degree of arc
+
+
+def dwithin_geo_res(radius_m: float) -> int:
+    """Finest resolution whose LAT cell side (meters along a meridian)
+    >= radius_m, so the lat neighborhood is always just +-1 cell; the lon
+    neighborhood widens per row by 1/cos(lat)."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    r = int(math.floor(math.log2(180.0 * M_PER_DEG / radius_m)))
+    if r < 3:
+        raise ValueError(
+            f"radius_m={radius_m} spans more than 1/8 of the grid "
+            "(>= ~2500 km): a cell prune cannot help — aggregate globally "
+            "instead")
+    return min(r, GRID_BITS)
+
+
+def dwithin_geo(
+    a: DataFrame,
+    b: DataFrame,
+    radius_m: float,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    b_keep: tuple[str, ...] = ("query_id",),
+    res: int | None = None,
+    broadcast_b: bool = False,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    round_to: int = 3,
+) -> DataFrame:
+    """All (a, b) pairs with GREAT-CIRCLE distance <= radius_m over degree
+    coordinates — the geodesic counterpart of dwithin_join.
+
+    a(lat, lon, *a_keep) x b(lat, lon, *b_keep) -> one row per pair with
+    a_keep + b_keep + dist_m (haversine meters, rounded to `round_to` dp
+    before the comparison so any mirror computing the same formula with
+    ulp-different libm trig agrees at the boundary).
+
+    Prune (exact by construction):
+      * resolution: lat cell side >= radius_m (dwithin_geo_res), so the
+        lat neighborhood is +-1 cell, clamped at the poles;
+      * lon widening: per b row, the cap's max lon extent is bounded by
+        radius / (M_PER_DEG * cos(|lat| + radius_deg)) degrees (verified
+        conservative vs the exact small-circle extremum asin(sin r /
+        cos lat) for every lat, radius with the cap off the pole), +1
+        cell slack for quantization — so hi-latitude rows widen as cells
+        shrink; a cap CONTAINING a pole falls back to the full lon ring;
+      * lon cells WRAP across the antimeridian (pmod + array_distinct),
+        so cross-seam pairs are found; haversine is wrap-correct anyway.
+
+    Scale shape: identical to dwithin_join — b explodes to its candidate
+    cells (typically 3x3, more only near the poles), one cell-key
+    equi-join, exact filter in the join projection.  No Python anywhere.
+    """
+    if res is None:
+        res = dwithin_geo_res(radius_m)
+    elif 180.0 * M_PER_DEG / (1 << res) < radius_m:
+        raise ValueError(
+            f"lat cell side at res={res} is smaller than radius_m="
+            f"{radius_m}: the +-1 lat neighborhood would miss pairs")
+    shift = GRID_BITS - res
+    n_cells = 1 << res
+    rad_deg = radius_m / M_PER_DEG
+    lon_side_deg = 360.0 / n_cells
+
+    def cells(df):
+        qlat, qlon = quantize_col(F.col(lat_col), F.col(lon_col))
+        return (F.shiftright(qlat, shift), F.shiftright(qlon, shift))
+
+    acy, acx = cells(a)
+    a_side = a.select(
+        *a_keep,
+        F.col(lat_col).alias("a_lat"), F.col(lon_col).alias("a_lon"),
+        acy.alias("ccy"), acx.alias("ccx"),
+    )
+
+    bcy, bcx = cells(b)
+    b_pt = b.select(
+        *b_keep,
+        F.col(lat_col).alias("b_lat"), F.col(lon_col).alias("b_lon"),
+        bcy.alias("bcy"), bcx.alias("bcx"),
+    )
+    # lon half-width in cells, per row (see docstring bound)
+    phi_w = F.abs(F.col("b_lat")) + F.lit(rad_deg)
+    cos_w = F.cos(F.radians(phi_w))
+    pole_in_cap = phi_w >= F.lit(90.0)
+    w = F.when(
+        pole_in_cap, F.lit(n_cells)
+    ).otherwise(
+        F.least(
+            F.ceil(F.lit(rad_deg) / (F.lit(lon_side_deg) * cos_w)) + 1,
+            F.lit(n_cells),
+        )
+    ).cast("int")
+    # wrap + dedup: past the half-ring the sequence covers every lon cell
+    # exactly once thanks to array_distinct
+    ccx_arr = F.array_distinct(F.transform(
+        F.sequence(-w, w),
+        lambda o: F.pmod(F.col("bcx") + o, F.lit(n_cells)),
+    ))
+    b_side = (
+        b_pt.select("*", F.explode(
+            F.sequence(F.lit(-1), F.lit(1))).alias("dy"))
+        .select("*", F.explode(ccx_arr).alias("ccx"))
+        .select(
+            *b_keep, "b_lat", "b_lon",
+            (F.col("bcy") + F.col("dy")).alias("ccy"), "ccx",
+        )
+        .filter((F.col("ccy") >= 0) & (F.col("ccy") < n_cells))
+    )
+    if broadcast_b:
+        b_side = F.broadcast(b_side)
+    dist = F.round(
+        haversine_m_col(F.col("a_lat"), F.col("a_lon"),
+                        F.col("b_lat"), F.col("b_lon")), round_to)
+    return (
+        a_side.join(b_side, ["ccy", "ccx"], "inner")
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(*a_keep, *b_keep, "dist_m")
+    )
+
+
+def knn_geo(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    radius_m: float,
+    tie_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    res: int | None = None,
+    broadcast_queries: bool = True,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Radius-bounded GEODESIC kNN: for each query, its k nearest corpus
+    points by great-circle distance WITHIN radius_m (fewer rows if the cap
+    holds fewer) — the geodesic twin of knn_within, and the re-rank step
+    lat/lon users need where planar grid distance misorders neighbors at
+    high latitude (pinned by test: planar and geodesic rankings agree at
+    the equator and genuinely differ near the pole).
+
+    Composition of exact plans: dwithin_geo prune (lat-aware cell join)
+    feeding one top-k window ordered by the ROUNDED haversine distance
+    with tie_cols breaking ties — deterministic and mirror-stable."""
+    from pyspark.sql import Window
+
+    cand = dwithin_geo(
+        corpus, queries, radius_m,
+        a_keep=tuple(tie_cols), b_keep=("query_id",),
+        res=res, broadcast_b=broadcast_queries,
+        lat_col=lat_col, lon_col=lon_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), *[F.col(c).asc() for c in tie_cols])
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", *tie_cols, "dist_m", "rank")
+    )

@@ -127,3 +127,46 @@ def gen_knn_queries(spark: SparkSession, n_queries: int, seed: int = 44) -> Data
             qlon = int(rng.randint(0, 65536))
         rows.append((f"q{q:05d}", qlat, qlon))
     return spark.createDataFrame(rows, "query_id string, qlat bigint, qlon bigint")
+
+
+def polygon_rings_holes(n_polygons: int, seed: int = 47) -> list:
+    """[(polygon_id, [ring, ...])] multi-ring fixtures, every ring closed:
+    each polygon is a DONUT (octagon shell + hexagonal hole at 1/3 radius),
+    and every third adds a disjoint second shell (multipolygon).  Shared by
+    the Spark fixture (gen_polygons_holes) and the pip_holes DuckDB oracle,
+    which embeds the same rings as an edge VALUES table — even-odd
+    crossings over ALL edges implement holes in both engines."""
+    rng = np.random.RandomState(seed)
+
+    def ngon(cy, cx, rad, n_vert):
+        angles = np.linspace(0, 2 * np.pi, n_vert, endpoint=False)
+        ring = [(int(np.clip(cy + rad * np.sin(a), 0, 65535)),
+                 int(np.clip(cx + rad * np.cos(a), 0, 65535)))
+                for a in angles]
+        ring.append(ring[0])
+        return ring
+
+    out = []
+    for p in range(n_polygons):
+        if p == 0:
+            cy, cx = HOT_CENTERS[0]  # hole over a hot cell: skew + exclusion
+        else:
+            cy = int(rng.randint(6000, 59000))
+            cx = int(rng.randint(6000, 59000))
+        big = int(rng.randint(1500, 4000))
+        rings = [ngon(cy, cx, big, 8), ngon(cy, cx, max(big // 3, 64), 6)]
+        if p % 3 == 0:
+            cy2 = int(np.clip(cy + 2 * big + 1500, 0, 65535))
+            rings.append(ngon(cy2, cx, big // 2, 5))
+        out.append((f"hpoly{p:05d}", rings))
+    return out
+
+
+def gen_polygons_holes(spark: SparkSession, n_polygons: int,
+                       seed: int = 47) -> DataFrame:
+    """Multi-ring polygons (donuts + multipolygons) as a `rings` column —
+    the holes-aware geometry schema accepted by every PIP path."""
+    rows = list(polygon_rings_holes(n_polygons, seed))
+    schema = ("polygon_id string, "
+              "rings array<array<struct<qlat:bigint,qlon:bigint>>>")
+    return spark.createDataFrame(rows, schema)

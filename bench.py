@@ -197,6 +197,50 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
                          F.col("l_partkey").alias("dst"))
     timed("pagerank_1it", lambda: pagerank_int(pr_edges, iters=1).count())
 
+    # PageRank to CONVERGENCE (tol mode, the user-facing knob): stop when
+    # the per-iteration L1 delta drops under 1% of a rank unit per node —
+    # the telemetry turns "guess iters" into "measure iters" (round-5).
+    from tree_code_chunker_spark.operators.graph import SCALE
+    pr_nodes = pr_edges.select("src").union(
+        pr_edges.select("dst")).distinct().count()
+    pr_tol = pr_nodes * SCALE // 100
+    pr_deltas: list[int] = []
+
+    def pagerank_tol_once():
+        pr_deltas.clear()
+        t0 = time.perf_counter()
+        pagerank_int(pr_edges, iters=20, tol=pr_tol,
+                     deltas_out=pr_deltas).count()
+        return time.perf_counter() - t0
+
+    timings["pagerank_tol"] = round(pagerank_tol_once(), 3)
+    pagerank_tol_iters = len(pr_deltas)
+    pagerank_tol_delta = int(pr_deltas[-1]) if pr_deltas else 0
+
+    # embedding near-dup via the LSH scale path (round-5): planted twins
+    # (deterministic jitter) over the embeddings table; candidate volume
+    # recorded vs n^2/2 — the number that makes this the default at scale
+    from tree_code_chunker_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_near_dup_pairs_lsh,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb_twins = emb_base.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform("v", lambda x, i: x * (
+            1 + ((F.col("vec_id") * 31 + i) % 7 - 3) / 1000.0)).alias("v"),
+    ).select((F.col("orig_id") + 100000).alias("vec_id"), "v")
+    emb_aug = emb_base.unionByName(emb_twins).cache()
+    n_vecs = emb_aug.count()
+    timed("embed_near_dup_lsh", lambda: embedding_near_dup_pairs_lsh(
+        emb_aug, "vec_id", "v", dim=64, threshold=0.99,
+        n_bits=32, bands=4).count())
+    lsh_candidates = embedding_lsh_candidates(
+        emb_aug, "vec_id", "v", dim=64, n_bits=32, bands=4).count()
+    emb_aug.unpersist()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "pip_tile_docs_per_sec",
@@ -209,6 +253,11 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         "cores": cores,
         "n_docs": n_docs,
         "n_points": n_points,
+        "pagerank_tol_iters": pagerank_tol_iters,
+        "pagerank_tol_delta": pagerank_tol_delta,
+        "lsh_n_vecs": n_vecs,
+        "lsh_candidates": int(lsh_candidates),
+        "lsh_all_pairs": n_vecs * (n_vecs - 1) // 2,
     }
     spark.stop()
     return result

@@ -647,3 +647,76 @@ def test_stream_dwithin_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM sdw").collect()))
     assert got == want
+
+
+def test_stream_dedup_increment_equals_full_recompute(spark, tmp_path):
+    """Streaming incremental MinHash dedup (foreachBatch over a persisted
+    band index): the union of every micro-batch's written pairs must equal
+    the full-corpus LSH candidate recompute — same invariant as the batch
+    dedup_increment, through the stream path with one file per trigger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from tree_code_chunker_spark.streaming.windows import (
+        run_stream_dedup_increment,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+
+    def write_batch(name, df, mtime):
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    src = str(tmp_path / "ddi_in")
+    os.makedirs(src)
+    write_batch("ddi_in/b1", docs.filter(F.col("doc_id") % 2 == 0), 1_000_000)
+    write_batch("ddi_in/b2", docs.filter(F.col("doc_id") % 2 == 1), 1_000_100)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_stream_dedup_increment(
+        stream, str(tmp_path / "ddi_index"), str(tmp_path / "ddi_out"),
+        str(tmp_path / "ddi_ck"))
+    q.awaitTermination(180)
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.read.parquet(str(tmp_path / "ddi_out")).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text")).collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_dedup_increment_replay_idempotent(spark, tmp_path):
+    """A replayed increment with the same batch_name (the foreachBatch
+    at-least-once case) must join against the corpus EXCLUDING its own
+    prior write, produce identical pairs, and not double-register the
+    batch in the manifest."""
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.dedup import (
+        dedup_increment,
+        read_index_meta,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "replay_idx")
+    dedup_increment(b0, idx, batch_name=0)
+    first = sorted((r["id_a"], r["id_b"]) for r in
+                   dedup_increment(b1, idx, batch_name=1).collect())
+    replay = sorted((r["id_a"], r["id_b"]) for r in
+                    dedup_increment(b1, idx, batch_name=1).collect())
+    assert first == replay
+    assert read_index_meta(idx)["batches"] == [0, 1]

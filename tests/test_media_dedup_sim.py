@@ -418,14 +418,16 @@ def _planted_twin_vectors(spark, sf_dir="/root/testdata/sf0.001"):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # two-step select: lateral alias resolution would otherwise bind the
+    # lambda's vec_id to the new vec_id+100000 (see q_embed_near_dup_lsh)
     twins = base.filter(F.col("vec_id") % 3 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.col("vec_id").alias("orig_id"),
         F.transform(
             "v",
             lambda x, i: x * (1 + ((F.col("vec_id") * 31 + i) % 7 - 3)
                               / 1000.0),
         ).alias("v"),
-    )
+    ).select((F.col("orig_id") + 100000).alias("vec_id"), "v")
     return base.unionByName(twins)
 
 

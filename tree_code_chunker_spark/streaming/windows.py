@@ -358,3 +358,49 @@ def sessionize_batch(
         .select(*cols)
     )
     return interior.unionByName(merged)
+
+
+def run_stream_dedup_increment(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Streaming incremental MinHash dedup: every micro-batch of newly
+    ingested documents signatures itself, equi-joins its band keys against
+    the persisted corpus index (operators.dedup.dedup_increment), writes
+    the candidate pairs it INTRODUCED to `out_path`, and appends its bands
+    to the index — the daily new-crawl-vs-corpus dedup as a continuous
+    stream; the union of all written pairs equals the full-corpus LSH
+    recompute (pinned by test, same invariant as the batch form).
+
+    At-least-once safety (foreachBatch replays after a crash):
+      * the pair output overwrites its own `_batch_id` partition (dynamic
+        partition overwrite), so a replay rewrites identical rows;
+      * the INDEX side passes the micro-batch id as dedup_increment's
+        batch_name — a replayed batch joins against the corpus EXCLUDING
+        its own prior partial write, overwrites its band directory, and
+        the manifest gains the id exactly once.
+    """
+    from ..operators.dedup import dedup_increment
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (dedup_increment(df, index_path, id_col=id_col, text_col=text_col,
+                         batch_name=int(batch_id), **dedup_kwargs)
+         .withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (doc_stream.writeStream.foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2870,6 +2870,56 @@ FROM (
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
+    the eval set is derived deterministically from the corpus itself
+    (every 17th doc's first 120 characters), so every eval doc's source
+    is partially contaminated and the fraction is a real 0<frac<=1."""
+    from tree_code_chunker_spark.operators.dedup import contamination_check
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eid"),
+        F.substring("text", 1, 120).alias("text"))
+    out = contamination_check(d, ev, eval_id_col="eid", n=5)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_grams", "n_contaminated", "frac", "n_eval_doc_hits")
+
+
+def _gram5_sql(src: str, idc: str) -> str:
+    return f"""SELECT DISTINCT {idc}, array_to_string(ws[i : i + 4], ' ') AS gram
+  FROM (
+    SELECT {idc}, ws,
+           unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+    FROM (SELECT {idc}, string_split(text, ' ') AS ws FROM {src})
+  )"""
+
+
+SQL_CONTAMINATION = f"""
+WITH ev AS (
+  SELECT doc_id AS eid, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 17 = 0
+), cg AS (
+  {_gram5_sql("(SELECT doc_id AS id, text FROM documents)", "id")}
+), eg AS (
+  {_gram5_sql("ev", "eid")}
+), es AS (
+  SELECT gram, count(DISTINCT eid) AS n_eval_docs_g FROM eg GROUP BY gram
+), sizes AS (
+  SELECT id, count(*) AS n_grams FROM cg GROUP BY id
+), hits AS (
+  SELECT id, count(*) AS n_contaminated,
+         CAST(sum(n_eval_docs_g) AS BIGINT) AS n_eval_doc_hits
+  FROM cg JOIN es USING (gram) GROUP BY id
+)
+SELECT h.id, s.n_grams, h.n_contaminated,
+       round(h.n_contaminated / CAST(s.n_grams AS DOUBLE), 6) AS frac,
+       h.n_eval_doc_hits
+FROM hits h JOIN sizes s ON s.id = h.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -2883,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_geo": q_dwithin_geo,
         "knn_geo": q_knn_geo,
         "pip_holes": q_pip_holes,
+        "contamination": q_contamination,
         # last driver-green in r3 (rotated out of the r4 window)
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
@@ -2959,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_geo": SQL_DWITHIN_GEO,
         "knn_geo": SQL_KNN_GEO,
         "pip_holes": SQL_PIP_HOLES,
+        "contamination": SQL_CONTAMINATION,
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
         "idw": SQL_IDW,

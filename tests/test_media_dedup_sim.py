@@ -537,3 +537,29 @@ def test_dedup_increment_param_mismatch_raises(spark, tmp_path):
     dedup_increment(docs, idx)
     with pytest.raises(ValueError, match="do not match the index"):
         dedup_increment(docs, idx, bands=8)
+
+
+def test_contamination_check_hand_computed(spark):
+    """Train-vs-eval n-gram decontamination on a hand-computed fixture:
+    partial overlap reports the exact gram counts/fraction; clean docs
+    produce no row; a gram shared with TWO eval docs counts both."""
+    from tree_code_chunker_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w"), (3, "c d e")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "c d e f"), (101, "b c d e")],
+        "eid long, text string")
+    out = {r["id"]: (r["n_grams"], r["n_contaminated"], r["frac"],
+                     r["n_eval_doc_hits"])
+           for r in contamination_check(corpus, ev, eval_id_col="eid",
+                                        n=3).collect()}
+    # doc 1 grams: "a b c","b c d","c d e","d e f"; eval grams:
+    # ev100 {"c d e","d e f"}, ev101 {"b c d","c d e"} -> contaminated
+    # {"b c d","c d e","d e f"} = 3 of 4; eval-doc hits: b c d->1,
+    # c d e->2, d e f->1 = 4
+    assert out[1] == (4, 3, 0.75, 4)
+    # doc 3 is shorter than n: collapses to the single gram "c d e" -> 1/1
+    assert out[3] == (1, 1, 1.0, 2)
+    assert 2 not in out

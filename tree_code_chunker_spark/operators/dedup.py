@@ -814,3 +814,59 @@ def dedup_increment(
     # the returned plan reads only immutable batch dirs (file listings were
     # resolved at read time), so later increments cannot leak into it
     return pairs.distinct()
+
+
+def contamination_check(
+    corpus: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    eval_id_col: str = "doc_id", eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train-vs-eval n-gram decontamination (the classic benchmark-leak
+    filter): for every corpus document sharing at least one word n-gram
+    with ANY eval document, report (id, n_grams, n_contaminated, frac,
+    n_eval_docs) — the doc's distinct-gram count, how many of them occur
+    in the eval set, the contaminated fraction, and how many distinct
+    eval documents it collides with.  Clean documents produce no row
+    (the common case at scale; callers left-anti-join to keep them).
+
+    Plan: distinct grams per side (word_ngrams_col, shared with the
+    Jaccard join so every n-gram operator tokenizes identically), the
+    EVAL side reduced to (gram, its distinct doc count) and BROADCAST —
+    eval sets are benchmark-sized by nature — so the 10^12-doc corpus is
+    filtered by a broadcast hash join and never shuffled; one hash
+    aggregation on the surviving (rare) contaminated rows.  Contract
+    shape: candidate-prune + exact verify again (reference semi-join,
+    codechunk.go:691-720) — except here membership IS the predicate.
+    """
+    grams = (
+        corpus.select(F.col(id_col).alias("id"),
+                      F.explode(word_ngrams_col(F.col(text_col), n))
+                      .alias("gram"))
+        .distinct()
+    )
+    eval_grams = (
+        eval_df.select(F.col(eval_id_col).alias("eid"),
+                       F.explode(word_ngrams_col(F.col(eval_text_col), n))
+                       .alias("gram"))
+        .distinct()
+    )
+    eval_stats = F.broadcast(
+        eval_grams.groupBy("gram")
+        .agg(F.countDistinct("eid").alias("n_eval_docs_g")))
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(eval_stats, "gram", "inner")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"),
+             F.sum("n_eval_docs_g").alias("n_eval_doc_hits"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            "id", "n_grams", "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
+            .alias("frac"),
+            "n_eval_doc_hits",
+        )
+    )

@@ -2870,6 +2870,33 @@ FROM (
 """
 
 
+GEO_SELF_RADIUS_M = 2000.0
+
+
+def q_dwithin_geo_self(spark, sf_dir):
+    """Geodesic location near-dup pairs: unordered pairs of distinct
+    points within 2 km great-circle distance — hot-box points supply
+    genuine dense-cluster pairs, the global background stays sparse."""
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo_self
+
+    return dwithin_geo_self(_deg_points(spark, sf_dir), GEO_SELF_RADIUS_M)
+
+
+SQL_DWITHIN_GEO_SELF = f"""
+{SPANS_CTE}, {POINTS_SQL},
+deg AS (
+  SELECT doc_id, span_pos, {_GLAT} AS lat, {_GLON} AS lon FROM points
+)
+SELECT p.doc_id, p.span_pos,
+       q.doc_id AS b_doc_id, q.span_pos AS b_span_pos,
+       round({_GHAV}, 3) AS dist_m
+FROM deg p CROSS JOIN deg q
+WHERE (p.doc_id < q.doc_id
+       OR (p.doc_id = q.doc_id AND p.span_pos < q.span_pos))
+  AND round({_GHAV}, 3) <= {GEO_SELF_RADIUS_M}
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -2934,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geo": q_knn_geo,
         "pip_holes": q_pip_holes,
         "contamination": q_contamination,
+        "dwithin_geo_self": q_dwithin_geo_self,
         # last driver-green in r3 (rotated out of the r4 window)
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
@@ -3011,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_geo": SQL_KNN_GEO,
         "pip_holes": SQL_PIP_HOLES,
         "contamination": SQL_CONTAMINATION,
+        "dwithin_geo_self": SQL_DWITHIN_GEO_SELF,
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
         "idw": SQL_IDW,

@@ -520,3 +520,31 @@ def test_dwithin_geo_res_guards(spark):
                               "query_id bigint, lat double, lon double")
     with pytest.raises(ValueError, match="smaller than radius"):
         dwithin_geo(a, b, 100_000, a_keep=("pid",), res=14)
+
+
+def test_dwithin_geo_self_matches_bruteforce(spark):
+    """Geodesic self-join: unordered distinct pairs, no self-pairs, equal
+    to the brute-force haversine filter."""
+    from tree_code_chunker_spark.operators.geo import haversine_m_np
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo_self
+
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-85, 85, 150)
+    lon = rng.uniform(-180, 180, 150)
+    # plant a dense cluster so pairs exist
+    lat[:30] = 45.0 + rng.uniform(-0.05, 0.05, 30)
+    lon[:30] = 9.0 + rng.uniform(-0.05, 0.05, 30)
+    rows = [(i, 0, float(a), float(o)) for i, (a, o) in
+            enumerate(zip(lat, lon))]
+    pts = spark.createDataFrame(
+        rows, "doc_id bigint, span_pos bigint, lat double, lon double")
+    got = {(r["doc_id"], r["b_doc_id"], r["dist_m"]) for r in
+           dwithin_geo_self(pts, 5_000).collect()}
+    d = np.round(haversine_m_np(lat[:, None], lon[:, None],
+                                lat[None, :], lon[None, :]), 3)
+    ia, ib = np.where(d <= 5_000)
+    want = {(int(i), int(j), float(d[i, j]))
+            for i, j in zip(ia, ib) if i < j}
+    assert got == want
+    assert len(want) > 0
+    assert all(a != b for a, b, _ in got)

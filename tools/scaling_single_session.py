@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 N = 4
 N4 = 16
 TRIALS = 5
-KNN_TRIALS = 2  # knn_self pairs are minute-scale at the N level
+KNN_TRIALS = 3  # knn_self pairs are minute-scale at the N level
 
 
 def main():
@@ -125,11 +125,15 @@ def main():
             knn_n.append(ka)
             knn_n4.append(kb)
             knn_ratios.append(ka / kb)
-    ratios_sorted = sorted(ratios)
-    med_ratio = ratios_sorted[len(ratios_sorted) // 2]
-    eff = med_ratio / 4
-    knn_med = sorted(knn_ratios)[len(knn_ratios) // 2]
-    knn_eff = knn_med / 4
+    def _median(xs):
+        ss = sorted(xs)
+        m = len(ss) // 2
+        # true median: even-length lists average the middle two (taking
+        # ss[m] alone would report the HIGHER of two pairs as "median")
+        return ss[m] if len(ss) % 2 else (ss[m - 1] + ss[m]) / 2
+
+    eff = _median(ratios) / 4
+    knn_eff = _median(knn_ratios) / 4
     t_n, t_n4 = min(times_n), min(times_n4)
     tk_n, tk_n4 = min(knn_n), min(knn_n4)
     dps_n, dps_n4 = n_docs / t_n, n_docs / t_n4

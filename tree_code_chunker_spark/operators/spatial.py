@@ -675,3 +675,29 @@ def knn_geo(
         .filter(F.col("rank") <= k)
         .select("query_id", *tie_cols, "dist_m", "rank")
     )
+
+
+def dwithin_geo_self(
+    points: DataFrame,
+    radius_m: float,
+    id_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    res: int | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geodesic near-duplicate pairs: all UNORDERED pairs of distinct
+    points within `radius_m` great-circle meters — the degree-coordinate
+    twin of dwithin_self_join (location near-dups for a lat/lon corpus).
+
+    Same plan: both sides the same set through the dwithin_geo cell
+    prune, kept once by lexicographic id order (also drops self-pairs).
+    """
+    b_renamed = [F.col(c).alias(f"b_{c}") for c in id_cols]
+    b = points.select(*b_renamed, lat_col, lon_col)
+    pairs = dwithin_geo(points, b, radius_m,
+                        a_keep=id_cols,
+                        b_keep=tuple(f"b_{c}" for c in id_cols),
+                        res=res, lat_col=lat_col, lon_col=lon_col)
+    a_key = F.struct(*[F.col(c) for c in id_cols])
+    b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
+    return pairs.filter(a_key < b_key)

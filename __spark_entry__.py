@@ -2870,6 +2870,52 @@ FROM (
 """
 
 
+MIX_PROPS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2}  # fr dropped
+
+
+def q_mix_lang(spark, sf_dir):
+    """Data mixing: downsample the corpus to a target language mixture
+    (40/20/20/20 over en/zh/es/de; fr dropped) — the training-mix
+    balancing step.  Deterministic: per-language budgets k_g =
+    floor(p_g * floor(min n_g/p_g)) and the kept rows are the k_g with
+    smallest content-derived sample key.  The oracle derives the SAME
+    budgets inside SQL (identical float64 ops on identical literals)."""
+    from tree_code_chunker_spark.operators.training import mix_to_proportions
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return mix_to_proportions(d, "lang", MIX_PROPS)
+
+
+def _mix_lang_sql() -> str:
+    from tree_code_chunker_spark.operators.training import _sample_key_sql
+
+    key = _sample_key_sql("d.doc_id", 42)
+    props = ", ".join(f"('{g}', {p!r})"
+                      for g, p in sorted(MIX_PROPS.items()))
+    return f"""
+WITH props(lang, p) AS (VALUES {props}),
+cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tt AS (
+  SELECT CAST(min(floor(c.n / pr.p)) AS BIGINT) AS T
+  FROM cnt c JOIN props pr USING (lang)
+),
+lim AS (
+  SELECT pr.lang, CAST(floor(pr.p * tt.T) AS BIGINT) AS _k
+  FROM props pr CROSS JOIN tt
+)
+SELECT doc_id, lang, source, n_chars, sample_key FROM (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars, {key} AS sample_key,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY {key} ASC, d.doc_id ASC) AS _rn,
+         l._k
+  FROM documents d JOIN lim l ON d.lang = l.lang
+) WHERE _rn <= _k
+"""
+
+
+SQL_MIX_LANG = _mix_lang_sql()
+
+
 GEO_SELF_RADIUS_M = 2000.0
 
 
@@ -2962,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_holes": q_pip_holes,
         "contamination": q_contamination,
         "dwithin_geo_self": q_dwithin_geo_self,
+        "mix_lang": q_mix_lang,
         # last driver-green in r3 (rotated out of the r4 window)
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
@@ -3040,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_holes": SQL_PIP_HOLES,
         "contamination": SQL_CONTAMINATION,
         "dwithin_geo_self": SQL_DWITHIN_GEO_SELF,
+        "mix_lang": SQL_MIX_LANG,
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
         "idw": SQL_IDW,

@@ -206,3 +206,37 @@ def test_sample_weighted_rate_and_determinism(spark):
     b = sorted(r.doc_id for r in sample_weighted(
         df.repartition(17), "w").collect())
     assert a == b
+
+
+def test_mix_to_proportions(spark):
+    """Target-mixture downsampling: exact per-group budgets, largest
+    no-upsampling mixture, unlisted groups dropped, deterministic across
+    partitionings."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.training import (
+        mix_proportion_counts,
+        mix_to_proportions,
+    )
+
+    rows = [(i, "a" if i % 10 < 6 else ("b" if i % 10 < 9 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    # counts: a=600, b=300, c=100; target 50/50 over (a, b):
+    # T = min(600/.5, 300/.5) = 600 -> k = {a: 300, b: 300}
+    out = mix_to_proportions(df, "grp", {"a": 0.5, "b": 0.5})
+    got = {r["grp"]: r["cnt"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"a": 300, "b": 300}
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               mix_to_proportions(df.repartition(13), "grp",
+                                  {"a": 0.5, "b": 0.5}).collect())
+    assert a == b
+    # guards
+    with pytest.raises(ValueError, match="absent"):
+        mix_proportion_counts({"a": 10}, {"a": 0.5, "zz": 0.5})
+    with pytest.raises(ValueError, match="non-positive"):
+        mix_proportion_counts({"a": 10}, {"a": 0.0})

@@ -309,3 +309,86 @@ __all__ = [
     "sample_weighted",
     "sample_weighted_sql",
 ]
+
+
+def mix_proportion_counts(counts: dict, proportions: dict) -> dict:
+    """k_g per group for the LARGEST mixture achievable by pure
+    downsampling: T = floor(min_g n_g / p_g), k_g = floor(p_g * T).
+    Shared by the Spark operator and the SQL-mirror generator so both
+    embed the identical literal budgets."""
+    missing = sorted(g for g in proportions if g not in counts)
+    if missing:
+        raise ValueError(f"mix groups absent from the data: {missing}")
+    bad = sorted(g for g, p in proportions.items() if p <= 0)
+    if bad:
+        raise ValueError(f"non-positive target proportions: {bad}")
+    T = min(int(counts[g] / p) for g, p in proportions.items())
+    return {g: int(p * T) for g, p in proportions.items()}
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    group_col: str,
+    proportions: dict,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample groups to a TARGET MIXTURE — the data-mixing step of a
+    training pipeline (balance languages/domains to prescribed weights).
+
+    proportions: group -> target fraction; groups absent from the dict
+    are DROPPED (that is the point of mixing), listed groups absent from
+    the DATA raise.  Downsampling only: the achievable total is
+    T = floor(min_g n_g / p_g) and each listed group keeps the
+    k_g = floor(p_g * T) rows with smallest content-derived sample key
+    (the poly31+affine construction shared with sample_per_group), so
+    the mix hits the requested proportions up to floor rounding, is the
+    largest such subset needing no upsampling, and is bit-identical at
+    any parallelism.
+
+    Plan: ONE metadata aggregate (group counts — groups are languages /
+    domains, |groups| rows collected, never data-sized), the k_g budgets
+    broadcast as a literal frame, then one window top-k per group whose
+    limit runs map-side (WindowGroupLimit) before the per-group shuffle
+    — the only data-sized operation.
+    """
+    counts = {r["g"]: r["n"] for r in
+              df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count("*").alias("n")).collect()}
+    k = mix_proportion_counts(counts, proportions)
+    spark = df.sparkSession
+    limits = F.broadcast(spark.createDataFrame(
+        [(g, int(n)) for g, n in sorted(k.items())],
+        f"{group_col} string, _k int"))
+    key = _sample_key_col(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_skey").asc(), F.col(id_col).asc())
+    return (
+        df.join(limits, group_col, "inner")
+        .withColumn("_skey", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_k"))
+        .drop("_rn", "_k")
+        .withColumnRenamed("_skey", "sample_key")
+    )
+
+
+def mix_to_proportions_sql(table: str, group_col: str, k_per_group: dict,
+                           id_col: str, seed: int = 42) -> str:
+    """DuckDB mirror: same poly31+affine key, the k_g budgets embedded as
+    a VALUES table (compute them with mix_proportion_counts on the same
+    group counts)."""
+    key = _sample_key_sql(id_col, seed)
+    vals = ", ".join(f"('{g}', {int(n)})"
+                     for g, n in sorted(k_per_group.items()))
+    return f"""
+SELECT * EXCLUDE (_rn, _k) FROM (
+  SELECT t.*, lim._k, {key} AS sample_key,
+         row_number() OVER (
+           PARTITION BY t.{group_col}
+           ORDER BY {key} ASC, t.{id_col} ASC) AS _rn
+  FROM {table} t
+  JOIN (VALUES {vals}) AS lim({group_col}, _k)
+    ON t.{group_col} = lim.{group_col}
+) WHERE _rn <= _k
+"""

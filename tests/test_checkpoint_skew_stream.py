@@ -720,3 +720,41 @@ def test_dedup_increment_replay_idempotent(spark, tmp_path):
                     dedup_increment(b1, idx, batch_name=1).collect())
     assert first == replay
     assert read_index_meta(idx)["batches"] == [0, 1]
+
+
+def test_stream_dwithin_geo_matches_batch(spark, tmp_path):
+    """Streaming geodesic radius join == batch dwithin_geo on the same
+    degree points, including an antimeridian probe."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo
+    from tree_code_chunker_spark.streaming.stream_chunk import (
+        stream_dwithin_geo,
+    )
+
+    rng = np.random.RandomState(41)
+    pts_rows = [(int(i), 0, float(rng.uniform(-85, 85)),
+                 float(rng.uniform(-180, 180))) for i in range(2000)]
+    pts = spark.createDataFrame(
+        pts_rows, "doc_id bigint, span_pos bigint, lat double, lon double")
+    q_rows = [(int(i), float(rng.uniform(-80, 80)),
+               float(rng.uniform(-180, 180))) for i in range(20)]
+    q_rows.append((20, 60.0, 179.95))
+    queries = spark.createDataFrame(
+        q_rows, "query_id bigint, lat double, lon double")
+    radius_m = 600_000.0
+    want = sorted(map(tuple, dwithin_geo(
+        pts, queries, radius_m, broadcast_b=True).collect()))
+    assert len(want) > 0
+
+    src = str(tmp_path / "dwg_pts")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    out = stream_dwithin_geo(stream, queries, radius_m)
+    q = (out.writeStream.format("memory").queryName("sdwg")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dwg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sdwg").collect()))
+    assert got == want

@@ -151,3 +151,31 @@ def run_stream_knn(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dwithin_geo(
+    points_stream: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    b_keep: tuple[str, ...] = ("query_id",),
+    res: int | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Streaming GEODESIC radius join: an unbounded degree-coordinate
+    point stream against a static probe set — every pair within radius_m
+    great-circle meters (the stream twin of operators/spatial.dwithin_geo,
+    with the same latitude-aware lon widening / antimeridian wrap / pole
+    fallback).
+
+    Same stateless stream-static shape as stream_dwithin: the static side
+    explodes to its candidate cells and broadcasts, each micro-batch
+    probes it exactly like the batch path, so stream output == batch
+    output on the same rows (pinned by test).  No watermark; no state.
+    """
+    from ..operators.spatial import dwithin_geo
+
+    return dwithin_geo(points_stream, queries, radius_m, a_keep=a_keep,
+                       b_keep=b_keep, res=res, broadcast_b=True,
+                       lat_col=lat_col, lon_col=lon_col)

@@ -2870,6 +2870,63 @@ FROM (
 """
 
 
+POLY_DIST_R = 400
+
+
+def q_poly_dist(spark, sf_dir):
+    """Distance-to-polygon join (nearest-feature matching): every
+    (point, polygon) pair within 400 grid units — 0.0 for contained
+    points, else min point-to-segment distance (per-edge 6dp rounding
+    before the min so both engines tie-break identically)."""
+    from tree_code_chunker_spark.operators.pip import polygon_distance_join
+
+    pts = _points(spark, sf_dir)
+    polys = gen_polygons(spark, 20, seed=43)
+    return polygon_distance_join(pts, polys, POLY_DIST_R)
+
+
+def _poly_dist_sql() -> str:
+    l2 = "((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1))"
+    tn = ("((p.qlon - e.x1) * (e.x2 - e.x1)"
+          " + (p.qlat - e.y1) * (e.y2 - e.y1))")
+    d2a = ("((p.qlon - e.x1) * (p.qlon - e.x1)"
+           " + (p.qlat - e.y1) * (p.qlat - e.y1))")
+    d2b = ("((p.qlon - e.x2) * (p.qlon - e.x2)"
+           " + (p.qlat - e.y2) * (p.qlat - e.y2))")
+    seg_d2 = f"""CASE
+      WHEN {l2} = 0 OR {tn} <= 0 THEN CAST({d2a} AS DOUBLE)
+      WHEN {tn} >= {l2} THEN CAST({d2b} AS DOUBLE)
+      ELSE {d2a} - CAST({tn} AS DOUBLE) * {tn} / {l2}
+    END"""
+    crossing = """CASE WHEN ((e.y1 > p.qlat) <> (e.y2 > p.qlat))
+         AND ((e.y2 > e.y1 AND
+               (p.qlon - e.x1) * (e.y2 - e.y1)
+                 < (p.qlat - e.y1) * (e.x2 - e.x1))
+           OR (e.y2 < e.y1 AND
+               (p.qlon - e.x1) * (e.y2 - e.y1)
+                 > (p.qlat - e.y1) * (e.x2 - e.x1)))
+        THEN 1 ELSE 0 END"""
+    return f"""
+{SPANS_CTE}, {POINTS_SQL}, {_pip_raycast_edges_sql()},
+agg AS (
+  SELECT p.doc_id, p.span_pos, e.polygon_id,
+         sum({crossing}) AS crossings,
+         min(round({seg_d2}, 6)) AS min_d2
+  FROM points p CROSS JOIN edges e
+  GROUP BY p.doc_id, p.span_pos, e.polygon_id
+)
+SELECT doc_id, span_pos, polygon_id, dist FROM (
+  SELECT doc_id, span_pos, polygon_id,
+         CASE WHEN crossings % 2 = 1 THEN 0.0
+              ELSE round(sqrt(greatest(min_d2, 0.0)), 6) END AS dist
+  FROM agg
+) WHERE dist <= {POLY_DIST_R}
+"""
+
+
+SQL_POLY_DIST = _poly_dist_sql()
+
+
 MIX_PROPS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2}  # fr dropped
 
 
@@ -3009,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "dwithin_geo_self": q_dwithin_geo_self,
         "mix_lang": q_mix_lang,
+        "poly_dist": q_poly_dist,
         # last driver-green in r3 (rotated out of the r4 window)
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
@@ -3088,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": SQL_CONTAMINATION,
         "dwithin_geo_self": SQL_DWITHIN_GEO_SELF,
         "mix_lang": SQL_MIX_LANG,
+        "poly_dist": SQL_POLY_DIST,
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
         "idw": SQL_IDW,

@@ -422,3 +422,77 @@ def test_pip_join_holes_matches_bruteforce(spark):
     assert got == want
     assert len(want) > 0
     assert in_hole > 0  # the fixture's holes genuinely exclude points
+
+
+def _poly_dist_np(rings, py, px):
+    """Brute-force distance-to-polygon: 0 inside (even-odd over all
+    rings), else min point-to-segment distance; same per-edge 6dp
+    rounding as the engine kernel."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.pip import ray_cast_rings_np
+
+    inside = ray_cast_rings_np(rings, py, px)
+    min_d2 = np.full(len(py), np.inf)
+    for ys, xs in rings:
+        for i in range(len(ys) - 1):
+            ay, ax = int(ys[i]), int(xs[i])
+            by, bx = int(ys[i + 1]), int(xs[i + 1])
+            l2 = (bx - ax) ** 2 + (by - ay) ** 2
+            tn = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            d2a = (px - ax) ** 2 + (py - ay) ** 2
+            d2b = (px - bx) ** 2 + (py - by) ** 2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d2m = d2a - tn.astype(np.float64) ** 2 / l2
+            d2 = np.where((l2 == 0) | (tn <= 0), d2a,
+                          np.where(tn >= l2, d2b, d2m))
+            min_d2 = np.minimum(min_d2, np.round(d2, 6))
+    return np.where(inside, 0.0,
+                    np.round(np.sqrt(np.maximum(min_d2, 0.0)), 6))
+
+
+@pytest.mark.parametrize("fixture", ["plain", "holes"])
+def test_polygon_distance_join_matches_bruteforce(spark, fixture):
+    """Distance-to-polygon join == brute force over all (point, polygon)
+    pairs, on both single-ring and donut/multipolygon fixtures: inside ->
+    0.0; inside a HOLE -> distance to the hole boundary; collar pruning
+    loses no pair."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.geo import derive_point_cols
+    from tree_code_chunker_spark.operators.pip import (
+        _collect_polygon_pack,
+        polygon_distance_join,
+    )
+    from tree_code_chunker_spark.sources.datagen import (
+        gen_polygons,
+        gen_polygons_holes,
+    )
+
+    polys = (gen_polygons(spark, 12, seed=43) if fixture == "plain"
+             else gen_polygons_holes(spark, 10, seed=47))
+    pts = spark.range(2500).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos",
+                     qlat.alias("qlat"), qlon.alias("qlon"))
+    radius = 700
+    got = {(r["doc_id"], r["polygon_id"], r["dist"])
+           for r in polygon_distance_join(pts, polys, radius).collect()}
+
+    pack = _collect_polygon_pack(polys)
+    prows = pts.collect()
+    py = np.array([r["qlat"] for r in prows], dtype=np.int64)
+    px = np.array([r["qlon"] for r in prows], dtype=np.int64)
+    want, n_zero, n_band = set(), 0, 0
+    for pid, rings in pack.items():
+        dist = _poly_dist_np(rings, py, px)
+        for i in np.nonzero(dist <= radius)[0]:
+            want.add((prows[i]["doc_id"], pid, float(dist[i])))
+            if dist[i] == 0.0:
+                n_zero += 1
+            else:
+                n_band += 1
+    assert got == want
+    assert n_zero > 0 and n_band > 0  # both regimes exercised

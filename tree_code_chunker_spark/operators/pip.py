@@ -406,6 +406,13 @@ class PolygonIndex:
         ids, Y1, X1, Y2, X2 = _edge_tensor(self.pack)
         self.ids = ids
         self.edges_bc = spark.sparkContext.broadcast((Y1, X1, Y2, X2))
+        # per-polygon VALID edge counts: the padded tensor rows are inert
+        # for the crossing test (y1==y2 never straddles) but a DISTANCE
+        # kernel must mask them — a padding "segment" at (0,0) would
+        # otherwise become a false nearest edge
+        self.n_edges_bc = spark.sparkContext.broadcast(np.array(
+            [sum(len(ys) - 1 for ys, _ in self.pack[p]) for p in ids],
+            dtype=np.int64))
         pix, cy, cx, full = _classify_cells_all_np(
             self.pack, ids, Y1, X1, Y2, X2, res)
         id_arr = np.array(ids, dtype=object)
@@ -593,3 +600,132 @@ def pip_anti_join(
         .distinct()
     )
     return points.join(hits, list(keys), "left_anti")
+
+
+def polygon_distance_join(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    radius: int = 512,
+    keep_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    index: PolygonIndex | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distance-to-polygon join (nearest-feature matching): one row per
+    (point, polygon) with grid distance <= radius — dist = 0.0 for
+    contained points, else the minimum distance to any polygon edge
+    (rounded to `round_to` dp; multi-ring geometries measure to shell AND
+    hole edges, so a point inside a hole gets its hole-boundary
+    distance).  Compose with a top-1 window for "nearest polygon".
+
+    Physical plan (the pip_join recipe extended by a radius collar):
+      1. prune — each classified-cover cell (full|boundary, i.e. cells
+         the polygon actually intersects) explodes to its Chebyshev-k
+         neighborhood, k = ceil(radius / cell_side), and broadcasts;
+         any point within `radius` of the polygon lies in that
+         neighborhood, so the point side is never shuffled;
+      2. exact — ONE vectorized numpy pass per Arrow batch over the
+         broadcast padded edge tensors computes crossings (even-odd,
+         containment) AND the min point-to-segment distance together;
+         padding rows are masked via the index's per-polygon edge count.
+
+    Determinism: per-edge squared distances are computed in float64 with
+    the identical projection formula the DuckDB mirror uses (integer
+    inputs < 2^17, products exact; the one division rounds once) and
+    rounded to `round_to` BEFORE the min, so engine and oracle agree at
+    ties and at the radius boundary.
+
+    Reference correspondence: the 2-D metric generalization of the
+    deepest-containing-scope join (scope.go:96-130) — containment is the
+    dist=0 case; the collar adds the near-miss band.
+    """
+    from ..config import GRID_BITS
+    from .geo import kring_offsets
+
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    spark = points.sparkSession
+    idx = index if index is not None else PolygonIndex(
+        spark, polygons, DEFAULT_COVER_RES)
+    res = idx.res
+    shift = GRID_BITS - res
+    side = 1 << shift
+    k = -(-int(radius) // side)  # ceil
+    offs = kring_offsets(k)
+    n_cells = 1 << res
+
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy, dx in offs
+    ])).alias("off")
+    cover = (
+        idx.cover_ix.select("polygon_id", "poly_ix", "cov_cy", "cov_cx")
+        .select("*", off)
+        .select(
+            "polygon_id", "poly_ix",
+            (F.col("cov_cy") + F.col("off.dy")).alias("cov_cy"),
+            (F.col("cov_cx") + F.col("off.dx")).alias("cov_cx"),
+        )
+        .filter((F.col("cov_cy") >= 0) & (F.col("cov_cy") < n_cells)
+                & (F.col("cov_cx") >= 0) & (F.col("cov_cx") < n_cells))
+        .distinct()
+    )
+
+    b = idx.edges_bc
+    ne_b = idx.n_edges_bc
+    rr = round_to
+
+    @F.pandas_udf("double")
+    def poly_dist(poly_ix: pd.Series, qlat: pd.Series,
+                  qlon: pd.Series) -> pd.Series:
+        y1, x1, y2, x2 = b.value  # int32 [P, E] edge tables
+        n_edges = ne_b.value
+        ix = poly_ix.to_numpy()
+        py = qlat.to_numpy(dtype=np.int64)
+        px = qlon.to_numpy(dtype=np.int64)
+        crossings = np.zeros(len(ix), dtype=np.int32)
+        min_d2 = np.full(len(ix), np.inf)
+        for e in range(y1.shape[1]):
+            valid = e < n_edges[ix]
+            if not valid.any():
+                continue
+            ay = y1[ix, e].astype(np.int64)
+            ax = x1[ix, e].astype(np.int64)
+            by = y2[ix, e].astype(np.int64)
+            bx = x2[ix, e].astype(np.int64)
+            # even-odd crossing (same half-open rule as pip_join)
+            straddle = (ay > py) != (by > py)
+            dy = by - ay
+            lhs = (px - ax) * dy
+            rhs = (py - ay) * (bx - ax)
+            crossings += (valid & straddle
+                          & np.where(dy > 0, lhs < rhs, lhs > rhs))
+            # point-to-segment squared distance (projection clamp)
+            l2 = (bx - ax) ** 2 + (by - ay) ** 2
+            tn = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            d2a = (px - ax) ** 2 + (py - ay) ** 2
+            d2b = (px - bx) ** 2 + (py - by) ** 2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d2m = d2a - tn.astype(np.float64) ** 2 / l2
+            d2 = np.where((l2 == 0) | (tn <= 0), d2a,
+                          np.where(tn >= l2, d2b, d2m))
+            d2 = np.round(d2, rr)
+            min_d2 = np.where(valid, np.minimum(min_d2, d2), min_d2)
+        inside = (crossings & 1).astype(bool)
+        out = np.where(inside, 0.0,
+                       np.round(np.sqrt(np.maximum(min_d2, 0.0)), rr))
+        return pd.Series(out)
+
+    cand = points.join(
+        F.broadcast(cover),
+        (F.shiftright(points["qlat"], shift) == cover["cov_cy"])
+        & (F.shiftright(points["qlon"], shift) == cover["cov_cx"]),
+        "inner",
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            poly_dist("poly_ix", F.col("qlat").cast("int"),
+                      F.col("qlon").cast("int")))
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .select(*keep_cols, "polygon_id", "dist")
+    )

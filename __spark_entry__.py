@@ -2885,7 +2885,7 @@ def q_poly_dist(spark, sf_dir):
     return polygon_distance_join(pts, polys, POLY_DIST_R)
 
 
-def _poly_dist_sql() -> str:
+def _poly_dist_sql(radius: int = POLY_DIST_R) -> str:
     l2 = "((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1))"
     tn = ("((p.qlon - e.x1) * (e.x2 - e.x1)"
           " + (p.qlat - e.y1) * (e.y2 - e.y1))")
@@ -2920,11 +2920,39 @@ SELECT doc_id, span_pos, polygon_id, dist FROM (
          CASE WHEN crossings % 2 = 1 THEN 0.0
               ELSE round(sqrt(greatest(min_d2, 0.0)), 6) END AS dist
   FROM agg
-) WHERE dist <= {POLY_DIST_R}
+) WHERE dist <= {radius}
 """
 
 
 SQL_POLY_DIST = _poly_dist_sql()
+
+
+NEAREST_POLY_R = 1200  # wide enough that points see several candidates
+
+
+def q_nearest_poly(spark, sf_dir):
+    """Nearest-feature assignment: each point's single nearest polygon
+    within 1200 grid units — top-1 of the distance join, distance ties
+    broken on polygon_id so the assignment is deterministic.  The wide
+    radius makes most points see several candidate polygons, so the
+    gate actually exercises the argmin."""
+    from tree_code_chunker_spark.operators.pip import nearest_polygon
+
+    pts = _points(spark, sf_dir)
+    polys = gen_polygons(spark, 20, seed=43)
+    return nearest_polygon(pts, polys, NEAREST_POLY_R)
+
+
+# DuckDB allows a WITH inside a derived table, so the oracle wraps the
+# radius-widened poly_dist oracle with a deterministic top-1 window.
+SQL_NEAREST_POLY = f"""
+SELECT doc_id, span_pos, polygon_id, dist FROM (
+  SELECT t.*, row_number() OVER (
+           PARTITION BY doc_id, span_pos
+           ORDER BY dist ASC, polygon_id ASC) AS _rn
+  FROM ({_poly_dist_sql(NEAREST_POLY_R)}) t
+) WHERE _rn = 1
+"""
 
 
 MIX_PROPS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2}  # fr dropped
@@ -3067,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_geo_self": q_dwithin_geo_self,
         "mix_lang": q_mix_lang,
         "poly_dist": q_poly_dist,
+        "nearest_poly": q_nearest_poly,
         # last driver-green in r3 (rotated out of the r4 window)
         "chunk_context": q_chunk_context,
         "chunk_context_entities": q_chunk_context_entities,
@@ -3147,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_geo_self": SQL_DWITHIN_GEO_SELF,
         "mix_lang": SQL_MIX_LANG,
         "poly_dist": SQL_POLY_DIST,
+        "nearest_poly": SQL_NEAREST_POLY,
         "knn_self": SQL_KNN_SELF,
         "knn_within": SQL_KNN_WITHIN,
         "idw": SQL_IDW,

@@ -496,3 +496,34 @@ def test_polygon_distance_join_matches_bruteforce(spark, fixture):
                 n_band += 1
     assert got == want
     assert n_zero > 0 and n_band > 0  # both regimes exercised
+
+
+def test_nearest_polygon_top1(spark):
+    """nearest_polygon == argmin over the distance join, ties on
+    polygon_id, exactly one row per in-range point."""
+    from pyspark.sql import functions as F
+
+    from tree_code_chunker_spark.operators.geo import derive_point_cols
+    from tree_code_chunker_spark.operators.pip import (
+        nearest_polygon,
+        polygon_distance_join,
+    )
+    from tree_code_chunker_spark.sources.datagen import gen_polygons
+
+    polys = gen_polygons(spark, 12, seed=43)
+    pts = spark.range(1500).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("span_pos"))
+    qlat, qlon = derive_point_cols(F.col("doc_id"), F.col("span_pos"))
+    pts = pts.select("doc_id", "span_pos",
+                     qlat.alias("qlat"), qlon.alias("qlon"))
+    all_pairs = polygon_distance_join(pts, polys, 900).collect()
+    best = {}
+    for r in all_pairs:
+        k = (r["doc_id"], r["span_pos"])
+        v = (r["dist"], r["polygon_id"])
+        if k not in best or v < best[k]:
+            best[k] = v
+    got = {(r["doc_id"], r["span_pos"]): (r["dist"], r["polygon_id"])
+           for r in nearest_polygon(pts, polys, 900).collect()}
+    assert got == best
+    assert len(got) > 0

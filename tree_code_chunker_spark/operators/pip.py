@@ -729,3 +729,28 @@ def polygon_distance_join(
         .filter(F.col("dist") <= F.lit(float(radius)))
         .select(*keep_cols, "polygon_id", "dist")
     )
+
+
+def nearest_polygon(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    radius: int = 512,
+    keep_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    index: PolygonIndex | None = None,
+) -> DataFrame:
+    """Each point's single nearest polygon within `radius` (the
+    nearest-zone / nearest-road assignment): polygon_distance_join +
+    top-1 per point, distance ties broken on polygon_id so the
+    assignment is deterministic.  Points with no polygon in range emit
+    no row (left-join against the original set to keep them)."""
+    from pyspark.sql import Window
+
+    cand = polygon_distance_join(points, polygons, radius,
+                                 keep_cols=keep_cols, index=index)
+    w = Window.partitionBy(*keep_cols).orderBy(
+        F.col("dist").asc(), F.col("polygon_id").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2251,6 +2251,132 @@ GROUP BY 1, 2
 """
 
 
+HOTSPOT_RES = 8
+
+
+def q_hotspot(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the res-8 cell histogram (3x3
+    binary weights, study region = full grid).  Every float input is an
+    exact integer aggregate; the z expression is a fixed IEEE tree the SQL
+    mirror reproduces verbatim, so the doubles match bit-for-bit."""
+    from tree_code_chunker_spark.operators.tiles import hotspot_gi
+
+    sh = 16 - HOTSPOT_RES
+    hist = (
+        _points(spark, sf_dir)
+        .groupBy(F.shiftright("qlat", sh).alias("cy"),
+                 F.shiftright("qlon", sh).alias("cx"))
+        .agg(F.count("*").alias("n"))
+    )
+    return hotspot_gi(hist, HOTSPOT_RES)
+
+
+def _hotspot_sql():
+    n_cells = 1 << HOTSPOT_RES
+    nf = repr(float(n_cells) * float(n_cells))
+    nf1 = repr(float(n_cells) * float(n_cells) - 1.0)
+    hi = n_cells - 1
+    offs = ("offs(dy, dx) AS (VALUES "
+            + ", ".join(f"({dy}, {dx})"
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)) + ")")
+    wexpr = (f"(LEAST(cy + 1, {hi}) - GREATEST(cy - 1, 0) + 1)"
+             f" * (LEAST(cx + 1, {hi}) - GREATEST(cx - 1, 0) + 1)")
+    return f"""
+{SPANS_CTE}, {POINTS_SQL}, {offs}, hist AS (
+  SELECT qlat >> {16 - HOTSPOT_RES} AS cy,
+         qlon >> {16 - HOTSPOT_RES} AS cx,
+         count(*) AS n
+  FROM points GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS s1,
+         CAST(sum(n * n) AS DOUBLE) AS s2
+  FROM hist
+), wxs AS (
+  SELECT h.cy + k.dy AS cy, h.cx + k.dx AS cx,
+         CAST(sum(h.n) AS BIGINT) AS wx
+  FROM hist h CROSS JOIN offs k
+  WHERE h.cy + k.dy BETWEEN 0 AND {hi}
+    AND h.cx + k.dx BETWEEN 0 AND {hi}
+  GROUP BY 1, 2
+), ww AS (
+  SELECT cy, cx, wx, CAST({wexpr} AS INT) AS w FROM wxs
+)
+SELECT cy, cx, wx, w,
+       (CAST(wx AS DOUBLE) - s1 / {nf} * CAST(w AS DOUBLE))
+       / (sqrt(s2 / {nf} - (s1 / {nf}) * (s1 / {nf}))
+          * sqrt(({nf} * CAST(w AS DOUBLE)
+                  - CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) / {nf1}))
+       AS gi_z
+FROM ww CROSS JOIN g
+"""
+
+
+SQL_HOTSPOT = _hotspot_sql()
+
+
+DBSCAN_EPS = 600
+DBSCAN_MIN_PTS = 10
+
+
+def q_dbscan(spark, sf_dir):
+    """Grid DBSCAN over the point corpus: deterministic min-core-label
+    clusters (3 clusters + border + noise at these settings on sf0.01).
+    The DuckDB mirror chains the dwithin range join into the same
+    recursive-reachability CTE the near-dup clustering oracle uses."""
+    from tree_code_chunker_spark.operators.spatial import dbscan
+
+    pts = _points(spark, sf_dir).select(
+        (F.col("doc_id").cast("long") * 100000 + F.col("span_pos"))
+        .alias("pid"),
+        "qlat", "qlon",
+    )
+    return dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_PTS)
+
+
+SQL_DBSCAN = ("WITH RECURSIVE spans AS ("
+              + SPANS_CTE[len("WITH spans AS ("):] + f""", {POINTS_SQL},
+nbr AS (
+  SELECT CAST(a.doc_id AS BIGINT) * 100000 + a.span_pos AS pid,
+         CAST(b.doc_id AS BIGINT) * 100000 + b.span_pos AS b_pid
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {DBSCAN_EPS} AND a.qlat + {DBSCAN_EPS}
+   AND b.qlon BETWEEN a.qlon - {DBSCAN_EPS} AND a.qlon + {DBSCAN_EPS}
+  WHERE (a.doc_id <> b.doc_id OR a.span_pos <> b.span_pos)
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {DBSCAN_EPS * DBSCAN_EPS}
+), deg AS (SELECT pid, count(*) AS k FROM nbr GROUP BY pid),
+core AS (SELECT pid FROM deg WHERE k + 1 >= {DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT n.pid, n.b_pid FROM nbr n
+  JOIN core c1 ON c1.pid = n.pid JOIN core c2 ON c2.pid = n.b_pid
+),
+reach(node, label) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.b_pid, r.label FROM reach r JOIN ce ON ce.pid = r.node
+),
+lab AS (SELECT node AS pid, min(label) AS cluster FROM reach GROUP BY node),
+pts AS (
+  SELECT CAST(doc_id AS BIGINT) * 100000 + span_pos AS pid FROM points
+),
+border AS (
+  SELECT n.pid, min(l.cluster) AS cluster
+  FROM nbr n JOIN lab l ON l.pid = n.b_pid
+  LEFT JOIN core c ON c.pid = n.pid
+  WHERE c.pid IS NULL GROUP BY n.pid
+)
+SELECT p.pid,
+       CASE WHEN l.pid IS NOT NULL THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(l.cluster, b.cluster) AS cluster
+FROM pts p
+LEFT JOIN lab l ON l.pid = p.pid
+LEFT JOIN border b ON b.pid = p.pid
+""")
+
+
 COMPACT_RES = 12
 COMPACT_LEVELS = 4  # covers in this data never promote deeper; both engines
 # truncate at the SAME depth, so the mirror stays exact either way
@@ -3086,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r5
+        "hotspot_gi": q_hotspot,
+        "dbscan": q_dbscan,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3167,6 +3295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hotspot_gi": SQL_HOTSPOT,
+        "dbscan": SQL_DBSCAN,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

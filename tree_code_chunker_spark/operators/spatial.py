@@ -701,3 +701,86 @@ def dwithin_geo_self(
     a_key = F.struct(*[F.col(c) for c in id_cols])
     b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
     return pairs.filter(a_key < b_key)
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "pid",
+    res: int | None = None,
+) -> DataFrame:
+    """Grid DBSCAN: density-based spatial clustering on the integer grid.
+
+    points(id_col long-orderable, qlat, qlon) -> (id_col, role, cluster):
+
+      role 'core'   — |N_eps(p)| >= min_pts, where N_eps INCLUDES p itself
+                      (the classic DBSCAN / sklearn counting convention);
+      role 'border' — non-core within eps of >= 1 core point;
+      role 'noise'  — everything else (cluster is NULL).
+
+    Clusters are made DETERMINISTIC (textbook DBSCAN border assignment is
+    scan-order-dependent) by the same min-label canon as the near-dup
+    clustering in operators/dedup.py: a cluster's label is the smallest
+    core id in its core-connectivity component, and a border point adjacent
+    to cores of several clusters takes the smallest cluster label.
+
+    Scale shape — never all-pairs, never a point-count-bound iteration:
+      1. eps-neighbor edges via the dwithin 3x3 cell-bucket equi-join
+         (one bounded shuffle, exact by construction);
+      2. degree census (one hash agg) -> core set;
+      3. connected components over CORE-CORE edges only via the
+         large-star/small-star contraction (O(log^2 n) rounds);
+      4. border assignment = one more equi-join + min agg.
+    The edge set is localCheckpoint'ed once and reused by steps 2-4.
+    """
+    b = points.select(F.col(id_col).alias("_b_pid"), "qlat", "qlon")
+    nbr = (
+        dwithin_join(points, b, eps,
+                     a_keep=(id_col,), b_keep=("_b_pid",), res=res)
+        .filter(F.col(id_col) != F.col("_b_pid"))
+        .select(F.col(id_col).alias("_pid"), "_b_pid")
+        .localCheckpoint()
+    )
+    deg = nbr.groupBy("_pid").agg(F.count("*").alias("_k"))
+    # |N_eps| includes the point itself: deg (strict neighbors) + 1.  The
+    # census only covers points WITH neighbors, so neighborless points get
+    # k=0 via the left join — at min_pts <= 1 they are (singleton) cores,
+    # not noise.
+    core = (
+        points.select(F.col(id_col).alias("_pid"))
+        .join(deg, "_pid", "left")
+        .filter(F.coalesce("_k", F.lit(0)) + 1 >= min_pts)
+        .select("_pid")
+    )
+    core_edges = (
+        nbr.join(core, "_pid", "semi")
+        .join(core.select(F.col("_pid").alias("_b_pid")), "_b_pid", "semi")
+    )
+    from .dedup import connected_components
+
+    cc = connected_components(core_edges, "_pid", "_b_pid", method="star")
+    core_lab = (
+        core.join(cc.withColumnRenamed("node", "_pid"), "_pid", "left")
+        # an isolated core (enough border neighbors, no core neighbor)
+        # is its own one-core cluster
+        .select("_pid", F.coalesce("label", F.col("_pid")).alias("_ccl"))
+    )
+    border = (
+        nbr.join(core, "_pid", "anti")
+        .join(core_lab.select(F.col("_pid").alias("_b_pid"),
+                              F.col("_ccl").alias("cl")), "_b_pid")
+        .groupBy("_pid").agg(F.min("cl").alias("_bcl"))
+    )
+    return (
+        points.select(F.col(id_col).alias("_pid"))
+        .join(core_lab, "_pid", "left")
+        .join(border, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.when(F.col("_ccl").isNotNull(), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce("_ccl", "_bcl").alias("cluster"),
+        )
+    )

@@ -222,3 +222,73 @@ def raster_smooth(hist: DataFrame, res: int,
         .groupBy("cy", "cx")
         .agg(F.sum("_c").alias("smoothed"))
     )
+
+
+def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n") -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic over a sparse cell histogram.
+
+    hist(cy, cx, count_col) at resolution `res` -> one row per cell with a
+    non-empty 3x3 neighborhood: (cy, cx, wx, w, gi_z) where
+
+      wx   = sum of counts over the in-grid 3x3 neighborhood (incl. self —
+             the * in Gi*),
+      w    = the neighborhood size (9, fewer on grid edges; binary weights),
+      gi_z = (wx - mean*w) / (sd * sqrt((N*w - w*w) / (N-1)))
+
+    with N = 4^res (the study region is the WHOLE grid — absent cells are
+    x=0, the standard raster framing), mean = sum(x)/N and
+    sd = sqrt(sum(x^2)/N - mean^2) over that region.  gi_z is the classic
+    Gi* z-score (Getis & Ord 1995, binary row weights): |gi_z| > 1.96 flags
+    hot/cold spots at the 5% level.
+
+    Determinism/mirroring contract: every input to the float expression is
+    an EXACT integer aggregate (wx, w, sum, sum of squares); the z-score is
+    then a fixed tree of IEEE-754 +,-,*,/,sqrt — each correctly rounded, so
+    any engine evaluating the same tree over the same integers produces the
+    same bits (the SQL oracle mirrors the tree verbatim).
+
+    Scale shape: one 9x scatter + hash gather (identical to raster_smooth,
+    O(nonzero cells)) plus a ONE-ROW global aggregate that rides the plan as
+    a broadcast cross join — no second pass over the data, no collect.
+    """
+    n_cells = 1 << res
+    nf = float(n_cells) * float(n_cells)  # N as an exact double
+    g = hist.agg(
+        F.sum(count_col).cast("double").alias("_s1"),
+        F.sum(F.col(count_col) * F.col(count_col)).cast("double").alias("_s2"),
+    )
+    k = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])).alias("k")
+    wx = (
+        hist.select("cy", "cx", F.col(count_col).alias("_n"))
+        .select("*", k)
+        .select(
+            (F.col("cy") + F.col("k.dy")).alias("cy"),
+            (F.col("cx") + F.col("k.dx")).alias("cx"),
+            F.col("_n"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < n_cells)
+                & (F.col("cx") >= 0) & (F.col("cx") < n_cells))
+        .groupBy("cy", "cx")
+        .agg(F.sum("_n").cast("long").alias("wx"))
+    )
+    hi = F.lit(n_cells - 1)
+    w_int = (
+        (F.least(F.col("cy") + 1, hi) - F.greatest(F.col("cy") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("cx") + 1, hi) - F.greatest(F.col("cx") - 1, F.lit(0)) + 1)
+    ).cast("int")
+    mean = F.col("_s1") / F.lit(nf)
+    wd = F.col("w").cast("double")
+    z = (
+        (F.col("wx").cast("double") - mean * wd)
+        / (F.sqrt(F.col("_s2") / F.lit(nf) - mean * mean)
+           * F.sqrt((F.lit(nf) * wd - wd * wd) / F.lit(nf - 1.0)))
+    )
+    return (
+        wx.crossJoin(F.broadcast(g))
+        .withColumn("w", w_int)
+        .withColumn("gi_z", z)
+        .select("cy", "cx", "wx", "w", "gi_z")
+    )

@@ -2314,6 +2314,83 @@ FROM ww CROSS JOIN g
 SQL_HOTSPOT = _hotspot_sql()
 
 
+HOTW_RES = 6
+
+
+def q_hotspot_windows(spark, sf_dir):
+    """Per-event-time-window Gi* hotspot surfaces — the batch form of the
+    streaming twin (streaming/windows.run_stream_hotspot_gi): daily
+    tumbling windows over the events stream, per-window moments via
+    hotspot_gi(by=("window_start",)); one shared scatter-gather plan
+    serves every window, and the per-window moment rows (one per window)
+    ride the plan as a broadcast join."""
+    from tree_code_chunker_spark.operators.geo import derive_point_cols
+    from tree_code_chunker_spark.operators.tiles import hotspot_gi
+
+    _utc(spark)
+    sh = 16 - HOTW_RES
+    qlat, qlon = derive_point_cols(F.col("event_id"), F.col("user_id"))
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = (
+        e.select(F.window("ts", "1 day").alias("w"),
+                 qlat.alias("qlat"), qlon.alias("qlon"))
+        .groupBy(F.col("w.start").cast("string").alias("window_start"),
+                 F.shiftright("qlat", sh).alias("cy"),
+                 F.shiftright("qlon", sh).alias("cx"))
+        .agg(F.count("*").alias("n"))
+    )
+    return hotspot_gi(hist, HOTW_RES, by=("window_start",))
+
+
+def _hotspot_windows_sql():
+    n_cells = 1 << HOTW_RES
+    nf = repr(float(n_cells) * float(n_cells))
+    nf1 = repr(float(n_cells) * float(n_cells) - 1.0)
+    hi = n_cells - 1
+    sh = 16 - HOTW_RES
+    qlat, qlon = derive_point_sql("event_id", "user_id")
+    offs = ("offs(dy, dx) AS (VALUES "
+            + ", ".join(f"({dy}, {dx})"
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)) + ")")
+    wexpr = (f"(LEAST(cy + 1, {hi}) - GREATEST(cy - 1, 0) + 1)"
+             f" * (LEAST(cx + 1, {hi}) - GREATEST(cx - 1, 0) + 1)")
+    return f"""
+WITH {offs}, epts AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+           AS window_start,
+         {qlat} AS qlat, {qlon} AS qlon
+  FROM events
+), hist AS (
+  SELECT window_start, qlat >> {sh} AS cy, qlon >> {sh} AS cx,
+         count(*) AS n
+  FROM epts GROUP BY 1, 2, 3
+), g AS (
+  SELECT window_start, CAST(sum(n) AS DOUBLE) AS s1,
+         CAST(sum(n * n) AS DOUBLE) AS s2
+  FROM hist GROUP BY 1
+), wxs AS (
+  SELECT h.window_start, h.cy + k.dy AS cy, h.cx + k.dx AS cx,
+         CAST(sum(h.n) AS BIGINT) AS wx
+  FROM hist h CROSS JOIN offs k
+  WHERE h.cy + k.dy BETWEEN 0 AND {hi}
+    AND h.cx + k.dx BETWEEN 0 AND {hi}
+  GROUP BY 1, 2, 3
+), ww AS (
+  SELECT window_start, cy, cx, wx, CAST({wexpr} AS INT) AS w FROM wxs
+)
+SELECT ww.window_start, cy, cx, wx, w,
+       (CAST(wx AS DOUBLE) - s1 / {nf} * CAST(w AS DOUBLE))
+       / (sqrt(s2 / {nf} - (s1 / {nf}) * (s1 / {nf}))
+          * sqrt(({nf} * CAST(w AS DOUBLE)
+                  - CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) / {nf1}))
+       AS gi_z
+FROM ww JOIN g ON g.window_start = ww.window_start
+"""
+
+
+SQL_HOTSPOT_WINDOWS = _hotspot_windows_sql()
+
+
 DBSCAN_EPS = 600
 DBSCAN_MIN_PTS = 10
 
@@ -3214,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
+        "hotspot_windows": q_hotspot_windows,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3297,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
+        "hotspot_windows": SQL_HOTSPOT_WINDOWS,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

@@ -758,3 +758,74 @@ def test_stream_dwithin_geo_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM sdwg").collect()))
     assert got == want
+
+
+def test_stream_hotspot_gi_matches_batch(spark, tmp_path):
+    """Streaming per-window Getis-Ord Gi* (append-mode windowed histogram ->
+    foreachBatch hotspot_gi(by=window)) is bit-equal — z-score doubles
+    included — to the batch operator run per window on the same points.
+    Far-future sentinel events only advance the watermark so every real
+    window finalizes under AvailableNow; their own window never emits.
+    TWO sentinel micro-batches are needed because a batch emits with the
+    watermark computed from the PREVIOUS batch's data (and AvailableNow
+    stops without a trailing no-data batch): batch 2's sentinel raises the
+    watermark past the real data, batch 3 flushes under it."""
+    import os
+
+    from tree_code_chunker_spark.operators.geo import derive_point_cols
+    from tree_code_chunker_spark.operators.tiles import hotspot_gi
+    from tree_code_chunker_spark.streaming.windows import run_stream_hotspot_gi
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    res = 6
+    sh = 16 - res
+    qlat, qlon = derive_point_cols(F.col("event_id"), F.col("user_id"))
+    static = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                qlat.alias("qlat"), qlon.alias("qlon"))
+    )
+
+    hist = (
+        static.groupBy(F.window("ts", "1 hour").alias("w"),
+                       F.shiftright("qlat", sh).alias("cy"),
+                       F.shiftright("qlon", sh).alias("cx"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"),
+                "cy", "cx", "n")
+    )
+    want = sorted(
+        (r["window_start"], r["cy"], r["cx"], r["wx"], r["w"], r["gi_z"])
+        for r in hotspot_gi(hist, res, by=("window_start",)).collect())
+
+    def write_batch(name, df, mtime):
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    sentinel = static.orderBy(F.desc("ts")).limit(1).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 240 HOURS"))
+    src = str(tmp_path / "hot_in")
+    os.makedirs(src)
+    write_batch("hot_in/b1", static, 1_000_000)
+    write_batch("hot_in/b2", sentinel, 1_000_100)
+    write_batch("hot_in/b3", sentinel, 1_000_200)
+
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out_path = str(tmp_path / "hot_out")
+    q = run_stream_hotspot_gi(stream, res, out_path,
+                              str(tmp_path / "hot_ck"))
+    q.awaitTermination(180)
+
+    # window_start comes back as a partition column; normalize its type
+    got = sorted(
+        (str(r["window_start"]), r["cy"], r["cx"], r["wx"], r["w"],
+         r["gi_z"])
+        for r in spark.read.parquet(out_path)
+        .withColumn("window_start",
+                    F.col("window_start").cast("timestamp").cast("string"))
+        .collect())
+    assert got == want and len(got) > 0

@@ -224,7 +224,8 @@ def raster_smooth(hist: DataFrame, res: int,
     )
 
 
-def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n") -> DataFrame:
+def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n",
+               by: tuple = ()) -> DataFrame:
     """Getis-Ord Gi* hotspot statistic over a sparse cell histogram.
 
     hist(cy, cx, count_col) at resolution `res` -> one row per cell with a
@@ -250,28 +251,37 @@ def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n") -> DataFrame:
     Scale shape: one 9x scatter + hash gather (identical to raster_smooth,
     O(nonzero cells)) plus a ONE-ROW global aggregate that rides the plan as
     a broadcast cross join — no second pass over the data, no collect.
+
+    `by` generalizes the statistic to independent sub-histograms sharing one
+    plan (e.g. one Gi* surface PER event-time window for the streaming twin):
+    moments become per-group (one row each, still broadcast — group count is
+    the window count, not the cell count) and the scatter/gather keys gain
+    the group columns.  by=() keeps the original single-surface plan.
     """
+    by = list(by)
     n_cells = 1 << res
     nf = float(n_cells) * float(n_cells)  # N as an exact double
-    g = hist.agg(
+    moments = [
         F.sum(count_col).cast("double").alias("_s1"),
         F.sum(F.col(count_col) * F.col(count_col)).cast("double").alias("_s2"),
-    )
+    ]
+    g = hist.groupBy(*by).agg(*moments) if by else hist.agg(*moments)
     k = F.explode(F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     ])).alias("k")
     wx = (
-        hist.select("cy", "cx", F.col(count_col).alias("_n"))
+        hist.select(*by, "cy", "cx", F.col(count_col).alias("_n"))
         .select("*", k)
         .select(
+            *by,
             (F.col("cy") + F.col("k.dy")).alias("cy"),
             (F.col("cx") + F.col("k.dx")).alias("cx"),
             F.col("_n"),
         )
         .filter((F.col("cy") >= 0) & (F.col("cy") < n_cells)
                 & (F.col("cx") >= 0) & (F.col("cx") < n_cells))
-        .groupBy("cy", "cx")
+        .groupBy(*by, "cy", "cx")
         .agg(F.sum("_n").cast("long").alias("wx"))
     )
     hi = F.lit(n_cells - 1)
@@ -286,9 +296,11 @@ def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n") -> DataFrame:
         / (F.sqrt(F.col("_s2") / F.lit(nf) - mean * mean)
            * F.sqrt((F.lit(nf) * wd - wd * wd) / F.lit(nf - 1.0)))
     )
+    joined = wx.join(F.broadcast(g), on=by) if by \
+        else wx.crossJoin(F.broadcast(g))
     return (
-        wx.crossJoin(F.broadcast(g))
+        joined
         .withColumn("w", w_int)
         .withColumn("gi_z", z)
-        .select("cy", "cx", "wx", "w", "gi_z")
+        .select(*by, "cy", "cx", "wx", "w", "gi_z")
     )

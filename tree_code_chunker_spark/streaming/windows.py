@@ -404,3 +404,86 @@ def run_stream_dedup_increment(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cell_hist(
+    points: DataFrame,
+    res: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked per-window cell histogram of a point stream: the
+    windowed twin of the batch `hist` input that hotspot_gi/raster_smooth
+    consume.  Cell assignment is the same shiftright integer math as the
+    batch path (16-bit qlat/qlon -> res-bit cells), so stream and batch
+    histograms are bit-equal on the same input.  In append mode a window's
+    rows emit exactly once — when the watermark passes its end — which is
+    the property run_stream_hotspot_gi relies on."""
+    sh = 16 - res
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            F.shiftright("qlat", sh).alias("cy"),
+            F.shiftright("qlon", sh).alias("cx"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"),
+                "cy", "cx", "n")
+    )
+
+
+def run_stream_hotspot_gi(
+    points: DataFrame,
+    res: int,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """Streaming Getis-Ord Gi* hotspot surfaces, one per finalized
+    event-time window: watermarked windowed cell histogram in APPEND mode
+    -> foreachBatch applies the batch hotspot_gi grouped by window
+    (tiles.hotspot_gi(by=["window_start"])) to each batch of finalized
+    windows and writes the z-score surface to `out_path` partitioned by
+    window_start.
+
+    Why this is exact, not approximate: append mode emits a window's
+    histogram rows ONLY once the watermark passes the window end, and emits
+    the whole window in that one micro-batch — so every foreachBatch call
+    sees complete histograms for the windows it contains, and the per-window
+    Gi* (moments over that window's own histogram, N = the full grid) is
+    bit-equal to running the batch operator on that window's points.
+    Pinned by tests/test_checkpoint_skew_stream.py.
+
+    At-least-once safety: a replayed micro-batch contains the same finalized
+    windows, and the write overwrites its own window_start partitions
+    (dynamic partition overwrite) — replays rewrite identical rows.
+
+    State at scale: the windowed agg keeps one row per (open window, cell);
+    the watermark drops a window's state at finalization, so state is
+    bounded by (windows in the watermark horizon) x (occupied cells), never
+    by stream length."""
+    from ..operators.tiles import hotspot_gi
+
+    hist = stream_cell_hist(points, res, window=window,
+                            watermark=watermark, ts_col=ts_col)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (hotspot_gi(df, res, by=("window_start",))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("window_start")
+         .parquet(out_path))
+
+    writer = (hist.writeStream.foreachBatch(_batch)
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

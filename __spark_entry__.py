@@ -3231,6 +3231,14 @@ WHERE (p.doc_id < q.doc_id
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Within-document repetition quality signals (Gopher-style duplicated
+    n-gram and top-n-gram fractions) per (doc, n) for n in {2, 3}."""
+    from tree_code_chunker_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3255,6 +3263,17 @@ def _gram5_sql(src: str, idc: str) -> str:
            unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
     FROM (SELECT {idc}, string_split(text, ' ') AS ws FROM {src})
   )"""
+
+
+def _repetition_sql():
+    from tree_code_chunker_spark.operators.textstats import (
+        repetition_stats_sql,
+    )
+
+    return repetition_stats_sql("documents")
+
+
+SQL_REPETITION = _repetition_sql()
 
 
 SQL_CONTAMINATION = f"""
@@ -3292,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
+        "repetition": q_repetition,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3376,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,
+        "repetition": SQL_REPETITION,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

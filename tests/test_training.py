@@ -240,3 +240,31 @@ def test_mix_to_proportions(spark):
         mix_proportion_counts({"a": 10}, {"a": 0.5, "zz": 0.5})
     with pytest.raises(ValueError, match="non-positive"):
         mix_proportion_counts({"a": 10}, {"a": 0.0})
+
+
+def test_repetition_stats_hand_computed_and_oracle(spark):
+    """Gopher-style repetition signals: hand-computed fractions on a tiny
+    fixture, DuckDB mirror bit-equal, and short/empty docs emit nothing."""
+    import duckdb
+
+    from tree_code_chunker_spark.operators.textstats import (
+        repetition_stats, repetition_stats_sql)
+
+    fixture = [(1, "a b a b a"), (2, "x y z"), (3, "w w w w"),
+               (4, "solo"), (5, "")]
+    df = spark.createDataFrame(fixture, "doc_id long, text string")
+    rows = [tuple(r) for r in
+            repetition_stats(df).orderBy("doc_id", "n").collect()]
+    # doc 1, n=2: grams (a b, b a, a b, b a) -> 4 total, 2 distinct,
+    # dup_frac 0.5, top_frac 0.5; doc 3, n=2: (w w)x3 -> dup 2/3, top 1.
+    assert rows[0] == (1, 2, 4, 2, 2, 0.5, 0.5)
+    assert (3, 2, 3, 1, 2, 0.666667, 1.0) in rows
+    # docs 4 ("solo") and 5 ("") have no 2-grams: absent entirely
+    assert {r[0] for r in rows} == {1, 2, 3}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", fixture)
+    duck = con.execute(repetition_stats_sql("t")
+                       + " ORDER BY doc_id, n").fetchall()
+    assert [tuple(r) for r in duck] == rows

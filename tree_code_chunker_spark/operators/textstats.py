@@ -201,3 +201,87 @@ def bpe_pair_counts(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ns: tuple = (2, 3)) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    filters — Rae et al. 2021, public): for each doc and n-gram order n,
+
+      n_grams   = total word n-grams (T - n + 1 over T space-split words),
+      n_distinct, n_dup = n_grams - n_distinct,
+      dup_frac  = n_dup / n_grams   (fraction of n-grams that are repeats
+                                     of an earlier occurrence),
+      top_frac  = max multiplicity / n_grams (mass of the single most
+                                     frequent n-gram; ties don't matter —
+                                     only the max count is read).
+
+    High dup_frac/top_frac marks boilerplate and looping generations;
+    training pipelines drop or downweight those docs.  Output is one row
+    per (doc, n) WITH AT LEAST n WORDS (shorter docs have no n-grams and
+    emit nothing for that n).
+
+    Scale shape: pure JVM higher-order functions build the grams
+    (split -> guarded transform(sequence) -> explode), one hash partial-
+    aggregated shuffle on (doc, n, gram) then a map-side-combinable
+    rollup to (doc, n) — O(total tokens x |ns|) work, no window over the
+    corpus, no Python.  Fractions are exact integer ratios rounded to 6
+    places so the DuckDB mirror is bit-stable.
+    """
+    grams = None
+    for n in ns:
+        g = df.select(
+            F.col(id_col),
+            F.lit(int(n)).alias("n"),
+            F.explode(F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= {int(n)} THEN "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {int(n) - 1}), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {int(n)}))) "
+                f"ELSE array() END"
+            )).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per_gram = grams.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col, "n")
+        .agg(F.sum("c").cast("long").alias("n_grams"),
+             F.count("*").cast("long").alias("n_distinct"),
+             F.max("c").cast("long").alias("_top"))
+        .select(
+            id_col, "n", "n_grams", "n_distinct",
+            (F.col("n_grams") - F.col("n_distinct")).alias("n_dup"),
+            F.round((F.col("n_grams") - F.col("n_distinct"))
+                    / F.col("n_grams").cast("double"), 6).alias("dup_frac"),
+            F.round(F.col("_top") / F.col("n_grams").cast("double"), 6)
+            .alias("top_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         ns: tuple = (2, 3)) -> str:
+    """DuckDB mirror of repetition_stats (same split, same rounding)."""
+    gram_selects = " UNION ALL ".join(
+        f"""SELECT {id_col}, {int(n)} AS n,
+       array_to_string(ws[i : i + {int(n) - 1}], ' ') AS gram
+  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws FROM {table}),
+       LATERAL unnest(generate_series(1, len(ws) - {int(n) - 1})) AS t(i)
+  WHERE len(ws) >= {int(n)}"""
+        for n in ns)
+    return f"""
+WITH grams AS (
+  {gram_selects}
+), per_gram AS (
+  SELECT {id_col}, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+)
+SELECT {id_col}, n,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+       round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+FROM per_gram GROUP BY 1, 2
+"""

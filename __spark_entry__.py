@@ -3239,6 +3239,53 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_hull(spark, sf_dir):
+    """Per-doc planar convex hull vertices (monotone chain, exact integer
+    turn tests; collinear edge points excluded).  Output is the lex-sorted
+    vertex SET + hull size, so the brute-force oracle — p is a vertex iff
+    p is not in the convex hull of the doc's other points, checked with
+    exact BIGINT cross products over point triples — matches exactly."""
+    from tree_code_chunker_spark.operators.spatial import convex_hull
+
+    return convex_hull(_points(spark, sf_dir))
+
+
+def _hull_sql():
+    def cross(a, b, p):
+        return (f"(({b}.x - {a}.x) * ({p}.y - {a}.y)"
+                f" - ({b}.y - {a}.y) * ({p}.x - {a}.x))")
+
+    d1, d2, d3 = cross("a", "b", "d"), cross("b", "c", "d"), cross("c", "a", "d")
+    return f"""
+{SPANS_CTE}, {POINTS_SQL}, dpts AS (
+  SELECT DISTINCT doc_id, qlat AS y, qlon AS x FROM points
+), hull AS (
+  -- p is a hull vertex iff p lies in no closed triangle of other points
+  -- (c = a degenerates to the segment case; the bbox clause closes the
+  -- collinear-triple hole where all cross products vanish)
+  SELECT d.doc_id, d.y, d.x FROM dpts d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dpts a, dpts b, dpts c
+    WHERE a.doc_id = d.doc_id AND b.doc_id = d.doc_id
+      AND c.doc_id = d.doc_id
+      AND NOT (a.y = d.y AND a.x = d.x)
+      AND NOT (b.y = d.y AND b.x = d.x)
+      AND NOT (c.y = d.y AND c.x = d.x)
+      AND (({d1} >= 0 AND {d2} >= 0 AND {d3} >= 0)
+           OR ({d1} <= 0 AND {d2} <= 0 AND {d3} <= 0))
+      AND d.x BETWEEN least(a.x, b.x, c.x) AND greatest(a.x, b.x, c.x)
+      AND d.y BETWEEN least(a.y, b.y, c.y) AND greatest(a.y, b.y, c.y)
+  )
+)
+SELECT doc_id, y AS qlat, x AS qlon,
+       CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_hull
+FROM hull
+"""
+
+
+SQL_HULL = _hull_sql()
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3312,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
         "repetition": q_repetition,
+        "hull": q_hull,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3397,6 +3445,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,
         "repetition": SQL_REPETITION,
+        "hull": SQL_HULL,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

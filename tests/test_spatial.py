@@ -548,3 +548,38 @@ def test_dwithin_geo_self_matches_bruteforce(spark):
     assert got == want
     assert len(want) > 0
     assert all(a != b for a, b, _ in got)
+
+
+def test_convex_hull_hand_fixture_and_global(spark):
+    """Monotone-chain hull: hand-checked vertex set (interior + collinear
+    edge points excluded, collinear-only docs reduce to endpoints),
+    grouped==global on one group, and the two-phase hull-of-hulls is
+    partition-invariant."""
+    from tree_code_chunker_spark.operators.spatial import (
+        convex_hull, convex_hull_global)
+
+    rows = (
+        # doc 1: unit-ish square + interior point + midpoint of an edge
+        [(1, 0, 0), (1, 0, 10), (1, 10, 0), (1, 10, 10), (1, 5, 5),
+         (1, 0, 5)]
+        # doc 2: all collinear -> two endpoints
+        + [(2, i, 2 * i) for i in range(5)]
+        # doc 3: single point (with a duplicate)
+        + [(3, 7, 7), (3, 7, 7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, qlat long, qlon long")
+    got = {(r["doc_id"], r["qlat"], r["qlon"], r["n_hull"])
+           for r in convex_hull(df).collect()}
+    assert got == {
+        (1, 0, 0, 4), (1, 0, 10, 4), (1, 10, 0, 4), (1, 10, 10, 4),
+        (2, 0, 0, 2), (2, 4, 8, 2),
+        (3, 7, 7, 1),
+    }
+
+    one = df.filter(F.col("doc_id") == 1)
+    grouped = {(r["qlat"], r["qlon"], r["n_hull"])
+               for r in convex_hull(one).collect()}
+    for parts in (1, 7):
+        glob = {(r["qlat"], r["qlon"], r["n_hull"])
+                for r in convex_hull_global(one.repartition(parts)).collect()}
+        assert glob == grouped

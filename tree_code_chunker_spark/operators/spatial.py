@@ -784,3 +784,102 @@ def dbscan(
             F.coalesce("_ccl", "_bcl").alias("cluster"),
         )
     )
+
+
+# ------------------------------------------------------- convex hulls ------
+#
+# Andrew's monotone chain (public textbook algorithm) on exact integer
+# coords: all turn tests are int64 cross products (coords < 2^16, so the
+# products stay < 2^33 — exact), collinear edge points are EXCLUDED
+# (strict turns), so the vertex set is the minimal one and matches the
+# brute-force definition "p is a vertex iff p is not in the convex hull of
+# the other points" — which is what the SQL oracle checks.
+
+
+def _hull_vertex_array(y, x):
+    """Distinct hull vertices of int points, lex-sorted (ny, nx) ndarray."""
+    import numpy as np
+
+    pts = np.unique(np.stack([np.asarray(y, dtype=np.int64),
+                              np.asarray(x, dtype=np.int64)], axis=1),
+                    axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(pp):
+        h: list = []
+        for p in map(tuple, pp):
+            while len(h) >= 2:
+                (oy, ox), (ay, ax) = h[-2], h[-1]
+                if (ay - oy) * (p[1] - ox) - (ax - ox) * (p[0] - oy) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append(p)
+        return h
+
+    vs = set(half(pts)[:-1]) | set(half(pts[::-1])[:-1])
+    return np.array(sorted(vs), dtype=np.int64)
+
+
+def convex_hull(points: DataFrame, by: tuple = ("doc_id",),
+                lat_col: str = "qlat", lon_col: str = "qlon") -> DataFrame:
+    """Per-group planar convex hull: one row per hull VERTEX, lex-sorted
+    (deterministic set form — no float angles, so the DuckDB brute-force
+    oracle can match it exactly), plus the group's hull size.
+
+    Scale shape: applyInPandas per group — right when groups are small
+    (a doc's span cloud); for one huge group use convex_hull_global,
+    which exploits hull(A ∪ B) = hull(hull(A) ∪ hull(B)) to reduce each
+    partition before a single tiny gather."""
+    import pandas as pd
+
+    by = list(by)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema if f.name in by)
+    schema = f"{fields}, {lat_col} long, {lon_col} long, n_hull int"
+
+    def hull_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = _hull_vertex_array(pdf[lat_col].to_numpy(),
+                                 pdf[lon_col].to_numpy())
+        out = pd.DataFrame({lat_col: arr[:, 0], lon_col: arr[:, 1]})
+        out["n_hull"] = len(arr)
+        for c, v in zip(by, key):
+            out.insert(0, c, v)
+        return out[by + [lat_col, lon_col, "n_hull"]]
+
+    return points.groupBy(*by).applyInPandas(hull_one, schema)
+
+
+def convex_hull_global(points: DataFrame, lat_col: str = "qlat",
+                       lon_col: str = "qlon") -> DataFrame:
+    """Whole-table convex hull via the two-phase hull-of-hulls identity:
+    every partition reduces to its own hull vertices (mapInPandas — the
+    only full-data pass, embarrassingly parallel), then ONE tiny final
+    chain runs over the union of partial hulls (hull sizes are typically
+    O(log n)–O(sqrt(n)), so the gather is trivial even at 10^12 points).
+    Output matches convex_hull on a single constant group bit-for-bit."""
+    import pandas as pd
+
+    schema = f"{lat_col} long, {lon_col} long"
+
+    def partial(it):
+        for pdf in it:
+            arr = _hull_vertex_array(pdf[lat_col].to_numpy(),
+                                     pdf[lon_col].to_numpy())
+            yield pd.DataFrame({lat_col: arr[:, 0], lon_col: arr[:, 1]})
+
+    part = points.select(F.col(lat_col).cast("long"),
+                         F.col(lon_col).cast("long")).mapInPandas(
+        partial, schema)
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = _hull_vertex_array(pdf[lat_col].to_numpy(),
+                                 pdf[lon_col].to_numpy())
+        out = pd.DataFrame({lat_col: arr[:, 0], lon_col: arr[:, 1]})
+        out["n_hull"] = len(arr)
+        return out
+
+    return part.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        final, f"{schema}, n_hull int")

@@ -3286,6 +3286,51 @@ FROM hull
 SQL_HULL = _hull_sql()
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle count / clustering coefficient over the spatial
+    proximity graph (same edge set as q_pagerank).  Engine side uses
+    degree-ordered wedge joins (skew-robust at 10^12 edges); the oracle's
+    plain id-ordered triangle join matches because the triangle set is
+    orientation-invariant."""
+    from tree_code_chunker_spark.operators.graph import triangle_counts
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    b = pts.select(F.col("doc_id").alias("b_doc_id"), "qlat", "qlon")
+    edges = (
+        dwithin_join(pts, b, SELF_RADIUS,
+                     a_keep=("doc_id",), b_keep=("b_doc_id",))
+        .filter(F.col("doc_id") != F.col("b_doc_id"))
+        .select(F.col("doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"), "deg", "n_tri", "cc")
+
+
+def _triangles_sql():
+    from tree_code_chunker_spark.operators.graph import triangle_counts_sql
+
+    edges = f"""
+tri_edges AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS src,
+         CAST(b.doc_id AS BIGINT) AS dst
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+   AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+  WHERE a.doc_id != b.doc_id
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {SELF_RADIUS * SELF_RADIUS}
+)"""
+    return (f"{SPANS_CTE}, {POINTS_SQL}, {edges}, "
+            + triangle_counts_sql("tri_edges"))
+
+
+SQL_TRIANGLES = _triangles_sql()
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3360,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_windows": q_hotspot_windows,
         "repetition": q_repetition,
         "hull": q_hull,
+        "triangles": q_triangles,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3446,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,
         "repetition": SQL_REPETITION,
         "hull": SQL_HULL,
+        "triangles": SQL_TRIANGLES,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

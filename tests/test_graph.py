@@ -160,3 +160,21 @@ def test_pagerank_dangling_duckdb_mirror(spark):
            + pagerank_int_sql("e", iters=4, dangling="redistribute"))
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+def test_triangle_counts_hand_fixture(spark):
+    """K4 + a triangle-free path, with duplicated/reversed/self-loop edge
+    noise: per-node triangle counts and clustering coefficients are exact,
+    and the degree-ordered wedge orientation changes nothing."""
+    from tree_code_chunker_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4]          # reversed duplicates
+    edges += [(5, 6), (6, 7), (6, 5), (8, 8)]     # path + self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc"])
+           for r in triangle_counts(df).collect()}
+    assert got == {
+        1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0), 4: (3, 3, 1.0),
+        5: (1, 0, 0.0), 6: (2, 0, 0.0), 7: (1, 0, 0.0),
+    }

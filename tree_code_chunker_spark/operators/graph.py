@@ -185,3 +185,107 @@ def pagerank_int_sql(
             f"GROUP BY e.dst) s ON n.node = s.node)")
     return (", ".join(ctes)
             + f"\nSELECT node, rank FROM pr_r{iters}")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle count, degree, and local clustering coefficient
+    over an undirected graph (edges may arrive directed/duplicated; they
+    are canonicalized first).
+
+    Output: (node, deg, n_tri, cc) for every node with at least one edge,
+    cc = 2*n_tri / (deg*(deg-1)) rounded to 6 places (0.0 when deg < 2).
+
+    Scale shape — degree-ordered wedge join (the classic heavy-hitter
+    fix, public: Suri & Vassilvitskii 2011): orient every edge from its
+    lower-(deg, id) endpoint to the higher one, so each node's out-degree
+    is bounded by ~sqrt(|E|) regardless of skew; wedges are one self-join
+    of the oriented list on the CENTER node and each triangle is counted
+    exactly once at its lowest-ordered corner.  A hot node of degree d no
+    longer spawns d^2 wedges — its in-edges don't wedge.  The triangle
+    SET is orientation-invariant, so a plain id-ordered SQL oracle
+    matches the counts exactly."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient low-(deg, id) -> high-(deg, id)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+            F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = ori.select("u", F.col("v").alias("w1"),
+                    F.col("dv").alias("dw1"))
+    e2 = ori.select("u", F.col("v").alias("w2"),
+                    F.col("dv").alias("dw2"))
+    wedge_lt = (F.col("dw1") < F.col("dw2")) | (
+        (F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    wedges = e1.join(e2, "u").filter(wedge_lt)
+    closing = ori.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("w1").alias("node")))
+        .unionAll(tri.select(F.col("w2").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(F.col("deg") < 2, F.lit(0.0)).otherwise(
+                F.round(2.0 * F.coalesce("n_tri", F.lit(0))
+                        / (F.col("deg") * (F.col("deg") - 1.0)), 6)
+            ).alias("cc"),
+        )
+    )
+
+
+def triangle_counts_sql(edges_cte: str) -> str:
+    """DuckDB mirror: plain id-ordered triangle join over `edges_cte`
+    (src, dst) — the triangle set is orientation-invariant, so this
+    matches the degree-ordered engine plan exactly."""
+    return f"""
+tc_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM {edges_cte} WHERE src != dst
+), tc_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM tc_und UNION ALL SELECT b FROM tc_und
+  ) GROUP BY node
+), tc_tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tc_und e1
+  JOIN tc_und e2 ON e2.a = e1.b
+  JOIN tc_und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tc_per AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tc_tri
+    UNION ALL SELECT y FROM tc_tri
+    UNION ALL SELECT z FROM tc_tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(p.n_tri, 0)
+                       / (d.deg * (d.deg - 1.0)), 6) END AS cc
+FROM tc_deg d LEFT JOIN tc_per p ON p.node = d.node
+"""

@@ -3331,6 +3331,25 @@ tri_edges AS (
 SQL_TRIANGLES = _triangles_sql()
 
 
+def q_media_context(spark, sf_dir):
+    """(media span -> nearest preceding/following text) caption pairing
+    over the interleaved span sequences."""
+    from tree_code_chunker_spark.operators.media import media_text_context
+
+    return media_text_context(_spans(spark, sf_dir))
+
+
+def _media_context_sql():
+    from tree_code_chunker_spark.operators.media import (
+        media_text_context_sql,
+    )
+
+    return f"{SPANS_CTE} {media_text_context_sql('spans')}"
+
+
+SQL_MEDIA_CONTEXT = _media_context_sql()
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3406,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "hull": q_hull,
         "triangles": q_triangles,
+        "media_context": q_media_context,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3493,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": SQL_REPETITION,
         "hull": SQL_HULL,
         "triangles": SQL_TRIANGLES,
+        "media_context": SQL_MEDIA_CONTEXT,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

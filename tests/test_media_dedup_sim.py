@@ -563,3 +563,29 @@ def test_contamination_check_hand_computed(spark):
     # doc 3 is shorter than n: collapses to the single gram "c d e" -> 1/1
     assert out[3] == (1, 1, 1.0, 2)
     assert 2 not in out
+
+
+def test_media_text_context_hand_fixture(spark):
+    """Caption pairing: nearest text on each side, '' at document edges,
+    consecutive media spans share the same contexts."""
+    from tree_code_chunker_spark.operators.media import media_text_context
+
+    rows = [
+        ("d1", 0, "media", "", "ref://d1/0"),
+        ("d1", 1, "text", "alpha", ""),
+        ("d1", 2, "media", "", "ref://d1/2"),
+        ("d1", 3, "media", "", "ref://d1/3"),
+        ("d1", 4, "text", "beta", ""),
+        ("d1", 5, "media", "", "ref://d1/5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, kind string, text string, "
+              "media_ref string")
+    got = {r["span_pos"]: (r["before_text"], r["after_text"])
+           for r in media_text_context(df).collect()}
+    assert got == {
+        0: ("", "alpha"),
+        2: ("alpha", "beta"),
+        3: ("alpha", "beta"),
+        5: ("beta", ""),
+    }

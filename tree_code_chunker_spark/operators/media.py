@@ -231,3 +231,51 @@ def synth_media_meta_sql(href: str = "h") -> dict[str, str]:
         "height": f"CAST(({href} // 7) % 1080 + 1 AS INT)",
         "n_frames": f"CAST(({href} // 13) % 300 + 1 AS INT)",
     }
+
+
+def media_text_context(spans: DataFrame) -> DataFrame:
+    """Caption pairing for interleaved text+media documents: for every
+    media span, the nearest PRECEDING and FOLLOWING text-span texts in
+    span order ('' when none exists) — the text-context extraction a
+    multimodal training pipeline runs to build (image, caption) pairs
+    from interleaved documents.
+
+    Input: exploded spans (doc_id, span_pos, kind, text, media_ref).
+    Output: (doc_id, span_pos, media_ref, before_text, after_text).
+
+    Scale shape: one window per doc ordered by span_pos (docs are
+    bounded, so partitions are tiny and uniform) with ignore-nulls
+    last/first over a CASE — no self-join, no explode; the shuffle key
+    is doc_id, the same partitioning every other span operator uses."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("span_pos")
+    t = F.when(F.col("kind") == "text", F.col("text"))
+    before = F.last(t, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    after = F.first(t, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    return (
+        spans.withColumn("before_text", F.coalesce(before, F.lit("")))
+        .withColumn("after_text", F.coalesce(after, F.lit("")))
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "span_pos", "media_ref",
+                "before_text", "after_text")
+    )
+
+
+def media_text_context_sql(spans_cte: str = "spans") -> str:
+    """DuckDB mirror (ignore-nulls window frames, same '' coalesce)."""
+    return f"""
+SELECT doc_id, span_pos, media_ref,
+       COALESCE(last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+                OVER (PARTITION BY doc_id ORDER BY span_pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                '') AS before_text,
+       COALESCE(first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+                OVER (PARTITION BY doc_id ORDER BY span_pos
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                '') AS after_text
+FROM {spans_cte}
+QUALIFY kind = 'media'
+"""

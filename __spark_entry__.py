@@ -3350,6 +3350,37 @@ def _media_context_sql():
 SQL_MEDIA_CONTEXT = _media_context_sql()
 
 
+def q_hull_diam(spark, sf_dir):
+    """Per-doc point-cloud diameter with deterministic witness pair: hull
+    reduction first (farthest pair are hull vertices — dist^2 is strictly
+    convex along chords, so nothing excluded can tie), then an O(h^2)
+    self-join; the oracle brute-forces ALL point pairs and must agree,
+    tie-break included."""
+    from tree_code_chunker_spark.operators.spatial import hull_diameter
+
+    return hull_diameter(_points(spark, sf_dir)).select(
+        F.col("doc_id"), "diam_sq", "y1", "x1", "y2", "x2")
+
+
+SQL_HULL_DIAM = f"""
+{SPANS_CTE}, {POINTS_SQL}, dd_pts AS (
+  SELECT DISTINCT doc_id, qlat AS y, qlon AS x FROM points
+), dd_pairs AS (
+  SELECT a.doc_id,
+         {{'diam_sq': (b.y - a.y) * (b.y - a.y)
+                      + (b.x - a.x) * (b.x - a.x),
+           'y1': a.y, 'x1': a.x, 'y2': b.y, 'x2': b.x}} AS s
+  FROM dd_pts a JOIN dd_pts b ON b.doc_id = a.doc_id
+  WHERE a.y < b.y OR (a.y = b.y AND a.x <= b.x)
+), dd_best AS (
+  SELECT doc_id, max(s) AS s FROM dd_pairs GROUP BY doc_id
+)
+SELECT doc_id, CAST((s).diam_sq AS BIGINT) AS diam_sq,
+       (s).y1 AS y1, (s).x1 AS x1, (s).y2 AS y2, (s).x2 AS x2
+FROM dd_best
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3426,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull": q_hull,
         "triangles": q_triangles,
         "media_context": q_media_context,
+        "hull_diam": q_hull_diam,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3514,6 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         "hull": SQL_HULL,
         "triangles": SQL_TRIANGLES,
         "media_context": SQL_MEDIA_CONTEXT,
+        "hull_diam": SQL_HULL_DIAM,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

@@ -583,3 +583,17 @@ def test_convex_hull_hand_fixture_and_global(spark):
         glob = {(r["qlat"], r["qlon"], r["n_hull"])
                 for r in convex_hull_global(one.repartition(parts)).collect()}
         assert glob == grouped
+
+
+def test_hull_diameter_tie_break_and_single(spark):
+    """Diameter witness pair is deterministic under ties (square: two
+    equal diagonals -> lexicographically larger struct wins) and a
+    single-point group emits (0, p, p)."""
+    from tree_code_chunker_spark.operators.spatial import hull_diameter
+
+    rows = [(1, 0, 0), (1, 0, 10), (1, 10, 0), (1, 10, 10), (1, 5, 5),
+            (2, 7, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, qlat long, qlon long")
+    got = {r["doc_id"]: (r["diam_sq"], r["y1"], r["x1"], r["y2"], r["x2"])
+           for r in hull_diameter(df).collect()}
+    assert got == {1: (200, 0, 10, 10, 0), 2: (0, 7, 7, 7, 7)}

@@ -883,3 +883,36 @@ def convex_hull_global(points: DataFrame, lat_col: str = "qlat",
 
     return part.groupBy(F.lit(0).alias("_g")).applyInPandas(
         final, f"{schema}, n_hull int")
+
+
+def hull_diameter(points: DataFrame, by: tuple = ("doc_id",),
+                  lat_col: str = "qlat", lon_col: str = "qlon") -> DataFrame:
+    """Per-group point-cloud diameter (max pairwise squared distance) with
+    the witness pair, deterministic under ties.
+
+    Exploits "the farthest pair are both hull vertices" (dist^2 is
+    strictly convex along any hull chord, so an excluded collinear/
+    interior point can never tie the max): reduce each group to its hull
+    with convex_hull, then ONE tiny self-join over hull vertices — at
+    most O(h^2) pairs per group instead of O(n^2), with h typically
+    O(log n).  The argmax is a max over struct(d2, y1, x1, y2, x2), a
+    total lexicographic order both engines share, so ties pick the same
+    witness pair bit-for-bit.  Single-vertex groups emit (0, p, p) via
+    the lex-<= self-pair.
+
+    Output: by cols + (diam_sq, y1, x1, y2, x2)."""
+    by = list(by)
+    h = convex_hull(points, by=tuple(by), lat_col=lat_col, lon_col=lon_col)
+    a = h.select(*by, F.col(lat_col).alias("y1"), F.col(lon_col).alias("x1"))
+    b = h.select(*by, F.col(lat_col).alias("y2"), F.col(lon_col).alias("x2"))
+    lex_le = (F.col("y1") < F.col("y2")) | (
+        (F.col("y1") == F.col("y2")) & (F.col("x1") <= F.col("x2")))
+    d2 = ((F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+          + (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")))
+    best = (
+        a.join(b, on=by).filter(lex_le)
+        .select(*by, F.struct(d2.cast("long").alias("diam_sq"),
+                              "y1", "x1", "y2", "x2").alias("s"))
+        .groupBy(*by).agg(F.max("s").alias("s"))
+    )
+    return best.select(*by, "s.diam_sq", "s.y1", "s.x1", "s.y2", "s.x2")

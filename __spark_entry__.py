@@ -3381,6 +3381,54 @@ FROM dd_best
 """
 
 
+KCORE_K = 33  # splits the proximity graph's two hot cliques: 66 nodes
+              # peel, the 34-clique survives (non-trivial at sf0.01)
+KCORE_SQL_ROUNDS = 20  # >= observed convergence at gate SFs (engine runs
+                       # to fixpoint; stability makes any larger budget equal)
+
+
+def q_kcore(spark, sf_dir):
+    """k-core of the spatial proximity graph: survivors of the
+    synchronized peel with their in-core degree."""
+    from tree_code_chunker_spark.operators.graph import k_core
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    b = pts.select(F.col("doc_id").alias("b_doc_id"), "qlat", "qlon")
+    edges = (
+        dwithin_join(pts, b, SELF_RADIUS,
+                     a_keep=("doc_id",), b_keep=("b_doc_id",))
+        .filter(F.col("doc_id") != F.col("b_doc_id"))
+        .select(F.col("doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+        .distinct()
+    )
+    return k_core(edges, KCORE_K).select(
+        F.col("node").cast("long").alias("node"), "core_deg")
+
+
+def _kcore_sql():
+    from tree_code_chunker_spark.operators.graph import k_core_sql
+
+    edges = f"""
+kcore_edges AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS src,
+         CAST(b.doc_id AS BIGINT) AS dst
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+   AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+  WHERE a.doc_id != b.doc_id
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {SELF_RADIUS * SELF_RADIUS}
+)"""
+    return (f"{SPANS_CTE}, {POINTS_SQL}, {edges}, "
+            + k_core_sql("kcore_edges", KCORE_K, KCORE_SQL_ROUNDS))
+
+
+SQL_KCORE = _kcore_sql()
+
+
 def q_contamination(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (the benchmark-leak filter):
     the eval set is derived deterministically from the corpus itself
@@ -3458,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "media_context": q_media_context,
         "hull_diam": q_hull_diam,
+        "kcore": q_kcore,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "dedup_increment": q_dedup_increment,
         "dwithin_geo": q_dwithin_geo,
@@ -3547,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": SQL_TRIANGLES,
         "media_context": SQL_MEDIA_CONTEXT,
         "hull_diam": SQL_HULL_DIAM,
+        "kcore": SQL_KCORE,
         "embed_near_dup_lsh": SQL_EMBED_NEAR_DUP_LSH,
         "dedup_increment": SQL_DEDUP_INCREMENT,
         "dwithin_geo": SQL_DWITHIN_GEO,

@@ -178,3 +178,18 @@ def test_triangle_counts_hand_fixture(spark):
         1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0), 4: (3, 3, 1.0),
         5: (1, 0, 0.0), 6: (2, 0, 0.0), 7: (1, 0, 0.0),
     }
+
+
+def test_k_core_cascade_and_empty(spark):
+    """k=2 core: a tail peels in cascade (removing its tip drops the next
+    node below k), leaving the triangle; a pure path peels to nothing."""
+    from tree_code_chunker_spark.operators.graph import k_core
+
+    tri_tail = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(tri_tail, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    assert k_core(path, 2).count() == 0

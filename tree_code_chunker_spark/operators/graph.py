@@ -289,3 +289,82 @@ SELECT d.node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
                        / (d.deg * (d.deg - 1.0)), 6) END AS cc
 FROM tc_deg d LEFT JOIN tc_per p ON p.node = d.node
 """
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 100) -> DataFrame:
+    """k-core of an undirected graph: iteratively peel nodes of degree < k
+    until the remainder is stable; output (node, core_deg) for survivors,
+    core_deg = degree inside the core (>= k once converged).
+
+    Synchronized-round contract: round i removes ALL nodes whose degree
+    within round i-1's survivor set is < k.  The fixpoint is stable under
+    further rounds, so early-stopping equals running any larger fixed
+    round count — which is what makes a chained-CTE SQL mirror with a
+    fixed round budget exact (same trick as pagerank_int_sql).
+
+    Scale shape: each round is one degree aggregation + two left-semi
+    joins on the edge list (all key-partitioned on node ids — no
+    broadcast of anything growing), a localCheckpoint bounds lineage,
+    and the loop exits on the first stable round (one count() action per
+    round; rounds needed <= nodes removed + 1, and in practice a
+    handful)."""
+    und = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = und
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
+        )
+        keep = deg.filter(F.col("core_deg") >= k).localCheckpoint(eager=False)
+        n = keep.count()
+        if n == prev_nodes:
+            return keep
+        prev_nodes = n
+        cur = (
+            cur.join(keep.select(F.col("node").alias("a")), "a", "leftsemi")
+            .join(keep.select(F.col("node").alias("b")), "b", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    return deg.filter(F.col("core_deg") >= k)
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB mirror: `rounds` chained peel CTEs over `edges_cte`
+    (src, dst).  Exact when the peel converges within `rounds` (the
+    engine's fixpoint equals any larger fixed budget).  Every per-round
+    CTE is MATERIALIZED — each references its predecessor three times,
+    and inlining would re-expand the whole chain exponentially (observed
+    as a too-many-open-files blowup on the base parquet scan)."""
+    ctes = [
+        f"kc_e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM {edges_cte} WHERE src != dst)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"kc_e{i - 1}"
+        ctes.append(
+            f"kc_s{i} AS MATERIALIZED (SELECT node FROM ("
+            f"SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}"
+            f") GROUP BY node HAVING count(*) >= {k})")
+        ctes.append(
+            f"kc_e{i} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a IN (SELECT node FROM kc_s{i}) "
+            f"AND b IN (SELECT node FROM kc_s{i}))")
+    last = f"kc_e{rounds}"
+    return (", ".join(ctes) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last}
+) GROUP BY node""")

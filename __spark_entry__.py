@@ -3490,6 +3490,36 @@ FROM hits h JOIN sizes s ON s.id = h.id
 """
 
 
+def q_hll_cells(spark, sf_dir):
+    """Per-coarse-cell HLL distinct-doc estimate — the approximate rollup a
+    10^12-row hypertable needs (exact count-distinct per cell is a second
+    full shuffle; the sketch is one partial-aggregated pass).  Hash, CLZ,
+    and register sum are engine-portable integer ops (sketch.py), so the
+    DuckDB oracle reproduces the registers bit-for-bit and the estimate to
+    the rounded 3 places — an *exactly checkable* approximate operator."""
+    from tree_code_chunker_spark.operators.sketch import hll_distinct
+
+    cells = _points(spark, sf_dir).select(
+        F.shiftright("qlat", 13).alias("cy"),
+        F.shiftright("qlon", 13).alias("cx"),
+        "doc_id",
+    )
+    return hll_distinct(cells, ("cy", "cx"), "doc_id", p=8)
+
+
+def _hll_sql():
+    from tree_code_chunker_spark.operators.sketch import hll_distinct_sql
+
+    return (
+        f"{SPANS_CTE}, {POINTS_SQL}, cells AS ("
+        "SELECT (qlat >> 13) AS cy, (qlon >> 13) AS cx, doc_id FROM points), "
+        + hll_distinct_sql("cells", ("cy", "cx"), "doc_id", p=8)
+    )
+
+
+SQL_HLL_CELLS = _hll_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -3498,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r5
+        "hll_cells": q_hll_cells,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3588,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_cells": SQL_HLL_CELLS,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

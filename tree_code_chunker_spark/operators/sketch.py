@@ -1,0 +1,194 @@
+"""Deterministic cardinality sketches.
+
+HyperLogLog (Flajolet et al. 2007, public) re-derived so that BOTH engines
+(Spark JVM expressions, DuckDB SQL) compute bit-identical registers and —
+up to one final libm log in the small-range branch — bit-identical
+estimates, making the sketch oracle-checkable instead of approximately
+comparable.  Built-in approx_count_distinct can never be cross-checked
+that way (engine-private hashes); this one can, and at 10^12 rows the
+plan is the same one partial-aggregated shuffle the built-in uses.
+
+Design constraints that shaped the math (all ANSI-overflow-safe):
+  * hash: two lowbias32 lanes (Prospector xorshift-multiply finalizer —
+    public, near-ideal avalanche) concatenated to 62 bits.  The 32-bit
+    wrapping multiply is emulated from 16-bit limbs so every intermediate
+    stays < 2^49 — Spark ANSI throws on int64 overflow, and DuckDB BIGINT
+    always does.  LCG-style hashes are NOT enough here: on sequential ids
+    their lattice structure makes register maxima near-deterministic and
+    biases the estimate +40-70% (measured); avalanche is load-bearing.
+  * CLZ without log2: smear-fill the low b bits (v |= v>>1 .. >>32) then
+    bit_count — pure integer ops both engines share; rank = b - bits + 1.
+  * register sum: sum(2^(62-M_j)) as DECIMAL(38,0)/HUGEINT — an EXACT
+    integer, so no float-addition-order dependence; the estimate is one
+    double division of literal constants by that integer.
+  * 2^-M never goes through pow(): only exact shifts and divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HLL_BITS = 62
+_LB_M1, _LB_M2 = 0x7FEB352D, 0x846CA68B
+_LANE2_SEED = 0x5BF03635
+_M32 = 0xFFFFFFFF
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _mul32_col(a: Column, k: int) -> Column:
+    # (a * k) mod 2^32 from 16-bit limbs of k: a*(k&0xFFFF) < 2^48 and
+    # ((a*(k>>16)) & 0xFFFF) * 2^16 < 2^32 — no int64 overflow possible.
+    return (
+        a * F.lit(k & 0xFFFF)
+        + (a * F.lit(k >> 16)).bitwiseAND(F.lit(0xFFFF)) * F.lit(65536)
+    ).bitwiseAND(F.lit(_M32))
+
+
+def _lowbias32_col(x: Column) -> Column:
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = _mul32_col(x, _LB_M1)
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = _mul32_col(x, _LB_M2)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def hll_hash_col(x: Column) -> Column:
+    """The shared 62-bit deterministic hash (JVM side)."""
+    xl = x.cast("long")
+    x32 = xl.bitwiseXOR(F.shiftright(xl, 32)).bitwiseAND(F.lit(_M32))
+    a = _lowbias32_col(x32)
+    b = _lowbias32_col(x32.bitwiseXOR(F.lit(_LANE2_SEED)))
+    # a(32 bits) * 2^30 + b>>2 (30 bits) < 2^62
+    return a * F.lit(1 << 30) + F.shiftright(b, 2)
+
+
+def _mul32_sql(a: str, k: int) -> str:
+    return (f"((({a}) * {k & 0xFFFF}"
+            f" + ((({a}) * {k >> 16}) & 65535) * 65536) & {_M32})")
+
+
+def _lowbias32_sql(x: str) -> str:
+    for sh, k in ((16, _LB_M1), (15, _LB_M2)):
+        x = f"xor({x}, ({x}) >> {sh})"
+        x = _mul32_sql(x, k)
+    return f"xor({x}, ({x}) >> 16)"
+
+
+def hll_hash_sql(x: str) -> str:
+    xl = f"CAST({x} AS BIGINT)"
+    x32 = f"(xor({xl}, {xl} >> 32) & {_M32})"
+    a = _lowbias32_sql(x32)
+    b = _lowbias32_sql(f"xor({x32}, {_LANE2_SEED})")
+    return f"(({a}) * {1 << 30} + (({b}) >> 2))"
+
+
+def hll_distinct(df: DataFrame, group_cols: tuple, value_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HLL distinct estimate: (group..., hll_est, v_zero, m).
+
+    hll_est is rounded to 3 places: every input to the estimate is exact
+    (integer register sum -> one double division), except the standard
+    small-range linear-counting branch whose ln() may drift ~1 ulp
+    between JVM and libm — round-3 absorbs it (same contract as the
+    geodesic operators' haversine rounding).
+
+    Plan: one partial-aggregated shuffle to (group, register) max-rank,
+    one rollup to group — the same two-level shape at any scale; nothing
+    driver-side."""
+    group_cols = list(group_cols)
+    m = 1 << p
+    b = HLL_BITS - p
+    h = hll_hash_col(F.col(value_col))
+    # h < 2^61 and non-negative, so arithmetic shift IS the integer div —
+    # (h / 2^b) would round-trip through double and lose bits above 2^53
+    idx = F.shiftright(h, b)
+    v = h % F.lit(1 << b)
+    for s in (1, 2, 4, 8, 16, 32):
+        v = v.bitwiseOR(F.shiftright(v, s))
+    rank = F.lit(b) - F.bit_count(v) + 1
+    regs = (
+        df.select(*group_cols, idx.alias("_i"), rank.alias("_r"))
+        .groupBy(*group_cols, "_i")
+        .agg(F.max("_r").alias("_m"))
+    )
+    lit_num = _alpha(m) * m * m * float(1 << HLL_BITS)
+    # shiftleft with a COLUMN shift amount only exists in the SQL surface
+    s_exact = F.sum(F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_BITS} - _m) "
+        f"AS DECIMAL(38,0))"))
+    agg = regs.groupBy(*group_cols).agg(
+        s_exact.alias("_s"), F.count("*").cast("long").alias("_nz"))
+    v_zero = F.lit(m) - F.col("_nz")
+    # empty registers (M_j = 0) contribute 2^HLL_BITS each to the exact
+    # scaled sum; v_zero * 2^62 can reach 2^70, so the product lives in
+    # decimal from the start
+    s_total = (F.col("_s")
+               + v_zero.cast("decimal(38,0)")
+               * F.lit(1 << HLL_BITS).cast("decimal(38,0)"))
+    raw = F.lit(lit_num) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 3).alias("hll_est"),
+        v_zero.cast("long").alias("v_zero"),
+        F.lit(m).cast("long").alias("m"),
+    )
+
+
+def hll_distinct_sql(table: str, group_cols: tuple, value_col: str,
+                     p: int = 8) -> str:
+    """DuckDB mirror: identical hash, smear, exact HUGEINT register sum,
+    identical literals and branch predicate.
+
+    Returns a fragment starting at ``hll_h AS (`` so callers compose it
+    onto an existing CTE chain (``WITH spans AS (...), `` + fragment) or
+    run it standalone by prefixing ``WITH ``."""
+    group_cols = list(group_cols)
+    g = ", ".join(group_cols)
+    m = 1 << p
+    b = HLL_BITS - p
+    h = hll_hash_sql(value_col)
+    smear = "v"
+    for s in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {s}))"
+    lit_num = repr(_alpha(m) * m * m * float(1 << HLL_BITS))
+    return f"""hll_h AS (
+  SELECT {g}, ({h} // {1 << b}) AS i, ({h} % {1 << b}) AS v
+  FROM {table}
+), hll_rank AS (
+  SELECT {g}, i, {b} - bit_count({smear}) + 1 AS r FROM hll_h
+), hll_regs AS (
+  SELECT {g}, i, max(r) AS mr FROM hll_rank GROUP BY {g}, i
+), hll_nzagg AS (
+  SELECT {g},
+         sum(CAST(1 AS BIGINT) << ({HLL_BITS} - mr)) AS s_nz,
+         count(*) AS nz
+  FROM hll_regs GROUP BY {g}
+), hll_agg AS (
+  -- empty registers (M_j = 0) contribute 2^HLL_BITS each; the product
+  -- can reach 2^70 so it lives in HUGEINT
+  SELECT {g}, s_nz + CAST({m} - nz AS HUGEINT) * {1 << HLL_BITS} AS s, nz
+  FROM hll_nzagg
+)
+SELECT {g},
+       round(CASE WHEN {lit_num} / CAST(s AS DOUBLE) <= {repr(2.5 * m)}
+                   AND {m} - nz > 0
+                  THEN {repr(float(m))}
+                       * ln({repr(float(m))} / CAST({m} - nz AS DOUBLE))
+                  ELSE {lit_num} / CAST(s AS DOUBLE) END, 3) AS hll_est,
+       CAST({m} - nz AS BIGINT) AS v_zero,
+       CAST({m} AS BIGINT) AS m
+FROM hll_agg
+"""

@@ -3520,6 +3520,36 @@ def _hll_sql():
 SQL_HLL_CELLS = _hll_sql()
 
 
+def q_cms_cells(spark, sf_dir):
+    """Count-min-sketch per-cell point-count estimates, checked against the
+    exact counts — (item, n, cms_est) with cms_est >= n always.  All-integer
+    construction, so the DuckDB oracle matches EXACTLY (same counters, same
+    minima); the sketch itself is one map-side-combined agg to d*w cells and
+    the probe is a broadcast join — the bounded-memory histogram shape for a
+    10^12-row hypertable."""
+    from tree_code_chunker_spark.operators.sketch import cms_build, cms_estimate
+
+    cells = _points(spark, sf_dir).select(
+        (F.shiftright("qlat", 10) * F.lit(64)
+         + F.shiftright("qlon", 10)).alias("item"))
+    sk = cms_build(cells, "item", w=512, d=4)
+    truth = cells.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    return cms_estimate(truth, sk, "item", w=512, d=4)
+
+
+def _cms_sql():
+    from tree_code_chunker_spark.operators.sketch import cms_sql
+
+    return (
+        f"{SPANS_CTE}, {POINTS_SQL}, cells AS ("
+        "SELECT (qlat >> 10) * 64 + (qlon >> 10) AS item FROM points), "
+        + cms_sql("cells", "item", w=512, d=4)
+    )
+
+
+SQL_CMS_CELLS = _cms_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -3529,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in r5
         "hll_cells": q_hll_cells,
+        "cms_cells": q_cms_cells,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3620,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_cells": SQL_HLL_CELLS,
+        "cms_cells": SQL_CMS_CELLS,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

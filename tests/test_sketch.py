@@ -81,3 +81,68 @@ def test_hll_gate_query_alignment(spark, sf_dir):
     for k, n in exact.items():
         if n >= 50:
             assert abs(est[k] - n) / n < 0.20, (k, est[k], n)
+
+
+# --- count-min sketch ---
+
+from tree_code_chunker_spark.operators.sketch import (  # noqa: E402
+    cms_build,
+    cms_estimate,
+    cms_sql,
+)
+
+
+def test_cms_counters_match_duckdb_exactly(spark):
+    rows = [(v,) for v in list(range(40)) * 3 + [7] * 50 + [100003] * 9]
+    df = spark.createDataFrame(rows, "item bigint")
+    sk = cms_build(df, "item", w=64, d=3)
+    truth = df.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    got = sorted((r.item, r.n, r.cms_est)
+                 for r in cms_estimate(truth, sk, "item", w=64, d=3).collect())
+    vals = ", ".join(f"({v})" for (v,) in rows)
+    sql = (f"WITH cells(item) AS (VALUES {vals}), "
+           + cms_sql("cells", "item", w=64, d=3))
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_cms_overestimates_never_under(spark):
+    # 300 distinct items into w=64 buckets -> collisions guaranteed
+    rows = [(v,) for v in range(300) for _ in range(v % 5 + 1)]
+    df = spark.createDataFrame(rows, "item bigint")
+    sk = cms_build(df, "item", w=64, d=4)
+    truth = df.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    out = cms_estimate(truth, sk, "item", w=64, d=4).collect()
+    assert len(out) == 300
+    assert all(r.cms_est >= r.n for r in out)
+    # with d=4 rows, SOME estimate should still be exact
+    assert any(r.cms_est == r.n for r in out)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    rows = [(v,) for v in (3, 9, 12) for _ in range(v)]
+    df = spark.createDataFrame(rows, "item bigint")
+    sk = cms_build(df, "item", w=1024, d=4)
+    truth = df.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    out = {r.item: (r.n, r.cms_est)
+           for r in cms_estimate(truth, sk, "item", w=1024, d=4).collect()}
+    assert out == {3: (3, 3), 9: (9, 9), 12: (12, 12)}
+
+
+def test_cms_merge_is_counter_addition(spark):
+    a = spark.createDataFrame([(v,) for v in range(50)], "item bigint")
+    b = spark.createDataFrame([(v,) for v in range(25, 75)], "item bigint")
+    whole = {(r.r, r.bucket): r.cnt
+             for r in cms_build(a.union(b), "item", w=32, d=2).collect()}
+    pa = {(r.r, r.bucket): r.cnt for r in cms_build(a, "item", w=32, d=2).collect()}
+    pb = {(r.r, r.bucket): r.cnt for r in cms_build(b, "item", w=32, d=2).collect()}
+    summed = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert whole == summed
+
+
+def test_cms_absent_item_estimate(spark):
+    df = spark.createDataFrame([(1,), (2,)], "item bigint")
+    sk = cms_build(df, "item", w=256, d=4)
+    probe = spark.createDataFrame([(999999,)], "item bigint")
+    out = cms_estimate(probe, sk, "item", w=256, d=4).collect()
+    assert out[0].cms_est == 0  # empty buckets -> coalesce(0) floor holds

@@ -192,3 +192,106 @@ SELECT {g},
        CAST({m} AS BIGINT) AS m
 FROM hll_agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public).  Unlike HLL this
+# one is ALL integers — counters are exact sums — so the DuckDB mirror is
+# exactly equal, not equal-up-to-rounding.  d hash rows reuse the lowbias32
+# finalizer under per-row seeds (hex digits of pi — nothing up the sleeve).
+#
+# 100 TB shape: the sketch is a d x w table (a few thousand rows) produced by
+# ONE map-side-combined aggregation over the corpus; merging shards is
+# counter addition (the groupBy already is that merge).  Frequency probes are
+# a broadcast equi-join of the candidate set against the d x w table — no
+# second corpus pass, no per-item shuffle.
+
+CMS_SEEDS = (0x243F6A88, 0x85A308D3, 0x13198A2E, 0x03707344)
+
+
+def _cms_check(w: int, d: int) -> None:
+    if w & (w - 1) or w <= 0:
+        raise ValueError(f"w must be a power of two, got {w}")
+    if not 1 <= d <= len(CMS_SEEDS):
+        raise ValueError(f"d must be in 1..{len(CMS_SEEDS)}, got {d}")
+
+
+def _cms_bucket_col(x: Column, r: int, w: int) -> Column:
+    xl = x.cast("long")
+    x32 = xl.bitwiseXOR(F.shiftright(xl, 32)).bitwiseAND(F.lit(_M32))
+    return _lowbias32_col(
+        x32.bitwiseXOR(F.lit(CMS_SEEDS[r]))).bitwiseAND(F.lit(w - 1))
+
+
+def _cms_bucket_sql(x: str, r: int, w: int) -> str:
+    xl = f"CAST({x} AS BIGINT)"
+    x32 = f"(xor({xl}, {xl} >> 32) & {_M32})"
+    return f"({_lowbias32_sql(f'xor({x32}, {CMS_SEEDS[r]})')} & {w - 1})"
+
+
+def cms_build(df: DataFrame, value_col: str, w: int = 512,
+              d: int = 4) -> DataFrame:
+    """Build the d x w counter table: (r, bucket, cnt).
+
+    One exploded projection (d small rows per input row, all JVM-side) into
+    one partially-aggregated groupBy over at most d*w cells."""
+    _cms_check(w, d)
+    x = F.col(value_col)
+    pairs = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 _cms_bucket_col(x, r, w).alias("bucket"))
+        for r in range(d)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(items: DataFrame, sketch: DataFrame, value_col: str,
+                 w: int = 512, d: int = 4) -> DataFrame:
+    """items + column ``cms_est``: min over the d rows of the item's counter
+    (>= true count always; collisions only ever inflate).  The sketch side
+    is broadcast — it has at most d*w rows by construction."""
+    _cms_check(w, d)
+    x = F.col(value_col)
+    pairs = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 _cms_bucket_col(x, r, w).alias("bucket"))
+        for r in range(d)
+    ])
+    probe = items.select("*", F.explode(pairs).alias("p")).select(
+        *items.columns, F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+    joined = probe.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_sql(table: str, value_col: str, w: int = 512, d: int = 4) -> str:
+    """DuckDB mirror: identical buckets -> identical counters -> identical
+    estimates.  Fragment starting at ``cms_in AS (`` (compose like
+    hll_distinct_sql); final SELECT yields (item, n, cms_est)."""
+    _cms_check(w, d)
+    build = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(value_col, r, w)} AS bucket"
+        f" FROM {table}" for r in range(d))
+    probe = " UNION ALL ".join(
+        f"SELECT item, n, {r} AS r, {_cms_bucket_sql('item', r, w)} AS bucket"
+        f" FROM cms_items" for r in range(d))
+    return f"""cms_in AS (
+  {build}
+), cms AS (
+  SELECT r, bucket, count(*) AS cnt FROM cms_in GROUP BY r, bucket
+), cms_items AS (
+  SELECT {value_col} AS item, count(*) AS n FROM {table} GROUP BY 1
+), cms_probe AS (
+  {probe}
+), cms_est AS (
+  SELECT item, n, min(coalesce(cnt, 0)) AS cms_est
+  FROM cms_probe LEFT JOIN cms USING (r, bucket) GROUP BY item, n
+)
+SELECT item, n, cms_est FROM cms_est
+"""

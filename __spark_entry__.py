@@ -3550,6 +3550,37 @@ def _cms_sql():
 SQL_CMS_CELLS = _cms_sql()
 
 
+def q_bloom_flags(spark, sf_dir):
+    """Bloom-filter semi-join prune audit: for every distinct doc in the
+    point table, the filter's verdict (bloom_pass) next to exact membership
+    (member) against the key set doc_id % 3 == 0.  member => bloom_pass is
+    structural; the (bloom_pass AND NOT member) rows are the false-positive
+    cost the exact verify join pays.  At corpus scale the broadcast side is
+    <= m_bits positions no matter how many keys went in — a bounded-size
+    prune in front of the shuffling semi-join."""
+    from tree_code_chunker_spark.operators.sketch import bloom_flags
+
+    items = _points(spark, sf_dir).select(
+        F.col("doc_id").alias("item")).distinct()
+    keys = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return bloom_flags(items, "item", keys, "doc_id", m_bits=1024, k=3)
+
+
+def _bloom_sql():
+    from tree_code_chunker_spark.operators.sketch import bloom_flags_sql
+
+    return (
+        f"{SPANS_CTE}, {POINTS_SQL}, "
+        + bloom_flags_sql(
+            "points", "doc_id",
+            "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)", "doc_id",
+            m_bits=1024, k=3)
+    )
+
+
+SQL_BLOOM_FLAGS = _bloom_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -3560,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5
         "hll_cells": q_hll_cells,
         "cms_cells": q_cms_cells,
+        "bloom_flags": q_bloom_flags,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3652,6 +3684,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hll_cells": SQL_HLL_CELLS,
         "cms_cells": SQL_CMS_CELLS,
+        "bloom_flags": SQL_BLOOM_FLAGS,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

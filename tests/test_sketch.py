@@ -146,3 +146,59 @@ def test_cms_absent_item_estimate(spark):
     probe = spark.createDataFrame([(999999,)], "item bigint")
     out = cms_estimate(probe, sk, "item", w=256, d=4).collect()
     assert out[0].cms_est == 0  # empty buckets -> coalesce(0) floor holds
+
+
+# --- bloom filter ---
+
+from tree_code_chunker_spark.operators.sketch import (  # noqa: E402
+    bloom_flags,
+    bloom_flags_sql,
+    bloom_positions,
+    bloom_semi_join,
+)
+
+
+def test_bloom_no_false_negatives_and_duckdb_mirror(spark):
+    items = spark.createDataFrame([(v,) for v in range(200)], "item bigint")
+    keys = spark.createDataFrame([(v,) for v in range(0, 200, 3)], "k bigint")
+    out = bloom_flags(items, "item", keys, "k", m_bits=256, k=3).collect()
+    assert all(r.bloom_pass for r in out if r.member)  # no false negatives
+    kv = ", ".join(f"({v})" for v in range(200))
+    sql = (f"WITH points(doc_id) AS (VALUES {kv}), "
+           + bloom_flags_sql("points", "doc_id",
+                             "(SELECT doc_id FROM points WHERE doc_id % 3 = 0)",
+                             "doc_id", m_bits=256, k=3))
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    got = sorted((r.item, r.bloom_pass, r.member) for r in out)
+    assert got == want
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    df = spark.createDataFrame(
+        [(v, f"p{v}") for v in range(500)], "item bigint, payload string")
+    keys = spark.createDataFrame(
+        [(v,) for v in range(0, 500, 7)], "k bigint")
+    # small m_bits forces false positives INTO the prune; verify must
+    # still produce the exact semi-join
+    got = sorted((r.item, r.payload) for r in
+                 bloom_semi_join(df, "item", keys, "k",
+                                 m_bits=64, k=2).collect())
+    want = sorted((v, f"p{v}") for v in range(0, 500, 7))
+    assert got == want
+
+
+def test_bloom_positions_bounded(spark):
+    keys = spark.createDataFrame([(v,) for v in range(10000)], "k bigint")
+    npos = bloom_positions(keys, "k", m_bits=128, k=4).count()
+    assert npos <= 128  # saturated filter still bounded
+
+
+def test_bloom_prune_actually_prunes(spark):
+    # disjoint probe/key ranges: almost every probe should fail the prune
+    df = spark.createDataFrame([(v,) for v in range(100000, 100400)],
+                               "item bigint")
+    keys = spark.createDataFrame([(v,) for v in range(40)], "k bigint")
+    out = bloom_flags(df, "item", keys, "k", m_bits=2048, k=4).collect()
+    passed = sum(1 for r in out if r.bloom_pass)
+    assert all(not r.member for r in out)
+    assert passed < 40  # FP rate far below 10% at this load factor

@@ -295,3 +295,113 @@ def cms_sql(table: str, value_col: str, w: int = 512, d: int = 4) -> str:
 )
 SELECT item, n, cms_est FROM cms_est
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, public) as a semi-join prune.  The point at
+# corpus scale: the broadcast side is AT MOST m_bits positions regardless of
+# how many keys went in — a bounded-size prune where broadcasting the raw key
+# set would not be.  False positives are possible (never negatives), so
+# bloom_semi_join verifies candidates with an exact semi-join that now sees
+# only the pruned slice.  Same portable lowbias32 buckets as the count-min
+# sketch, so the DuckDB mirror is exactly equal.
+
+
+def bloom_positions(keys: DataFrame, key_col: str, m_bits: int = 4096,
+                    k: int = 4) -> DataFrame:
+    """The set bits as a one-column DataFrame (pos) — the broadcastable
+    filter state; |rows| <= m_bits by construction."""
+    _cms_check(m_bits, k)
+    x = F.col(key_col)
+    pos = F.array(*[_cms_bucket_col(x, r, m_bits) for r in range(k)])
+    return keys.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_flags(df: DataFrame, key_col: str, keys: DataFrame,
+                keys_col: str, m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """df (distinct on key_col) + bloom_pass/member booleans.
+
+    bloom_pass: all k positions set (the prune verdict — may be a false
+    positive).  member: exact membership (ground truth).  The invariant
+    member => bloom_pass is structural; (bloom_pass AND NOT member) rows are
+    the false-positive cost the verify join pays."""
+    _cms_check(m_bits, k)
+    pos_df = bloom_positions(keys, keys_col, m_bits, k)
+    x = F.col(key_col)
+    probe = df.select("*", F.explode(F.array(*[
+        _cms_bucket_col(x, r, m_bits) for r in range(k)])).alias("pos"))
+    hit = F.when(F.col("pos_hit").isNotNull(), 1).otherwise(0)
+    passed = (
+        probe.join(F.broadcast(pos_df.withColumn("pos_hit", F.lit(1))),
+                   ["pos"], "left")
+        .groupBy(*df.columns)
+        .agg((F.sum(hit) == F.lit(k)).alias("bloom_pass"))
+    )
+    member_keys = keys.select(
+        F.col(keys_col).alias(key_col)).distinct().withColumn("_mm", F.lit(1))
+    return (
+        passed.join(member_keys, [key_col], "left")
+        .select(*df.columns, "bloom_pass",
+                F.col("_mm").isNotNull().alias("member"))
+    )
+
+
+def bloom_semi_join(df: DataFrame, key_col: str, keys: DataFrame,
+                    keys_col: str, m_bits: int = 4096,
+                    k: int = 4) -> DataFrame:
+    """Exact semi-join result, computed as bloom prune -> exact verify.
+
+    The prune is a broadcast join against <= m_bits positions; only rows
+    passing it reach the (shuffling) exact semi-join, so the expensive
+    exchange moves the pruned slice, not the corpus."""
+    _cms_check(m_bits, k)
+    pos_df = bloom_positions(keys, keys_col, m_bits, k)
+    x = F.col(key_col)
+    probe = df.withColumn("_bpos", F.array(*[
+        _cms_bucket_col(x, r, m_bits) for r in range(k)]))
+    exploded = probe.select("*", F.explode("_bpos").alias("pos"))
+    # duplicate positions (two hash rows colliding) explode to duplicate
+    # rows that match identically, so "all k exploded rows survived the
+    # semi-join" is exactly "all positions set"
+    candidates = (
+        exploded.join(F.broadcast(pos_df), ["pos"], "left_semi")
+        .groupBy(*probe.columns)
+        .agg(F.count("*").alias("_nhit"))
+        .filter(F.col("_nhit") == F.lit(k))
+        .drop("_nhit", "_bpos")
+    )
+    return candidates.join(
+        keys.select(F.col(keys_col).alias(key_col)).distinct(),
+        [key_col], "left_semi")
+
+
+def bloom_flags_sql(table: str, key_col: str, keys_table: str,
+                    keys_col: str, m_bits: int = 4096, k: int = 4) -> str:
+    """DuckDB mirror of bloom_flags over DISTINCT keys of ``table``.
+    Fragment starting at ``bloom_keys AS (``; yields (item, bloom_pass,
+    member)."""
+    _cms_check(m_bits, k)
+    key_pos = " UNION ALL ".join(
+        f"SELECT {_cms_bucket_sql(keys_col, r, m_bits)} AS pos"
+        f" FROM bloom_keys" for r in range(k))
+    item_pos = " UNION ALL ".join(
+        f"SELECT item, {r} AS r, {_cms_bucket_sql('item', r, m_bits)} AS pos"
+        f" FROM bloom_items" for r in range(k))
+    return f"""bloom_keys AS (
+  SELECT DISTINCT {keys_col} FROM {keys_table}
+), bloom_pos AS (
+  SELECT DISTINCT pos FROM ({key_pos})
+), bloom_items AS (
+  SELECT DISTINCT {key_col} AS item FROM {table}
+), bloom_probe AS (
+  {item_pos}
+), bloom_passed AS (
+  SELECT item,
+         count(*) FILTER (WHERE p.pos IS NOT NULL) = {k} AS bloom_pass
+  FROM bloom_probe bp LEFT JOIN bloom_pos p USING (pos) GROUP BY item
+)
+SELECT item, bloom_pass,
+       EXISTS (SELECT 1 FROM bloom_keys bk WHERE bk.{keys_col} = item)
+         AS member
+FROM bloom_passed
+"""

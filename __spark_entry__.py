@@ -3581,6 +3581,167 @@ def _bloom_sql():
 SQL_BLOOM_FLAGS = _bloom_sql()
 
 
+ASOF_TOL_US = 1_800_000_000  # 30 min
+
+
+def q_asof(spark, sf_dir):
+    """Temporal as-of join — each click picks the latest at-or-before view
+    of the same user within 30 min.  Union-tag + ignore-nulls running-last
+    window: ONE shuffle on the key, no join node, no range explosion
+    (operators/events.asof_join)."""
+    from tree_code_chunker_spark.operators.events import asof_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", us.alias("ts_us")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", us.alias("ts_us"),
+                     F.col("event_id").alias("view_id")))
+    out = asof_join(clicks, views, ["user_id"], "ts_us", "ts_us",
+                    tolerance_us=ASOF_TOL_US)
+    # no-match -> -1 sentinel: keeps the gate output null-free (nullable
+    # bigints round-trip as NaN through pandas on the oracle side)
+    return out.select("event_id", "user_id", "ts_us",
+                      F.coalesce("r_view_id", F.lit(-1)).alias("view_id"),
+                      F.coalesce("r_ts_us_us", F.lit(-1)).alias("view_ts_us"))
+
+
+SQL_ASOF = f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS view_id FROM events
+  WHERE event_type = 'view'
+), u AS (
+  SELECT user_id, ts_us, 1 AS tag, event_id,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS rts
+  FROM l
+  UNION ALL
+  SELECT user_id, ts_us, 0 AS tag, NULL, view_id, ts_us FROM r
+), m AS (
+  SELECT user_id, ts_us, tag, event_id,
+         last_value(view_id IGNORE NULLS) OVER w AS m_view,
+         last_value(rts IGNORE NULLS) OVER w AS m_rts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, view_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts_us,
+       coalesce(CASE WHEN ts_us - m_rts <= {ASOF_TOL_US} THEN m_view END,
+                -1) AS view_id,
+       coalesce(CASE WHEN ts_us - m_rts <= {ASOF_TOL_US} THEN m_rts END,
+                -1) AS view_ts_us
+FROM m WHERE tag = 1
+"""
+
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+FUNNEL_HORIZON_US = 7 * 86400 * 1_000_000
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (signup -> click -> purchase within 7
+    days of first signup): greedy-earliest per step, one aggregate + one
+    key-equi-join per step (operators/events.funnel)."""
+    from tree_code_chunker_spark.operators.events import funnel
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel(ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
+                 horizon_us=FUNNEL_HORIZON_US)
+    # broken-funnel steps -> -1 sentinel (null-free gate output, see q_asof)
+    return out.select(
+        "user_id",
+        *[F.coalesce(f"t{i}_us", F.lit(-1)).alias(f"t{i}_us")
+          for i in range(len(FUNNEL_STEPS))],
+        "depth")
+
+
+SQL_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us, event_type AS step FROM events
+), base AS (
+  SELECT DISTINCT k FROM ev
+), s0 AS (
+  SELECT k, min(ts_us) AS t0_us FROM ev WHERE step = '{FUNNEL_STEPS[0]}'
+  GROUP BY k
+), s1 AS (
+  SELECT e.k, min(e.ts_us) AS t1_us
+  FROM ev e JOIN s0 USING (k)
+  WHERE e.step = '{FUNNEL_STEPS[1]}' AND e.ts_us >= s0.t0_us
+    AND e.ts_us <= s0.t0_us + {FUNNEL_HORIZON_US}
+  GROUP BY e.k
+), s2 AS (
+  SELECT e.k, min(e.ts_us) AS t2_us
+  FROM ev e JOIN s0 USING (k) JOIN s1 USING (k)
+  WHERE e.step = '{FUNNEL_STEPS[2]}' AND e.ts_us >= s1.t1_us
+    AND e.ts_us <= s0.t0_us + {FUNNEL_HORIZON_US}
+  GROUP BY e.k
+)
+SELECT base.k AS user_id, coalesce(t0_us, -1) AS t0_us,
+       coalesce(t1_us, -1) AS t1_us, coalesce(t2_us, -1) AS t2_us,
+       (CASE WHEN t0_us IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END) AS depth
+FROM base LEFT JOIN s0 USING (k) LEFT JOIN s1 USING (k) LEFT JOIN s2 USING (k)
+"""
+
+
+ROLLING_WINDOW_US = 3_600_000_000  # trailing 1 h
+
+
+def q_rolling(spark, sf_dir):
+    """Per-event trailing-1h count/sum/mean of `value` per user — RANGE
+    window frame, decimal-exact sums (operators/events.rolling_time_agg)."""
+    from tree_code_chunker_spark.operators.events import rolling_time_agg
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_time_agg(ev, "user_id", "ts", "value",
+                            window_us=ROLLING_WINDOW_US,
+                            id_cols=["event_id"])
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_w,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+         AS sum_w,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS avg_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+BM25_QUERIES = [(1, "spark window join"), (2, "fast table scan"),
+                (3, "stream batch merge group")]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 per keyword query over `documents` — inverted-index
+    scoring with decimal-exact order-independent score sums and a
+    total-order ranking (operators/rank.bm25_topk)."""
+    from tree_code_chunker_spark.operators.rank import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), "doc_id", "text",
+                     BM25_QUERIES, topk=10)
+
+
+def _bm25_sql():
+    from tree_code_chunker_spark.operators.rank import bm25_topk_sql
+
+    return bm25_topk_sql("documents", "doc_id", "text", BM25_QUERIES,
+                         topk=10)
+
+
+SQL_BM25 = _bm25_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -3592,6 +3753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cells": q_hll_cells,
         "cms_cells": q_cms_cells,
         "bloom_flags": q_bloom_flags,
+        "asof": q_asof,
+        "funnel": q_funnel,
+        "rolling": q_rolling,
+        "bm25": q_bm25,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3685,6 +3850,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_cells": SQL_HLL_CELLS,
         "cms_cells": SQL_CMS_CELLS,
         "bloom_flags": SQL_BLOOM_FLAGS,
+        "asof": SQL_ASOF,
+        "funnel": SQL_FUNNEL,
+        "rolling": SQL_ROLLING,
+        "bm25": SQL_BM25,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

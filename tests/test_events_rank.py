@@ -1,0 +1,178 @@
+"""as-of join / funnel / rolling time aggregates / BM25 — semantics pins
+plus DuckDB cross-engine equality on the gate tables."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.operators.events import (
+    asof_join,
+    funnel,
+    rolling_time_agg,
+)
+from tree_code_chunker_spark.operators.rank import bm25_topk, bm25_topk_sql
+
+
+# --- asof_join ---
+
+
+def _quotes(spark):
+    # (sym, ts_us, px) — includes duplicate-timestamp rows for the tie pin
+    rows = [("a", 10, 100), ("a", 20, 101), ("a", 20, 99), ("a", 40, 105),
+            ("b", 15, 50)]
+    return spark.createDataFrame(rows, "sym string, qts long, px long")
+
+
+def _trades(spark):
+    rows = [("a", 5), ("a", 10), ("a", 25), ("a", 40), ("a", 100),
+            ("b", 14), ("c", 30)]
+    return spark.createDataFrame(rows, "sym string, tts long")
+
+
+def test_asof_backward_inclusive(spark):
+    out = {(r.sym, r.tts): (r.r_px, r.r_qts_us)
+           for r in asof_join(_trades(spark), _quotes(spark),
+                              ["sym"], "tts", "qts").collect()}
+    assert out[("a", 5)] == (None, None)          # nothing at-or-before
+    assert out[("a", 10)] == (100, 10)            # equal ts matches
+    assert out[("a", 25)] == (101, 20)            # dup-ts: max payload wins
+    assert out[("a", 40)] == (105, 40)
+    assert out[("a", 100)] == (105, 40)
+    assert out[("b", 14)] == (None, None)
+    assert out[("c", 30)] == (None, None)         # key absent on right
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    out = {(r.sym, r.tts): r.r_qts_us
+           for r in asof_join(_trades(spark), _quotes(spark),
+                              ["sym"], "tts", "qts", strict=True).collect()}
+    assert out[("a", 10)] is None                 # equal ts no longer matches
+    assert out[("a", 40)] == 20
+
+
+def test_asof_tolerance(spark):
+    out = {(r.sym, r.tts): r.r_qts_us
+           for r in asof_join(_trades(spark), _quotes(spark),
+                              ["sym"], "tts", "qts",
+                              tolerance_us=10).collect()}
+    assert out[("a", 25)] == 20                   # gap 5 <= 10
+    assert out[("a", 100)] is None                # gap 60 > 10
+
+
+def test_asof_deterministic_across_parallelism(spark):
+    a = asof_join(_trades(spark).repartition(7), _quotes(spark),
+                  ["sym"], "tts", "qts").collect()
+    b = asof_join(_trades(spark).coalesce(1), _quotes(spark),
+                  ["sym"], "tts", "qts").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- funnel ---
+
+
+def _funnel_events(spark):
+    rows = [
+        # u1 completes: s@10, c@20, p@30
+        (1, 10, "s"), (1, 20, "c"), (1, 30, "p"),
+        # u2 breaks order: p before c
+        (2, 10, "s"), (2, 50, "p"), (2, 60, "c"),
+        # u3: second step beyond horizon (horizon 100 from t0)
+        (3, 10, "s"), (3, 200, "c"), (3, 210, "p"),
+        # u4: no step-0 at all
+        (4, 10, "c"), (4, 20, "p"),
+        # u5: greedy t0 is the FIRST s even though a later s would convert
+        (5, 10, "s"), (5, 300, "s"), (5, 320, "c"),
+    ]
+    return spark.createDataFrame(rows, "u long, t long, e string")
+
+
+def test_funnel_semantics(spark):
+    out = {r.u: (r.t0_us, r.t1_us, r.t2_us, r.depth)
+           for r in funnel(_funnel_events(spark), "u", "t", "e",
+                           ["s", "c", "p"], horizon_us=100).collect()}
+    assert out[1] == (10, 20, 30, 3)
+    assert out[2] == (10, 60, None, 2)            # p@50 precedes c -> no t2
+    assert out[3] == (10, None, None, 1)          # c@200 beyond 10+100
+    assert out[4] == (None, None, None, 0)
+    assert out[5] == (10, None, None, 1)          # greedy: t0=10, not 300
+
+
+# --- rolling_time_agg ---
+
+
+def test_rolling_range_frame_includes_equal_ts_peers(spark):
+    rows = [(1, 0, 1.0), (1, 100, 2.0), (1, 100, 3.0), (1, 250, 4.0),
+            (2, 0, 10.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = sorted((r.k, r.ts_us, r.n_w, r.sum_w, r.avg_w) for r in
+                 rolling_time_agg(df, "k", "t", "v", window_us=150).collect())
+    # both t=100 rows see each other (RANGE peers) plus t=0
+    assert (1, 100, 3, 6.0, 2.0) in out
+    assert out.count((1, 100, 3, 6.0, 2.0)) == 2
+    # t=250 window [100, 250] -> the two t=100 rows + itself
+    assert (1, 250, 3, 9.0, 3.0) in out
+    assert (2, 0, 1, 10.0, 10.0) in out
+
+
+def test_rolling_matches_duckdb_on_events(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(
+        (r.event_id, r.user_id, r.ts_us, r.n_w, r.sum_w, r.avg_w)
+        for r in rolling_time_agg(ev, "user_id", "ts", "value",
+                                  window_us=3_600_000_000,
+                                  id_cols=["event_id"]).collect())
+    want = sorted(map(tuple, duckdb.connect().execute(f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               count(*) OVER w AS n_w,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w
+                          AS DOUBLE), 6) AS sum_w,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w
+                          AS DOUBLE) / count(*) OVER w, 6) AS avg_w
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """).fetchall()))
+    assert got == want
+
+
+# --- bm25 ---
+
+QUERIES = [(1, "spark window join"), (2, "fast table scan")]
+
+
+def test_bm25_matches_duckdb(spark, sf_dir):
+    got = sorted(map(tuple, bm25_topk(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id", "text", QUERIES, topk=10).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(
+        bm25_topk_sql("documents", "doc_id", "text", QUERIES,
+                      topk=10)).fetchall()))
+    assert got == want
+    assert len(got) == 20                          # 10 per query
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    rows = [(0, "aardvark cat"), (1, "cat cat cat"), (2, "cat dog"),
+            (3, "dog dog"), (4, "fish")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", "text", [(1, "aardvark cat")],
+                    topk=5).collect()
+    by_rank = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert by_rank[0] == 0                         # only aardvark doc
+    assert set(by_rank) == {0, 1, 2}               # fish/dog-only never score
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2]                   # higher tf for 'cat'
+
+
+def test_bm25_query_term_dedup_and_unknown_terms(spark):
+    rows = [(0, "cat"), (1, "cat cat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = bm25_topk(df, "doc_id", "text", [(1, "cat")], topk=5).collect()
+    twice = bm25_topk(df, "doc_id", "text",
+                      [(1, "cat cat zzz_unseen")], topk=5).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))

@@ -1,0 +1,204 @@
+"""Event-sequence analytics: as-of join, funnel analysis, rolling windows.
+
+The temporal operators a training-data / telemetry pipeline runs over an
+event log, each built on the one-shuffle-per-key window algebra Spark
+executes well at scale:
+
+- ``asof_join``: for every left row, the latest right row at-or-before
+  (or strictly before) the left timestamp per key — the classic operator
+  Spark's join syntax lacks.  Implemented as a UNION + ignore-nulls window
+  ("union-tag" asof), NOT a join: both sides are tagged, unioned, and
+  sorted once per key; ``last(payload, ignorenulls=True)`` over the
+  unbounded-preceding frame carries the most recent right payload onto
+  each left row.  ONE shuffle on the key, zero joins, no per-key driver
+  loops, and no range-explosion — the shape that survives 10^12 rows
+  (a range join would; a per-key collect would melt the driver).
+- ``funnel``: ordered-step conversion (step_i must occur at-or-after
+  step_{i-1}, all within a horizon of step_0).  One aggregate + one
+  key-equi-join per step — K small shuffles for a K-step funnel, each
+  join's build side a per-key aggregate (≤ one row per key), so AQE
+  broadcasts it when small.
+- ``rolling_time_agg``: trailing time-range aggregates (count/sum/avg of
+  a value over the last ``window_us`` microseconds per key) via a RANGE
+  window frame.  Sums accumulate in DECIMAL so the result is independent
+  of partition / combine order; the single cast to double at the end is
+  correctly rounded and therefore bit-stable across engines.
+
+All timestamps are epoch microseconds (bigint) — integer-exact, timezone-
+free, and directly mirrorable in the DuckDB oracle (``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_LEFT_TAG = 1
+
+
+def _ts_us(df: DataFrame, col: str):
+    """Column as epoch microseconds.  Timestamps go through unix_micros —
+    a bare cast("long") on a timestamp yields SECONDS in Spark, which would
+    silently disagree with the DuckDB oracle's epoch_us."""
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    # TIMESTAMP_NTZ (the parquet default) must hop through TIMESTAMP for
+    # unix_micros; run with session tz UTC so the hop is the identity wall
+    # clock (the _utc(...) contract shared with the DuckDB epoch_us oracle).
+    return (F.unix_micros(c.cast("timestamp")) if dt.startswith("timestamp")
+            else c.cast("long"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str,
+              tolerance_us: int | None = None,
+              strict: bool = False,
+              right_prefix: str = "r_") -> DataFrame:
+    """Left as-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) sharing the ``on`` keys.
+
+    Output = all left columns + every non-key right column as
+    ``{right_prefix}{col}`` (NULL when no right row qualifies — left-join
+    semantics).  ``tolerance_us`` additionally requires
+    ``left_ts - right_ts <= tolerance_us``.
+
+    Tie rules, all deterministic:
+    - right row exactly at ``left_ts``: matches unless ``strict``;
+    - several right rows at the same (key, ts): the one with the greatest
+      payload struct (lexicographic over the right columns in their
+      DataFrame order) wins — a total order, so the result never depends
+      on partitioning.
+
+    Scale shape: one exchange hash-partitioned on ``on`` + one sort per
+    partition; the window is ``rows unbounded preceding → current``, which
+    Spark evaluates streaming (running last), so memory per task is O(1)
+    beyond the sort.  No join node exists in the plan.
+    """
+    r_payload_cols = [c for c in right.columns if c not in on]
+    if not r_payload_cols:
+        raise ValueError("right side must carry at least one non-key column")
+    # Tag order at equal ts decides inclusivity: right rows sort BEFORE the
+    # left row for the inclusive form (so last() sees them) and AFTER it for
+    # the strict form (so the running last() cannot).
+    r_tag = _LEFT_TAG + 1 if strict else _LEFT_TAG - 1
+    r_struct = F.struct(*r_payload_cols,
+                        _ts_us(right, right_ts).alias("_rts"))
+    l_struct = F.struct(*left.columns)
+    l_side = left.select(
+        *[F.col(c) for c in on],
+        _ts_us(left, left_ts).alias("_ts"),
+        F.lit(_LEFT_TAG).alias("_tag"),
+        l_struct.alias("_l"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        _ts_us(right, right_ts).alias("_ts"),
+        F.lit(r_tag).alias("_tag"),
+        F.lit(None).cast(
+            left.select(l_struct.alias("_l")).schema["_l"].dataType
+        ).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("_ts"), F.col("_tag"), F.col("_r"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("_r", ignorenulls=True).over(w)
+    if tolerance_us is not None:
+        matched = F.when(
+            F.col("_ts") - matched["_rts"] <= F.lit(int(tolerance_us)),
+            matched)
+    out = (
+        l_side.unionByName(r_side)
+        .withColumn("_m", matched)
+        .filter(F.col("_tag") == _LEFT_TAG)
+        .select(
+            *[F.col("_l")[c].alias(c) for c in left.columns],
+            *[F.col("_m")[c].alias(f"{right_prefix}{c}")
+              for c in r_payload_cols],
+            F.col("_m")["_rts"].alias(f"{right_prefix}{right_ts}_us"),
+        )
+    )
+    return out
+
+
+def funnel(events: DataFrame, key: str, ts: str, step_col: str,
+           steps: list[str], horizon_us: int) -> DataFrame:
+    """Ordered-funnel conversion times per key.
+
+    For each key: ``t0`` = earliest event of ``steps[0]``; ``t_i`` =
+    earliest event of ``steps[i]`` at-or-after ``t_{i-1}`` and within
+    ``horizon_us`` of ``t0``.  Output: one row per distinct key with
+    ``t0_us .. t{K-1}_us`` (NULL once the funnel breaks) and ``depth`` =
+    number of completed steps.  Greedy-earliest matching — the standard
+    funnel semantics (a later step-0 event is never reconsidered).
+
+    Scale shape: step 0 is one hash aggregate; each later step is one
+    equi-join of the (filtered) event log against a ≤-one-row-per-key
+    aggregate plus another hash aggregate — K shuffles total, every join
+    AQE-broadcastable when the reached-key set is small.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = events.select(F.col(key).alias("k"),
+                       _ts_us(events, ts).alias("ts_us"),
+                       F.col(step_col).alias("step"))
+    base = ev.select("k").distinct()
+    reached = (ev.filter(F.col("step") == steps[0])
+               .groupBy("k").agg(F.min("ts_us").alias("t0_us")))
+    out = base.join(reached, ["k"], "left")
+    deadline = reached.select(
+        "k", (F.col("t0_us") + F.lit(int(horizon_us))).alias("_dl"),
+        F.col("t0_us").alias("_prev"))
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (ev.filter(F.col("step") == s)
+               .join(deadline, ["k"])
+               .filter((F.col("ts_us") >= F.col("_prev"))
+                       & (F.col("ts_us") <= F.col("_dl")))
+               .groupBy("k").agg(F.min("ts_us").alias(f"t{i}_us")))
+        out = out.join(nxt, ["k"], "left")
+        deadline = (deadline.join(nxt, ["k"])
+                    .select("k", "_dl", F.col(f"t{i}_us").alias("_prev")))
+    depth = sum((F.col(f"t{i}_us").isNotNull().cast("int")
+                 for i in range(len(steps))), F.lit(0))
+    return out.select(F.col("k").alias(key),
+                      *[f"t{i}_us" for i in range(len(steps))],
+                      depth.alias("depth"))
+
+
+def rolling_time_agg(events: DataFrame, key: str, ts: str, value: str,
+                     window_us: int, id_cols: list[str] | None = None,
+                     round_dp: int = 6) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count /
+    sum / mean of ``value`` over all events of the same key in
+    ``[ts - window_us, ts]`` (RANGE frame — equal-timestamp peers are all
+    included, on both engines).
+
+    ``value`` is accumulated as DECIMAL(28,6): decimal addition is exact
+    and associative, so ``sum_w`` never depends on partition or combine
+    order; the final cast to double (and the sum/count division) are
+    single correctly-rounded IEEE ops, identical across engines.
+
+    One shuffle on the key; the RANGE frame is evaluated with a sliding
+    two-pointer pass per partition — O(n) beyond the sort.
+    """
+    id_cols = id_cols or []
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_ts_us"))
+         .rangeBetween(-int(window_us), 0))
+    dec = F.col(value).cast("decimal(28,6)")
+    base = events.select(
+        *id_cols, F.col(key), _ts_us(events, ts).alias("_ts_us"),
+        dec.alias("_v"))
+    return (base
+            .withColumn("n_w", F.count("_v").over(w))
+            .withColumn("_sum_dec", F.sum("_v").over(w))
+            .select(
+                *id_cols, F.col(key), F.col("_ts_us").alias("ts_us"),
+                "n_w",
+                F.round(F.col("_sum_dec").cast("double"), round_dp)
+                 .alias("sum_w"),
+                F.round((F.col("_sum_dec").cast("double") / F.col("n_w")),
+                        round_dp).alias("avg_w"),
+            ))

@@ -3742,6 +3742,101 @@ def _bm25_sql():
 SQL_BM25 = _bm25_sql()
 
 
+BFS_MAX_HOPS = 6
+BFS_SEED_MOD = 25
+
+
+def _graph_edges(spark, sf_dir):
+    """The spatial proximity graph shared by the graph-analytics gates
+    (symmetric directed edges between docs with any span pair within
+    SELF_RADIUS)."""
+    from tree_code_chunker_spark.operators.spatial import dwithin_join
+
+    pts = _points(spark, sf_dir)
+    b = pts.select(F.col("doc_id").alias("b_doc_id"), "qlat", "qlon")
+    return (
+        dwithin_join(pts, b, SELF_RADIUS,
+                     a_keep=("doc_id",), b_keep=("b_doc_id",))
+        .filter(F.col("doc_id") != F.col("b_doc_id"))
+        .select(F.col("doc_id").alias("src"),
+                F.col("b_doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def q_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances over the proximity graph from the
+    doc_id % {mod} == 0 seed set — level-synchronous frontier expansion,
+    one frontier-edges equi-join + one visited anti-join per round
+    (operators/graph.bfs_hops); recursive-CTE mirror."""
+    from tree_code_chunker_spark.operators.graph import bfs_hops
+
+    seeds = (_points(spark, sf_dir)
+             .filter(F.col("doc_id").cast("long") % BFS_SEED_MOD == 0)
+             .select(F.col("doc_id").alias("node")).distinct())
+    return bfs_hops(_graph_edges(spark, sf_dir), seeds,
+                    max_hops=BFS_MAX_HOPS)
+
+
+def _bfs_sql():
+    from tree_code_chunker_spark.operators.graph import bfs_hops_sql
+
+    edges = f"""
+bfs_edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM points a JOIN points b
+    ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+   AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+  WHERE a.doc_id != b.doc_id
+    AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+        + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+        <= {SELF_RADIUS * SELF_RADIUS}
+), bfs_seeds AS (
+  SELECT DISTINCT doc_id AS node FROM points
+  WHERE CAST(doc_id AS BIGINT) % {BFS_SEED_MOD} = 0
+)"""
+    # the recursive member needs RECURSIVE declared on the whole WITH chain
+    head = SPANS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (f"{head}, {POINTS_SQL}, {edges}, "
+            + bfs_hops_sql("bfs_edges", "bfs_seeds", BFS_MAX_HOPS))
+
+
+SQL_BFS = _bfs_sql()
+
+
+RETENTION_ANCHOR = "signup"
+RETENTION_MAX_DAYS = 30
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-signup day, distinct
+    active users per (cohort_day, day_offset) — integer day arithmetic
+    (operators/events.retention_matrix)."""
+    from tree_code_chunker_spark.operators.events import retention_matrix
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_matrix(ev, "user_id", "ts", "event_type",
+                            RETENTION_ANCHOR,
+                            max_offset_days=RETENTION_MAX_DAYS)
+
+
+SQL_RETENTION = f"""
+WITH ret_ev AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us, event_type AS step FROM events
+), ret_cohort AS (
+  SELECT k, min(ts_us) // 86400000000 AS cohort_day FROM ret_ev
+  WHERE step = '{RETENTION_ANCHOR}' GROUP BY k
+)
+SELECT cohort_day,
+       (ts_us // 86400000000) - cohort_day AS day_offset,
+       count(DISTINCT k) AS n_users
+FROM ret_ev JOIN ret_cohort USING (k)
+WHERE (ts_us // 86400000000) - cohort_day BETWEEN 0 AND {RETENTION_MAX_DAYS}
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -3757,6 +3852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "rolling": q_rolling,
         "bm25": q_bm25,
+        "bfs": q_bfs,
+        "retention": q_retention,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3854,6 +3951,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "rolling": SQL_ROLLING,
         "bm25": SQL_BM25,
+        "bfs": SQL_BFS,
+        "retention": SQL_RETENTION,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

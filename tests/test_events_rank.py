@@ -176,3 +176,38 @@ def test_bm25_query_term_dedup_and_unknown_terms(spark):
     twice = bm25_topk(df, "doc_id", "text",
                       [(1, "cat cat zzz_unseen")], topk=5).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+# --- retention ---
+
+from tree_code_chunker_spark.operators.events import retention_matrix  # noqa: E402
+
+DAY = 86_400_000_000
+
+
+def test_retention_semantics(spark):
+    rows = [
+        # u1: signup day 0, active day 0 / day 2
+        (1, 0 * DAY + 5, "signup"), (1, 0 * DAY + 9, "click"),
+        (1, 2 * DAY + 1, "view"),
+        # u2: signup day 0, PRE-anchor activity must not count
+        (2, 0 * DAY + 7, "signup"), (2, 0 * DAY + 1, "click"),
+        (2, 1 * DAY, "click"),
+        # u3: never signs up -> excluded entirely
+        (3, 0 * DAY, "click"),
+        # u4: signup day 1, activity beyond max_offset dropped
+        (4, 1 * DAY, "signup"), (4, 40 * DAY, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in retention_matrix(df, "u", "t", "e", "signup",
+                                     max_offset_days=30).collect()}
+    # day 0 cohort: u1 and u2 both active on their cohort day (u2's
+    # pre-anchor click at +1us is SAME day as the signup -> offset 0 counts;
+    # the day-2 row is only u1, day-1 only u2)
+    assert out[(0, 0)] == 2
+    assert out[(0, 1)] == 1
+    assert out[(0, 2)] == 1
+    assert out[(1, 0)] == 1          # u4 cohort day 1, only signup itself
+    assert (1, 39) not in out        # beyond max_offset_days
+    assert all(c != 3 for (c, _o) in out)  # u3 has no cohort

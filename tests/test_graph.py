@@ -193,3 +193,51 @@ def test_k_core_cascade_and_empty(spark):
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
                                  "src long, dst long")
     assert k_core(path, 2).count() == 0
+
+
+# --- bfs_hops ---
+
+from tree_code_chunker_spark.operators.graph import bfs_hops, bfs_hops_sql
+
+
+def _mk_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_chain_and_disconnected(spark):
+    # 0-1-2-3 chain (directed both ways) plus isolated component 10-11
+    pairs = [(a, b) for a, b in [(0, 1), (1, 2), (2, 3), (10, 11)]]
+    pairs += [(b, a) for a, b in pairs]
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    out = {r.node: r.hops for r in
+           bfs_hops(_mk_edges(spark, pairs), seeds, max_hops=10).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 99: 0}  # 99 isolated seed at 0
+    assert 10 not in out and 11 not in out
+
+
+def test_bfs_max_hops_cap_and_min_distance(spark):
+    # two routes to node 3: long chain 0-1-2-3 and shortcut 0-3
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.hops for r in
+           bfs_hops(_mk_edges(spark, pairs), seeds, max_hops=1).collect()}
+    assert out == {0: 0, 1: 1, 3: 1}               # min distance, capped
+    assert 2 not in out
+
+
+def test_bfs_matches_duckdb_recursive(spark):
+    import duckdb
+    import random
+    rng = random.Random(7)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    seeds = [(0,), (7,)]
+    got = sorted((r.node, r.hops) for r in bfs_hops(
+        _mk_edges(spark, pairs),
+        spark.createDataFrame(seeds, "node long"), max_hops=5).collect())
+    ev = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = ("WITH RECURSIVE e(src, dst) AS (VALUES " + ev + "), "
+           "s(node) AS (VALUES (0), (7)), "
+           + bfs_hops_sql("e", "s", 5))
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want

@@ -104,13 +104,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     w = (Window.partitionBy(*on)
          .orderBy(F.col("_ts"), F.col("_tag"), F.col("_r"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last("_r", ignorenulls=True).over(w)
+    # materialize the running-last once, THEN apply tolerance on the column
+    # — referencing the window expr twice would make Spark evaluate two
+    # identical window aggregates
+    matched = F.col("_m0")
     if tolerance_us is not None:
         matched = F.when(
             F.col("_ts") - matched["_rts"] <= F.lit(int(tolerance_us)),
             matched)
     out = (
         l_side.unionByName(r_side)
+        .withColumn("_m0", F.last("_r", ignorenulls=True).over(w))
         .withColumn("_m", matched)
         .filter(F.col("_tag") == _LEFT_TAG)
         .select(
@@ -202,3 +206,37 @@ def rolling_time_agg(events: DataFrame, key: str, ts: str, value: str,
                 F.round((F.col("_sum_dec").cast("double") / F.col("n_w")),
                         round_dp).alias("avg_w"),
             ))
+
+
+def retention_matrix(events: DataFrame, key: str, ts: str, step_col: str,
+                     anchor: str, max_offset_days: int = 30) -> DataFrame:
+    """Cohort retention: users grouped by the DAY of their first ``anchor``
+    event; for each (cohort_day, day_offset) the number of distinct users
+    with ANY event exactly ``day_offset`` days after their cohort day
+    (offset 0 = the cohort day itself; pre-anchor activity is excluded,
+    offsets beyond ``max_offset_days`` are dropped).
+
+    Days are epoch-microsecond integer divisions (``div``) — integer-exact,
+    timezone-free, identical in the DuckDB mirror (``//``).
+
+    Scale shape: one hash aggregate for the anchor (min ts per user), one
+    key-equi-join of the event log against that ≤-one-row-per-user frame
+    (AQE-broadcastable), one final hash aggregate with a count(distinct) —
+    at extreme cardinality swap for approx_count_distinct; the exact form
+    is the oracle-checked default.
+    """
+    day_us = 86_400_000_000
+    ev = events.select(F.col(key).alias("k"),
+                       _ts_us(events, ts).alias("ts_us"),
+                       F.col(step_col).alias("step"))
+    cohort = (ev.filter(F.col("step") == anchor)
+              .groupBy("k")
+              .agg(F.expr(f"min(ts_us) div {day_us}").alias("cohort_day")))
+    return (ev.join(cohort, ["k"])
+            .select("k", "cohort_day",
+                    (F.expr(f"ts_us div {day_us}")
+                     - F.col("cohort_day")).alias("day_offset"))
+            .filter((F.col("day_offset") >= 0)
+                    & (F.col("day_offset") <= max_offset_days))
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count_distinct("k").alias("n_users")))

@@ -368,3 +368,61 @@ def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:
 SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
   SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last}
 ) GROUP BY node""")
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             max_hops: int = 10) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, capped at
+    ``max_hops``.  ``edges`` (src, dst) directed; ``seeds`` one column
+    ``node``.  Output: (node, hops) for every reached node (seeds at 0,
+    whether or not they appear in the edge list).
+
+    Level-synchronous frontier expansion — the textbook distributed BFS:
+    each round is ONE equi-join of the current frontier against the edge
+    list (shuffle on src) plus one anti-join against the visited set, so
+    round cost is O(frontier-adjacent edges), not O(all edges).  The
+    visited set is localCheckpoint-ed per round to keep lineage bounded
+    (same discipline as pagerank_int); the loop stops early when a
+    frontier comes back empty — hop counts are integers, so the result is
+    bit-exact at any parallelism.
+
+    DuckDB mirror: bfs_hops_sql (a recursive CTE whose UNION dedup plays
+    the visited-set role).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (edges.select(F.col("src"), F.col("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=False))
+    frontier = (seeds.select(F.col("node")).distinct()
+                .localCheckpoint(eager=False))
+    visited = frontier.select("node", F.lit(0).cast("int").alias("hops"))
+    for i in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited.select("node"), ["node"], "left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.isEmpty():
+            break
+        visited = (visited
+                   .unionByName(nxt.select(
+                       "node", F.lit(i).cast("int").alias("hops")))
+                   .localCheckpoint(eager=False))
+        frontier = nxt
+    return visited
+
+
+def bfs_hops_sql(edges_cte: str, seeds_cte: str, max_hops: int) -> str:
+    """DuckDB mirror of bfs_hops: recursive CTE over ``edges_cte``
+    (src, dst) from ``seeds_cte`` (node).  The UNION (distinct) dedups
+    (node, d) pairs so the recursion terminates at the d < max_hops
+    bound; min(d) per node is the BFS distance."""
+    return f"""bfs_walk(node, d) AS (
+  SELECT node, 0 FROM {seeds_cte}
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM bfs_walk w JOIN {edges_cte} e ON e.src = w.node AND e.src != e.dst
+  WHERE w.d < {max_hops}
+)
+SELECT node, CAST(min(d) AS INT) AS hops FROM bfs_walk GROUP BY node"""

@@ -193,6 +193,32 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     timed("sessionize", lambda: sessionize_batch(ev).count())
     timed("od_matrix", lambda: od_matrix(pts, 4).count())
+
+    # as-of join at corpus scale: all ~9.2M points as the probe ("trades")
+    # against a 1/16 sample as the reference series ("quotes"), keyed by
+    # doc_id (~n_docs keys) — measures the union-tag + running-last window
+    # (ONE shuffle, no join node) on the full derived input
+    from tree_code_chunker_spark.operators.events import asof_join
+
+    trades = pts.select("doc_id",
+                        (F.col("span_pos") * 7919).alias("ts_us"))
+    quotes = pts.filter(F.col("span_pos") % 16 == 0).select(
+        "doc_id", (F.col("span_pos") * 6151).alias("qts_us"),
+        F.col("span_pos").alias("qid"))
+    # consume the matched column: a bare count() lets Catalyst prune the
+    # (unreferenced) window entirely and measures nothing
+    timed("asof", lambda: asof_join(
+        trades, quotes, ["doc_id"], "ts_us", "qts_us")
+        .select(F.sum("r_qid")).collect())
+
+    # BM25 keyword retrieval over the full document table (tokenize ->
+    # tf/df aggregates -> broadcast-scored top-k)
+    from tree_code_chunker_spark.operators.rank import bm25_topk
+
+    timed("bm25", lambda: bm25_topk(
+        docs, "doc_id", "text",
+        [(1, "spark window join"), (2, "fast table scan"),
+         (3, "stream batch merge group")], topk=10).count())
     pr_edges = li.select(F.col("l_orderkey").alias("src"),
                          F.col("l_partkey").alias("dst"))
     timed("pagerank_1it", lambda: pagerank_int(pr_edges, iters=1).count())

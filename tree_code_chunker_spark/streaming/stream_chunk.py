@@ -179,3 +179,51 @@ def stream_dwithin_geo(
     return dwithin_geo(points_stream, queries, radius_m, a_keep=a_keep,
                        b_keep=b_keep, res=res, broadcast_b=True,
                        lat_col=lat_col, lon_col=lon_col)
+
+
+def run_stream_asof(
+    left_stream: DataFrame,
+    right_static: DataFrame,
+    on: list,
+    left_ts: str,
+    right_ts: str,
+    out_path: str,
+    checkpoint_path: str,
+    tolerance_us: int | None = None,
+    strict: bool = False,
+    available_now: bool = True,
+):
+    """Streaming as-of join: an unbounded left-event stream against a
+    STATIC right reference series (the enrich-each-arriving-event shape:
+    trades vs a quote book, telemetry vs config history).
+
+    asof_join is a window over a union, and window functions are not
+    available on unbounded streams, so this runs via foreachBatch — each
+    micro-batch is exact on its own because every left row's match
+    depends only on the static right side, never on other left rows.
+    foreachBatch is AT-LEAST-once, so the write is made idempotent the
+    same way as run_stream_knn: each batch overwrites its own
+    `_batch_id=<n>` partition (dynamic partition overwrite), so a
+    replayed batch rewrites identical rows instead of duplicating them.
+    stream==batch equality is pinned by tests/test_events_rank.py.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.events import asof_join
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (asof_join(df, right_static, on, left_ts, right_ts,
+                   tolerance_us=tolerance_us, strict=strict)
+         .withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (left_stream.writeStream.foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3804,6 +3804,77 @@ bfs_edges AS (
 SQL_BFS = _bfs_sql()
 
 
+OHLC_BAR_US = 21_600_000_000  # 6 h bars
+
+
+def q_ohlc(spark, sf_dir):
+    """Fixed-interval OHLC downsampling of the event value series per
+    user — ONE map-side-combinable hash aggregate; open/close picked by
+    struct min/max under the (ts, event_id, value) total order
+    (operators/events.ohlc_bars)."""
+    from tree_code_chunker_spark.operators.events import ohlc_bars
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ohlc_bars(ev, "user_id", "ts", "value", OHLC_BAR_US,
+                     id_col="event_id")
+
+
+SQL_OHLC = f"""
+WITH ohlc_b AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events
+), ohlc_g AS (
+  SELECT user_id, t // {OHLC_BAR_US} AS bar,
+         count(*) AS n,
+         min(struct_pack(t := t, i := i, v := v)) AS f,
+         max(struct_pack(t := t, i := i, v := v)) AS l,
+         max(v) AS hi, min(v) AS lo, sum(v) AS s
+  FROM ohlc_b GROUP BY 1, 2
+)
+SELECT user_id, bar * {OHLC_BAR_US} AS bar_start_us, n,
+       round(CAST(f.v AS DOUBLE), 6) AS open,
+       round(CAST(hi AS DOUBLE), 6) AS high,
+       round(CAST(lo AS DOUBLE), 6) AS low,
+       round(CAST(l.v AS DOUBLE), 6) AS close,
+       round(CAST(s AS DOUBLE), 6) AS sum_v
+FROM ohlc_g
+"""
+
+
+def q_twa(spark, sf_dir):
+    """Per-user time-weighted average of `value` (zero-order hold) —
+    decimal value x integer-us duration accumulators, single-observation
+    fallback to the plain mean (operators/events.time_weighted_avg)."""
+    from tree_code_chunker_spark.operators.events import time_weighted_avg
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_weighted_avg(ev, "user_id", "ts", "value",
+                             id_col="event_id")
+
+
+SQL_TWA = """
+WITH twa_b AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS i,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events
+), twa_s AS (
+  SELECT k, v, lead(t) OVER (PARTITION BY k ORDER BY t, i, v) - t AS dur
+  FROM twa_b
+), twa_g AS (
+  SELECT k, sum(v * dur) AS num, sum(dur) AS den, sum(v) AS vsum,
+         count(*) AS n
+  FROM twa_s GROUP BY k
+)
+SELECT k AS user_id, n,
+       CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / den, 6)
+            ELSE round(CAST(vsum AS DOUBLE) / n, 6) END AS twa
+FROM twa_g
+"""
+
+
 RETENTION_ANCHOR = "signup"
 RETENTION_MAX_DAYS = 30
 
@@ -3854,6 +3925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bfs": q_bfs,
         "retention": q_retention,
+        "ohlc": q_ohlc,
+        "twa": q_twa,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -3953,6 +4026,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": SQL_BM25,
         "bfs": SQL_BFS,
         "retention": SQL_RETENTION,
+        "ohlc": SQL_OHLC,
+        "twa": SQL_TWA,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

@@ -244,3 +244,57 @@ def test_stream_asof_equals_batch(spark, tmp_path):
         left_a.unionByName(left_b), right,
         ["sym"], "tts", "qts").collect()))
     assert got == want and len(got) == 6
+
+
+# --- ohlc / twa ---
+
+from tree_code_chunker_spark.operators.events import (  # noqa: E402
+    ohlc_bars,
+    time_weighted_avg,
+)
+
+
+def test_ohlc_semantics_and_ties(spark):
+    rows = [
+        # key 1, bar 0 (bar_us=100): open by (t,i) order, equal-ts tie at
+        # t=0 broken by id -> open is v=5.0 (id 1), not 9.0 (id 2)
+        (1, 0, 1, 5.0), (1, 0, 2, 9.0), (1, 50, 3, 1.0), (1, 99, 4, 7.0),
+        # key 1, bar 1
+        (1, 100, 5, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, i long, v double")
+    out = {(r.k, r.bar_start_us): (r.n, r.open, r.high, r.low, r.close,
+                                   r.sum_v)
+           for r in ohlc_bars(df, "k", "t", "v", 100, id_col="i").collect()}
+    assert out[(1, 0)] == (4, 5.0, 9.0, 1.0, 7.0, 22.0)
+    assert out[(1, 100)] == (1, 2.0, 2.0, 2.0, 2.0, 2.0)
+
+
+def test_twa_zero_order_hold_and_fallback(spark):
+    rows = [
+        # key 1: v=10 for 10us, v=20 for 30us -> twa = (100+600)/40 = 17.5
+        (1, 0, 1, 10.0), (1, 10, 2, 20.0), (1, 40, 3, 99.0),
+        # key 2: single observation -> plain mean fallback
+        (2, 5, 4, 7.0),
+        # key 3: all at one instant -> zero duration -> mean of values
+        (3, 9, 5, 1.0), (3, 9, 6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, i long, v double")
+    out = {r.k: (r.n, r.twa) for r in
+           time_weighted_avg(df, "k", "t", "v", id_col="i").collect()}
+    assert out[1] == (3, 17.5)     # last observation carries no weight
+    assert out[2] == (1, 7.0)
+    assert out[3] == (2, 1.5)
+
+
+def test_ohlc_deterministic_across_parallelism(spark):
+    import random
+    rng = random.Random(3)
+    rows = [(rng.randrange(4), rng.randrange(1000), i,
+             round(rng.uniform(0, 50), 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, t long, i long, v double")
+    a = sorted(map(tuple, ohlc_bars(df.repartition(13), "k", "t", "v", 100,
+                                    id_col="i").collect()))
+    b = sorted(map(tuple, ohlc_bars(df.coalesce(1), "k", "t", "v", 100,
+                                    id_col="i").collect()))
+    assert a == b

@@ -240,3 +240,84 @@ def retention_matrix(events: DataFrame, key: str, ts: str, step_col: str,
                     & (F.col("day_offset") <= max_offset_days))
             .groupBy("cohort_day", "day_offset")
             .agg(F.count_distinct("k").alias("n_users")))
+
+
+def ohlc_bars(events: DataFrame, key: str, ts: str, value: str,
+              bar_us: int, id_col: str | None = None,
+              round_dp: int = 6) -> DataFrame:
+    """Downsample a value series into fixed ``bar_us`` bars per key:
+    (key, bar_start_us, n, open, high, low, close, sum_v).
+
+    open/close are the values at the first/last event of the bar under
+    the total order (ts, id_col, value) — min/max over a STRUCT, so ties
+    (equal timestamps, even equal ids) resolve identically on any
+    partitioning and in the DuckDB mirror (both engines compare structs
+    field-by-field in declaration order).  Values aggregate as
+    DECIMAL(28,6) (exact, order-independent); the output casts to double
+    once (correctly rounded).
+
+    ONE hash aggregate — the classic map-side-combinable shape: partial
+    min/max/sum per partition, tiny merge.
+    """
+    tie = F.col(id_col).cast("long") if id_col else F.lit(0)
+    base = events.select(
+        F.col(key), _ts_us(events, ts).alias("_t"), tie.alias("_i"),
+        F.col(value).cast("decimal(28,6)").alias("_v"))
+    pick = F.struct(F.col("_t").alias("t"), F.col("_i").alias("i"),
+                    F.col("_v").alias("v"))
+    as_dbl = lambda c: F.round(c.cast("double"), round_dp)  # noqa: E731
+    return (base
+            .groupBy(F.col(key),
+                     F.expr(f"_t div {int(bar_us)}").alias("_bar"))
+            .agg(F.count("*").alias("n"),
+                 F.min(pick).alias("_first"),
+                 F.max(pick).alias("_last"),
+                 F.max("_v").alias("_high"),
+                 F.min("_v").alias("_low"),
+                 F.sum("_v").alias("_sum"))
+            .select(F.col(key),
+                    (F.col("_bar") * int(bar_us)).alias("bar_start_us"),
+                    "n",
+                    as_dbl(F.col("_first")["v"]).alias("open"),
+                    as_dbl(F.col("_high")).alias("high"),
+                    as_dbl(F.col("_low")).alias("low"),
+                    as_dbl(F.col("_last")["v"]).alias("close"),
+                    as_dbl(F.col("_sum")).alias("sum_v")))
+
+
+def time_weighted_avg(events: DataFrame, key: str, ts: str, value: str,
+                      id_col: str | None = None,
+                      round_dp: int = 6) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value
+    until the next one (zero-order hold); the mean weights each value by
+    its holding duration.  Keys with a single observation (or all
+    observations at one instant) fall back to the plain decimal mean of
+    their values — a zero total duration must not divide.
+
+    Exactness: value × duration accumulates as DECIMAL × integer-us
+    (exact, order-independent); the single final division is one
+    correctly-rounded double op.  Segment attribution under equal
+    timestamps follows the (ts, id) total order — durations of the
+    intra-tie segments are zero, so the result is partition-invariant.
+
+    ONE shuffle on the key (window lead + aggregate share the same
+    partitioning — Catalyst reuses the exchange).
+    """
+    tie = F.col(id_col).cast("long") if id_col else F.lit(0)
+    dec = F.col(value).cast("decimal(28,6)")
+    base = events.select(F.col(key).alias("k"),
+                         _ts_us(events, ts).alias("t"),
+                         tie.alias("i"), dec.alias("v"))
+    w = Window.partitionBy("k").orderBy("t", "i", "v")
+    seg = base.withColumn("_dur", F.lead("t").over(w) - F.col("t"))
+    out = (seg.groupBy("k")
+           .agg(F.sum(F.col("v") * F.col("_dur")).alias("_num"),
+                F.sum("_dur").alias("_den"),
+                F.sum("v").alias("_vsum"),
+                F.count("*").alias("n")))
+    twa = F.when(
+        F.col("_den") > 0,
+        F.round(F.col("_num").cast("double") / F.col("_den"), round_dp)
+    ).otherwise(
+        F.round(F.col("_vsum").cast("double") / F.col("n"), round_dp))
+    return out.select(F.col("k").alias(key), "n", twa.alias("twa"))

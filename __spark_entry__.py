@@ -3520,6 +3520,37 @@ def _hll_sql():
 SQL_HLL_CELLS = _hll_sql()
 
 
+def q_hll_merge(spark, sf_dir):
+    """Sketch REAGGREGATION — the property that makes HLL worth storing at
+    10^12 rows: registers built per FINE cell (qlat>>11) are merged up to
+    the coarse (>>13) grid by plain per-register max (associative,
+    idempotent — replay-safe) and only then estimated.  The oracle computes
+    the coarse sketch DIRECTLY from raw points; hash equality proves
+    merge(fine) == direct(coarse) bit-for-bit, i.e. rollups never need the
+    raw data again (operators/sketch.hll_registers/hll_merge/
+    hll_estimate)."""
+    from tree_code_chunker_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    fine = _points(spark, sf_dir).select(
+        F.shiftright("qlat", 11).alias("fy"),
+        F.shiftright("qlon", 11).alias("fx"),
+        "doc_id",
+    )
+    regs = hll_registers(fine, ("fy", "fx"), "doc_id", p=8)
+    coarse = regs.select(F.shiftright("fy", 2).alias("cy"),
+                         F.shiftright("fx", 2).alias("cx"), "_i", "_m")
+    return hll_estimate(hll_merge(coarse, ("cy", "cx")), ("cy", "cx"), p=8)
+
+
+# merged fine sketches must equal the directly-built coarse sketch — the
+# oracle IS the direct form
+SQL_HLL_MERGE = SQL_HLL_CELLS
+
+
 def q_cms_cells(spark, sf_dir):
     """Count-min-sketch per-cell point-count estimates, checked against the
     exact counts — (item, n, cms_est) with cms_est >= n always.  All-integer
@@ -3927,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "ohlc": q_ohlc,
         "twa": q_twa,
+        "hll_merge": q_hll_merge,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -4028,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": SQL_RETENTION,
         "ohlc": SQL_OHLC,
         "twa": SQL_TWA,
+        "hll_merge": SQL_HLL_MERGE,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

@@ -202,3 +202,33 @@ def test_bloom_prune_actually_prunes(spark):
     passed = sum(1 for r in out if r.bloom_pass)
     assert all(not r.member for r in out)
     assert passed < 40  # FP rate far below 10% at this load factor
+
+
+# --- hll merge ---
+
+from tree_code_chunker_spark.operators.sketch import (  # noqa: E402
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_hll_merge_equals_direct(spark):
+    df = spark.createDataFrame(
+        [(v % 7, v % 3, v * 31 % 997) for v in range(3000)],
+        "g long, sub long, x long")
+    fine = hll_registers(df, ("g", "sub"), "x", p=6)
+    merged = hll_estimate(
+        hll_merge(fine.drop("sub"), ("g",)), ("g",), p=6)
+    direct = hll_estimate(hll_registers(df, ("g",), "x", p=6), ("g",), p=6)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_hll_merge_idempotent_and_replay_safe(spark):
+    df = spark.createDataFrame([(1, v) for v in range(500)], "g long, x long")
+    regs = hll_registers(df, ("g",), "x", p=6)
+    # merging a register table with ITSELF (a replayed batch) is a no-op
+    doubled = hll_merge(regs.unionByName(regs), ("g",))
+    assert sorted(map(tuple, doubled.collect())) == \
+        sorted(map(tuple, regs.collect()))

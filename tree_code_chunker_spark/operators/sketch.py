@@ -104,8 +104,18 @@ def hll_distinct(df: DataFrame, group_cols: tuple, value_col: str,
     Plan: one partial-aggregated shuffle to (group, register) max-rank,
     one rollup to group — the same two-level shape at any scale; nothing
     driver-side."""
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_registers(df: DataFrame, group_cols: tuple, value_col: str,
+                  p: int = 8) -> DataFrame:
+    """The persistable sketch state: per (group..., _i) max rank ``_m``.
+
+    This is what a 10^12-row pipeline stores per fine cell / day / shard:
+    registers MERGE by plain max (see hll_merge), so coarser rollups and
+    incremental appends never rescan the raw data."""
     group_cols = list(group_cols)
-    m = 1 << p
     b = HLL_BITS - p
     h = hll_hash_col(F.col(value_col))
     # h < 2^61 and non-negative, so arithmetic shift IS the integer div —
@@ -115,11 +125,29 @@ def hll_distinct(df: DataFrame, group_cols: tuple, value_col: str,
     for s in (1, 2, 4, 8, 16, 32):
         v = v.bitwiseOR(F.shiftright(v, s))
     rank = F.lit(b) - F.bit_count(v) + 1
-    regs = (
+    return (
         df.select(*group_cols, idx.alias("_i"), rank.alias("_r"))
         .groupBy(*group_cols, "_i")
         .agg(F.max("_r").alias("_m"))
     )
+
+
+def hll_merge(regs: DataFrame, group_cols: tuple) -> DataFrame:
+    """Merge register tables to (usually coarser) ``group_cols``: max per
+    register index.  max is associative/commutative/idempotent, so
+    merge(fine registers) == registers built directly at the coarse
+    granularity, bit-for-bit — replayed or overlapping inputs cannot
+    corrupt the sketch.  One hash aggregate over register rows (≤ m per
+    input group), never over raw data."""
+    return (regs.groupBy(*list(group_cols), "_i")
+            .agg(F.max("_m").alias("_m")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: tuple,
+                 p: int = 8) -> DataFrame:
+    """Estimate (group..., hll_est, v_zero, m) from a register table."""
+    group_cols = list(group_cols)
+    m = 1 << p
     lit_num = _alpha(m) * m * m * float(1 << HLL_BITS)
     # shiftleft with a COLUMN shift amount only exists in the SQL surface
     s_exact = F.sum(F.expr(

@@ -3551,6 +3551,52 @@ def q_hll_merge(spark, sf_dir):
 SQL_HLL_MERGE = SQL_HLL_CELLS
 
 
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr(spark, sf_dir):
+    """Pearson correlation matrix over the lineitem measures — exact
+    decimal moment sums fused into ONE aggregate pass, correlation
+    evaluated in a fixed correctly-rounded op order
+    (operators/profile.corr_matrix)."""
+    from tree_code_chunker_spark.operators.profile import corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return corr_matrix(li, CORR_COLS)
+
+
+def _corr_sql():
+    from tree_code_chunker_spark.operators.profile import corr_matrix_sql
+
+    return "WITH " + corr_matrix_sql("lineitem", CORR_COLS)
+
+
+SQL_CORR = _corr_sql()
+
+
+def q_pmi(spark, sf_dir):
+    """Top-50 word-bigram collocations by PMI over `documents` — the
+    phrase-mining pass; JVM array-transform bigrams, integer counts,
+    fixed-op-order ln rounded 6dp, total-order ranking
+    (operators/textstats.pmi_collocations)."""
+    from tree_code_chunker_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), "text",
+                            min_count=5, topk=50)
+
+
+def _pmi_sql():
+    from tree_code_chunker_spark.operators.textstats import (
+        pmi_collocations_sql,
+    )
+
+    return "WITH " + pmi_collocations_sql("documents", "text",
+                                          min_count=5, topk=50)
+
+
+SQL_PMI = _pmi_sql()
+
+
 def q_cms_cells(spark, sf_dir):
     """Count-min-sketch per-cell point-count estimates, checked against the
     exact counts — (item, n, cms_est) with cms_est >= n always.  All-integer
@@ -3959,6 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "twa": q_twa,
         "hll_merge": q_hll_merge,
+        "corr": q_corr,
+        "pmi": q_pmi,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -4061,6 +4109,8 @@ def oracle_sql() -> dict[str, str]:
         "ohlc": SQL_OHLC,
         "twa": SQL_TWA,
         "hll_merge": SQL_HLL_MERGE,
+        "corr": SQL_CORR,
+        "pmi": SQL_PMI,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

@@ -298,3 +298,56 @@ def test_ohlc_deterministic_across_parallelism(spark):
     b = sorted(map(tuple, ohlc_bars(df.coalesce(1), "k", "t", "v", 100,
                                     id_col="i").collect()))
     assert a == b
+
+
+# --- corr / pmi ---
+
+from tree_code_chunker_spark.operators.profile import (  # noqa: E402
+    corr_matrix,
+    corr_matrix_sql,
+)
+from tree_code_chunker_spark.operators.textstats import (  # noqa: E402
+    pmi_collocations,
+)
+
+
+def test_corr_known_values_and_nulls(spark):
+    rows = [(1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0),
+            (4.0, 8.0, None), (None, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r.col_x, r.col_y): (r.n, r.corr)
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == (4, 1.0)            # exact linear
+    assert out[("x", "z")] == (3, -1.0)           # pairwise null drop
+    assert out[("y", "z")][0] == 4
+
+
+def test_corr_constant_column_sentinel(spark):
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x double, c double")
+    out = corr_matrix(df, ["x", "c"]).collect()
+    assert out[0].corr == 0.0                     # zero variance -> 0
+
+
+def test_corr_matches_duckdb_on_lineitem(spark, sf_dir):
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = sorted(map(tuple, corr_matrix(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), cols).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    want = sorted(map(tuple, con.execute(
+        "WITH " + corr_matrix_sql("lineitem", cols)).fetchall()))
+    assert got == want
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    # "strong glue" always co-occur; "weak" pairs are independent-ish
+    docs = [("strong glue a b", )] * 6 + [("a b c d", )] * 6 \
+        + [("b a d c", )] * 6
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_collocations(df, "text", min_count=5, topk=3).collect()
+    top = sorted(out, key=lambda r: r.rank)[0]
+    assert (top.a, top.b) == ("strong", "glue")
+    assert top.cab == 6
+    ranks = [r.rank for r in out]
+    assert ranks == [1, 2, 3]                     # dense, deterministic

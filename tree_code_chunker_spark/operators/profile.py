@@ -106,3 +106,97 @@ def group_quantiles(df: DataFrame, key: str, value: str,
         *[F.round(F.col("_ps")[i], ROUND).alias(f"p{int(q * 100)}")
           for i, q in enumerate(qs)],
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str],
+                dec: str = "decimal(12,2)") -> DataFrame:
+    """Pearson correlation for every unordered column pair, computed from
+    EXACT moment sums: each value is cast to ``dec`` (pick a precision
+    that represents the data exactly — default 2dp), so sums / products /
+    sums-of-products are exact decimals independent of partition order;
+    rows with a NULL in either column of a pair are excluded pairwise.
+
+    corr = (n*sxy - sx*sy) / sqrt((n*sx2 - sx^2) * (n*sy2 - sy^2)),
+    evaluated in doubles from the exact decimal moments in a fixed
+    operation order — every step a single correctly-rounded IEEE op, so
+    the DuckDB mirror is bit-identical before the final 6dp round.
+    Constant columns (zero variance) yield NULL-free sentinel corr = 0.
+
+    ONE groupBy-less aggregate pass over the table (Catalyst fuses all
+    per-pair moment expressions into one partial agg), pivoted driver-
+    side over the PAIR LIST — the column_profile scale shape.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast(dec)
+        y = F.col(b).cast(dec)
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, x)
+        y = F.when(both, y)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"{tag}__n"),
+            F.sum(x).alias(f"{tag}__sx"),
+            F.sum(y).alias(f"{tag}__sy"),
+            F.sum(x * y).alias(f"{tag}__sxy"),
+            F.sum(x * x).alias(f"{tag}__sx2"),
+            F.sum(y * y).alias(f"{tag}__sy2"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        n = F.col(f"{t}__n").cast("double")
+        sx = F.col(f"{t}__sx").cast("double")
+        sy = F.col(f"{t}__sy").cast("double")
+        sxy = F.col(f"{t}__sxy").cast("double")
+        sx2 = F.col(f"{t}__sx2").cast("double")
+        sy2 = F.col(f"{t}__sy2").cast("double")
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        corr = F.when((vx > 0) & (vy > 0),
+                      F.round((n * sxy - sx * sy)
+                              / F.sqrt(vx * vy), ROUND)).otherwise(F.lit(0.0))
+        parts.append(F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+            F.col(f"{t}__n").alias("n"), corr.alias("corr")))
+    return (wide.select(F.explode(F.array(*parts)).alias("_p"))
+            .select("_p.col_x", "_p.col_y", "_p.n", "_p.corr"))
+
+
+def corr_matrix_sql(table: str, cols: list[str],
+                    dec: str = "DECIMAL(12,2)") -> str:
+    """DuckDB mirror of corr_matrix (same casts, same op order)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    moment_sel = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        x = f"CASE WHEN {both} THEN CAST({a} AS {dec}) END"
+        y = f"CASE WHEN {both} THEN CAST({b} AS {dec}) END"
+        moment_sel += [
+            f"count(CASE WHEN {both} THEN 1 END) AS {t}__n",
+            f"sum({x}) AS {t}__sx", f"sum({y}) AS {t}__sy",
+            f"sum(({x}) * ({y})) AS {t}__sxy",
+            f"sum(({x}) * ({x})) AS {t}__sx2",
+            f"sum(({y}) * ({y})) AS {t}__sy2",
+        ]
+    unions = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        n = f"CAST({t}__n AS DOUBLE)"
+        sx, sy = f"CAST({t}__sx AS DOUBLE)", f"CAST({t}__sy AS DOUBLE)"
+        sxy = f"CAST({t}__sxy AS DOUBLE)"
+        sx2, sy2 = f"CAST({t}__sx2 AS DOUBLE)", f"CAST({t}__sy2 AS DOUBLE)"
+        vx = f"({n} * {sx2} - {sx} * {sx})"
+        vy = f"({n} * {sy2} - {sy} * {sy})"
+        unions.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {t}__n AS n, "
+            f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"round(({n} * {sxy} - {sx} * {sy}) / sqrt({vx} * {vy}), "
+            f"{ROUND}) ELSE 0.0 END AS corr FROM corr_moments")
+    return (f"corr_moments AS (SELECT {', '.join(moment_sel)} "
+            f"FROM {table})\n" + "\nUNION ALL\n".join(unions))

@@ -285,3 +285,100 @@ SELECT {id_col}, n,
        round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
 FROM per_gram GROUP BY 1, 2
 """
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, topk: int = 50) -> DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln(c_ab * N_tok^2 / (N_pair * c_a * c_b)) over adjacent
+    lowercased whitespace tokens within a document (bigrams never
+    straddle documents).  The phrase-mining pass of a corpus pipeline.
+
+    Bigram extraction is a pure JVM array transform (split -> struct
+    zip of the list with its own tail) — no shuffle until the count
+    aggregates.  Unigram/bigram totals ride the plan as one-row
+    broadcast aggregates (crossJoin of scalar aggs — no collect).
+    Cross-engine exactness: all counts are integers; the PMI argument is
+    one exact integer ratio evaluated in doubles in a fixed op order, ln
+    is the one ~1ulp op and the value is rounded to 6dp immediately; the
+    (pmi DESC, a, b) ranking orders by the rounded DECIMAL — a total
+    order shared with the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pairs_arr = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "(t, i) -> struct(t AS a, _toks[i + 1] AS b))")
+    base = (df.select(toks.alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    uni = (base.select(F.explode("_toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cw")))
+    bi = (base.select(F.explode(pairs_arr).alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count("*").alias("cab"))
+          .filter(F.col("cab") >= int(min_count)))
+    n_tok = uni.agg(F.sum("cw").alias("n_tok"))
+    n_pair = (base.select(
+        (F.size("_toks") - 1).cast("long").alias("np"))
+        .agg(F.sum("np").alias("n_pair")))
+    scored = (bi
+              .join(uni.select(F.col("w").alias("a"),
+                               F.col("cw").alias("ca")), ["a"])
+              .join(uni.select(F.col("w").alias("b"),
+                               F.col("cw").alias("cb")), ["b"])
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(n_pair)))
+    arg = ((F.col("cab").cast("double") * F.col("n_tok").cast("double")
+            * F.col("n_tok").cast("double"))
+           / (F.col("n_pair").cast("double") * F.col("ca").cast("double")
+              * F.col("cb").cast("double")))
+    scored = scored.select(
+        "a", "b", "cab",
+        F.round(F.log(arg), 6).cast("decimal(18,6)").alias("_pmi"))
+    w = Window.orderBy(F.col("_pmi").desc(), F.col("a"), F.col("b"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(topk))
+            .select("rank", "a", "b", "cab",
+                    F.col("_pmi").cast("double").alias("pmi")))
+
+
+def pmi_collocations_sql(table: str, text_col: str = "text",
+                         min_count: int = 5, topk: int = 50) -> str:
+    """DuckDB mirror of pmi_collocations (same op order, same rounding)."""
+    return f"""pmi_toks AS (
+  SELECT regexp_split_to_array(lower(trim({text_col})), '\\s+') AS toks
+  FROM {table}
+  WHERE len(regexp_split_to_array(lower(trim({text_col})), '\\s+')) > 0
+), pmi_uni AS (
+  SELECT w, count(*)::BIGINT AS cw
+  FROM (SELECT unnest(toks) AS w FROM pmi_toks) GROUP BY w
+), pmi_bi AS (
+  -- unnest + generate_subscripts expand in lockstep (generate_series
+  -- cannot lateral-join on a column in DuckDB)
+  SELECT a, b, count(*)::BIGINT AS cab FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b FROM (
+      SELECT toks, generate_subscripts(toks, 1) AS i FROM pmi_toks
+    ) WHERE i < len(toks)
+  ) GROUP BY a, b
+  HAVING count(*) >= {int(min_count)}
+), pmi_tot AS (
+  SELECT (SELECT sum(cw)::BIGINT FROM pmi_uni) AS n_tok,
+         (SELECT sum(len(toks) - 1)::BIGINT FROM pmi_toks) AS n_pair
+), pmi_scored AS (
+  SELECT a, b, cab,
+         CAST(round(ln((CAST(cab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                        * CAST(n_tok AS DOUBLE))
+                       / (CAST(n_pair AS DOUBLE) * CAST(ca AS DOUBLE)
+                          * CAST(cb AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS _pmi
+  FROM pmi_bi
+  JOIN (SELECT w AS a, cw AS ca FROM pmi_uni) USING (a)
+  JOIN (SELECT w AS b, cw AS cb FROM pmi_uni) USING (b)
+  CROSS JOIN pmi_tot
+), pmi_ranked AS (
+  SELECT row_number() OVER (ORDER BY _pmi DESC, a, b) AS rank,
+         a, b, cab, CAST(_pmi AS DOUBLE) AS pmi
+  FROM pmi_scored
+)
+SELECT rank, a, b, cab, pmi FROM pmi_ranked WHERE rank <= {int(topk)}"""

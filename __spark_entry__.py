@@ -3597,6 +3597,43 @@ def _pmi_sql():
 SQL_PMI = _pmi_sql()
 
 
+def q_rollup(spark, sf_dir):
+    """Multi-granularity ROLLUP aggregate over events: (event_type,
+    user_id bucket) -> totals at every prefix level in ONE pass (Spark's
+    Expand feeds a single partial-aggregated shuffle — the OLAP
+    subtotal/grand-total surface).  Decimal sums keep every level exact;
+    grouping_id disambiguates NULL-as-subtotal from NULL data, and the
+    gate output replaces subtotal NULLs with sentinels (see q_asof)."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (ev.select("event_type",
+                     (F.col("user_id") % 10).alias("user_bucket"),
+                     F.col("value").cast("decimal(28,6)").alias("v"))
+           .rollup("event_type", "user_bucket")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("v").cast("double"), 6).alias("sum_v"),
+                F.grouping_id().alias("gid")))
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+        "n", "sum_v", "gid")
+
+
+SQL_ROLLUP_EV = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(user_bucket, -1) AS user_bucket,
+       count(*) AS n,
+       round(CAST(sum(v) AS DOUBLE), 6) AS sum_v,
+       grouping(event_type, user_bucket) AS gid
+FROM (
+  SELECT event_type, user_id % 10 AS user_bucket,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events
+)
+GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
 def q_cms_cells(spark, sf_dir):
     """Count-min-sketch per-cell point-count estimates, checked against the
     exact counts — (item, n, cms_est) with cms_est >= n always.  All-integer
@@ -4007,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge": q_hll_merge,
         "corr": q_corr,
         "pmi": q_pmi,
+        "rollup_ev": q_rollup,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -4111,6 +4149,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge": SQL_HLL_MERGE,
         "corr": SQL_CORR,
         "pmi": SQL_PMI,
+        "rollup_ev": SQL_ROLLUP_EV,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

@@ -336,9 +336,15 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     scored = scored.select(
         "a", "b", "cab",
         F.round(F.log(arg), 6).cast("decimal(18,6)").alias("_pmi"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (distributed per-
+    # partition top-k + tiny driver merge) — a global row_number window
+    # here would single-partition EVERY surviving bigram; rank is then a
+    # window over the ≤ topk survivors only
     w = Window.orderBy(F.col("_pmi").desc(), F.col("a"), F.col("b"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(topk))
+    return (scored
+            .orderBy(F.col("_pmi").desc(), F.col("a"), F.col("b"))
+            .limit(int(topk))
+            .withColumn("rank", F.row_number().over(w))
             .select("rank", "a", "b", "cab",
                     F.col("_pmi").cast("double").alias("pmi")))
 

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tree_code_chunker_spark.operators.chunker import chunk_documents
 from tree_code_chunker_spark.operators.dedup import (
+    edit1_join,
     exact_dedup,
+    jaccard_set_join,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -3634,6 +3636,59 @@ GROUP BY ROLLUP (event_type, user_bucket)
 """
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join (Jaccard >= 0.7 on distinct-token
+    sets) via prefix filtering — the deterministic complement of the
+    MinHash-LSH probabilistic path; integer threshold test, brute-force
+    oracle (operators/dedup.jaccard_set_join)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""))
+    return jaccard_set_join(
+        docs.select("doc_id", toks.alias("toks")), "doc_id", "toks", 7, 10)
+
+
+SQL_JACCARD_PAIRS = """
+WITH js AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           x -> x <> '')) AS st
+  FROM documents
+), jsn AS (
+  SELECT doc_id, st FROM js WHERE len(st) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.st, b.st))::BIGINT AS inter_n,
+       (len(a.st) + len(b.st)
+        - len(list_intersect(a.st, b.st)))::BIGINT AS union_n,
+       round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+             / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))),
+             6) AS jaccard
+FROM jsn a JOIN jsn b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.st, b.st))
+      >= 7 * (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)))
+"""
+
+
+def q_edit1(spark, sf_dir):
+    """Edit-distance-<=1 self-join over customer names via deletion-
+    neighborhood blocking (SymSpell shape) + exact levenshtein verify —
+    never all-pairs (operators/dedup.edit1_join)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit1_join(cust, "c_custkey", "c_name")
+
+
+SQL_EDIT1 = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS s_a, b.c_name AS s_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_cms_cells(spark, sf_dir):
     """Count-min-sketch per-cell point-count estimates, checked against the
     exact counts — (item, n, cms_est) with cms_est >= n always.  All-integer
@@ -4045,6 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr": q_corr,
         "pmi": q_pmi,
         "rollup_ev": q_rollup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "edit1": q_edit1,
         "hotspot_gi": q_hotspot,
         "dbscan": q_dbscan,
         "hotspot_windows": q_hotspot_windows,
@@ -4150,6 +4207,8 @@ def oracle_sql() -> dict[str, str]:
         "corr": SQL_CORR,
         "pmi": SQL_PMI,
         "rollup_ev": SQL_ROLLUP_EV,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "edit1": SQL_EDIT1,
         "hotspot_gi": SQL_HOTSPOT,
         "dbscan": SQL_DBSCAN,
         "hotspot_windows": SQL_HOTSPOT_WINDOWS,

@@ -589,3 +589,55 @@ def test_media_text_context_hand_fixture(spark):
         3: ("alpha", "beta"),
         5: ("beta", ""),
     }
+
+
+# --- prefix-filter jaccard join + edit-distance-1 join ---
+
+from tree_code_chunker_spark.operators.dedup import (  # noqa: E402
+    edit1_join,
+    jaccard_set_join,
+)
+
+
+def test_jaccard_set_join_equals_bruteforce(spark):
+    import itertools
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [(i, rng.sample(vocab, rng.randrange(3, 12)))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = sorted((r.id_a, r.id_b, r.inter_n, r.union_n) for r in
+                 jaccard_set_join(df, "id", "s", 1, 2).collect())
+    want = []
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        inter = len(set(sa) & set(sb))
+        union = len(set(sa) | set(sb))
+        if 2 * inter >= union:
+            want.append((ia, ib, inter, union))
+    assert got == sorted(want)
+    assert len(got) > 0                           # fixture actually fires
+
+
+def test_jaccard_set_join_exact_duplicates_and_threshold_one(spark):
+    rows = [(1, ["a", "b"]), (2, ["b", "a", "a"]), (3, ["a", "c"])]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = [(r.id_a, r.id_b, r.jaccard) for r in
+           jaccard_set_join(df, "id", "s", 1, 1).collect()]
+    assert got == [(1, 2, 1.0)]                   # t=1 keeps only set-equal
+
+
+def test_edit1_join_catches_all_single_edits(spark):
+    rows = [(1, "kitten"), (2, "sitten"),          # substitution
+            (3, "kitte"),                          # deletion
+            (4, "kittens"),                        # insertion
+            (5, "sittin"),                          # 2 edits from kitten
+            (6, "kitten")]                          # exact dup, distinct id
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 edit1_join(df, "id", "s").collect())
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 1) in got
+    assert (1, 6, 0) in got                        # dist-0 dup pair kept
+    assert all(not (a == 1 and b == 5) for a, b, _ in got)  # 2 edits out
+    # symmetry/one-direction: every pair reported once with id_a < id_b
+    assert all(a < b for a, b, _ in got)

@@ -2692,6 +2692,50 @@ WHERE (a.doc_id < b.doc_id
 # sf0.1, reproduced & isolated; Spark and the expanded form agree).
 
 
+ST_DT = 900  # co-location time tolerance (s) over the derived day-clock
+
+
+def q_st_contacts(spark, sf_dir):
+    """Spatiotemporal co-location (contact detection): unordered pairs of
+    distinct points within SELF_RADIUS grid units AND within ST_DT seconds
+    of each other on a derived integer day-clock.  Engine side prunes on a
+    (cell_y, cell_x, t DIV dt) 27-bucket neighborhood equi-join; the
+    oracle brute-forces with a BETWEEN prune — the prune must be a pure
+    optimization."""
+    from tree_code_chunker_spark.operators.spatial import st_colocate_join
+
+    p = _points(spark, sf_dir).withColumn(
+        "t_s",
+        (F.col("doc_id").cast("long") * 7919 + F.col("span_pos") * 131)
+        % 86400,
+    )
+    return st_colocate_join(p, SELF_RADIUS, ST_DT)
+
+
+SQL_ST_CONTACTS = f"""
+{SPANS_CTE}, {POINTS_SQL},
+pts AS (
+  SELECT doc_id, span_pos, qlat, qlon,
+         (CAST(doc_id AS BIGINT) * 7919 + span_pos * 131) % 86400 AS t_s
+  FROM points
+)
+SELECT a.doc_id, a.span_pos,
+       b.doc_id AS b_doc_id, b.span_pos AS b_span_pos,
+       (a.qlat - b.qlat) * (a.qlat - b.qlat)
+       + (a.qlon - b.qlon) * (a.qlon - b.qlon) AS d2,
+       abs(a.t_s - b.t_s) AS dt_s
+FROM pts a JOIN pts b
+  ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+ AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+WHERE (a.doc_id < b.doc_id
+       OR (a.doc_id = b.doc_id AND a.span_pos < b.span_pos))
+  AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+      + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+      <= {SELF_RADIUS * SELF_RADIUS}
+  AND abs(a.t_s - b.t_s) <= {ST_DT}
+"""
+
+
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted deterministic Bernoulli sample of the corpus:
     P(keep) == the 6dp quality score, via the content-derived uniform key
@@ -4085,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r5
+        "st_contacts": q_st_contacts,
         "hll_cells": q_hll_cells,
         "cms_cells": q_cms_cells,
         "bloom_flags": q_bloom_flags,
@@ -4192,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "st_contacts": SQL_ST_CONTACTS,
         "hll_cells": SQL_HLL_CELLS,
         "cms_cells": SQL_CMS_CELLS,
         "bloom_flags": SQL_BLOOM_FLAGS,

@@ -1,0 +1,180 @@
+"""Spatiotemporal co-location join + RDP simplification.
+
+st_colocate_join is pinned against an all-pairs brute force (the 27-bucket
+prune must be a pure optimization), against dwithin_self_join when the time
+tolerance is vacuous, and on exact boundary pairs (dt inclusive, bucket
+straddle).  rdp_simplify is pinned against an independent recursive
+reference implementation and its endpoint/epsilon contracts.
+"""
+
+import itertools
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tree_code_chunker_spark.operators.spatial import (
+    dwithin_self_join,
+    rdp_simplify,
+    st_colocate_join,
+)
+
+
+def _mkpoints(spark, n=240):
+    """Deterministic clustered point cloud with integer timestamps."""
+    rows = []
+    for i in range(n):
+        # three spatial clusters + a sprinkle, times striped over a day
+        c = i % 3
+        base_y, base_x = (8000 + 9000 * c), (12000 + 7000 * c)
+        rows.append((
+            str(i // 7), i,
+            base_y + (i * 37) % 160,
+            base_x + (i * 53) % 160,
+            (i * 911) % 86400,
+        ))
+    return spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long, t_s long")
+
+
+def _brute_pairs(pdf, radius, dt):
+    out = set()
+    recs = list(pdf.itertuples(index=False))
+    for a, b in itertools.combinations(recs, 2):
+        if (a.doc_id, a.span_pos) > (b.doc_id, b.span_pos):
+            a, b = b, a
+        d2 = (a.qlat - b.qlat) ** 2 + (a.qlon - b.qlon) ** 2
+        if d2 <= radius * radius and abs(a.t_s - b.t_s) <= dt:
+            out.add((a.doc_id, a.span_pos, b.doc_id, b.span_pos,
+                     d2, abs(a.t_s - b.t_s)))
+    return out
+
+
+def _spark_pairs(df):
+    return set(map(tuple, df.collect()))
+
+
+def test_st_colocate_matches_brute_force(spark):
+    pts = _mkpoints(spark)
+    pdf = pts.toPandas()
+    for radius, dt in [(200, 2000), (50, 900), (300, 100)]:
+        got = _spark_pairs(st_colocate_join(pts, radius, dt))
+        want = _brute_pairs(pdf, radius, dt)
+        assert got == want, (radius, dt, len(got), len(want))
+    assert _brute_pairs(pdf, 200, 2000)  # non-vacuous fixture
+
+
+def test_st_colocate_time_vacuous_equals_dwithin_self(spark):
+    pts = _mkpoints(spark)
+    st = st_colocate_join(pts, 200, 86400).drop("dt_s")
+    dw = dwithin_self_join(pts, 200)
+    assert _spark_pairs(st) == _spark_pairs(dw)
+
+
+def test_st_colocate_boundaries(spark):
+    # dt inclusive at exactly dt; excluded at dt+1; bucket-straddle pair
+    # (times 899 and 901 sit in different dt=900 buckets, diff 2 <= dt);
+    # spatial radius inclusive at exactly radius.
+    rows = [
+        ("a", 0, 1000, 1000, 0),
+        ("a", 1, 1000, 1000, 900),     # dt exactly -> in
+        ("a", 2, 1000, 1000, 1801),    # 901 past row1 -> out vs row0
+        ("b", 0, 2000, 2000, 899),
+        ("b", 1, 2000, 2000, 901),     # straddles bucket edge -> in
+        ("c", 0, 3000, 3000, 5000),
+        ("c", 1, 3000, 3048, 5000),    # d = radius exactly -> in
+        ("c", 2, 3000, 3049, 5000),    # d = radius+1 -> out vs c0
+    ]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long, t_s long")
+    got = _spark_pairs(st_colocate_join(pts, 48, 900))
+    want = _brute_pairs(pts.toPandas(), 48, 900)
+    assert got == want
+    assert ("a", 0, "a", 1, 0, 900) in got
+    assert ("b", 0, "b", 1, 0, 2) in got
+    assert ("c", 0, "c", 1, 48 * 48, 0) in got
+    assert not any(p[:4] == ("a", 0, "a", 2) for p in got)
+    assert not any(p[:4] == ("c", 0, "c", 2) for p in got)
+
+
+def test_st_colocate_validates_args(spark):
+    pts = _mkpoints(spark, n=10)
+    with pytest.raises(ValueError):
+        st_colocate_join(pts, 48, 0)
+    with pytest.raises(ValueError):
+        st_colocate_join(pts, 100, 60, res=12)  # side 16 < radius
+
+
+# ------------------------------------------------------------------ RDP ----
+
+
+def _rdp_ref(pts, eps):
+    """Independent recursive reference (exact ints, same > contract)."""
+    if len(pts) <= 2:
+        return list(pts)
+    ay, ax = pts[0][1], pts[0][2]
+    by, bx = pts[-1][1], pts[-1][2]
+    dy, dx = by - ay, bx - ax
+    chord2 = dy * dy + dx * dx
+    best_k, best_num = -1, -1
+    for k in range(1, len(pts) - 1):
+        if chord2 == 0:
+            num = (pts[k][1] - ay) ** 2 + (pts[k][2] - ax) ** 2
+            thresh = eps * eps
+        else:
+            cross = dx * (pts[k][1] - ay) - dy * (pts[k][2] - ax)
+            num = cross * cross
+            thresh = eps * eps * chord2
+        if num > thresh and num > best_num:
+            best_num, best_k = num, k
+    if best_k < 0:
+        return [pts[0], pts[-1]]
+    return _rdp_ref(pts[: best_k + 1], eps)[:-1] + _rdp_ref(pts[best_k:], eps)
+
+
+def _traj_rows():
+    rows = []
+    for d in range(6):
+        n = 5 + 9 * d
+        for i in range(n):
+            # noisy sawtooth path; doc 3 is a closed loop (chord2 == 0 at top)
+            y = 500 * d + (i * 97) % 337 + (i * i) % 13
+            x = 300 + 41 * i
+            if d == 3:
+                x = 300 + 41 * (i % 5)
+                y = 500 * d + (i * 97) % 337
+            rows.append((str(d), i, y, x))
+    rows.append(("solo", 0, 9, 9))          # single-point trajectory
+    rows.append(("pair", 0, 1, 1))
+    rows.append(("pair", 1, 2, 2))
+    return rows
+
+
+@pytest.mark.parametrize("eps", [0, 10, 60, 100000])
+def test_rdp_matches_reference(spark, eps):
+    rows = _traj_rows()
+    traj = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long")
+    got = {}
+    for r in rdp_simplify(traj, eps).collect():
+        got.setdefault(r.doc_id, []).append((r.span_pos, r.qlat, r.qlon))
+    for k in got:
+        got[k].sort()
+    by_doc = {}
+    for d, i, y, x in rows:
+        by_doc.setdefault(d, []).append((i, y, x))
+    for d, pts in by_doc.items():
+        want = sorted(_rdp_ref(sorted(pts), eps))
+        assert got[d] == want, (d, eps)
+        # contracts: endpoints always kept; huge eps -> endpoints only
+        assert want[0] == min(pts) and want[-1] == max(pts)
+        if eps == 100000 and len(pts) > 1:
+            assert len(want) == 2
+
+
+def test_rdp_deterministic_across_parallelism(spark):
+    traj = spark.createDataFrame(
+        _traj_rows(), "doc_id string, span_pos long, qlat long, qlon long")
+    a = sorted(map(tuple, rdp_simplify(traj.coalesce(1), 25).collect()))
+    b = sorted(map(tuple, rdp_simplify(traj.repartition(16), 25).collect()))
+    assert a == b

@@ -383,6 +383,97 @@ def dwithin_self_join(
     return pairs.filter(a_key < b_key)
 
 
+def st_colocate_join(
+    points: DataFrame,
+    radius: int,
+    dt: int,
+    id_cols: tuple[str, ...] = ("doc_id", "span_pos"),
+    t_col: str = "t_s",
+    res: int | None = None,
+) -> DataFrame:
+    """Spatiotemporal co-location self-join (contact detection): all
+    UNORDERED pairs of distinct points with squared grid distance
+    <= radius^2 AND |t_a - t_b| <= dt.
+
+    The dwithin cell-bucket prune lifted to 3-D: bucket on (cell_y,
+    cell_x, t DIV dt) with cell side >= radius and time-bucket width dt,
+    expand ONE side to its 3x3x3 neighborhood (27 candidate buckets — a
+    superset of the space-time box by the per-axis side >= tolerance
+    argument), equi-join on the composite key, then exact integer filter.
+    Never all-pairs; the only shuffle is the 3-part-key equi-join, and
+    hot space-time buckets ride AQE skew-join splitting like dwithin.
+
+    Timestamps must be nonnegative integers (epoch seconds / micros):
+    the bucket id uses truncating integer division, which equals floor
+    division only for t >= 0.
+
+    Reference correspondence: the 3-D lift of the reference's 1-D
+    interval-overlap prune (codechunk.go:631-651), as dwithin_join is
+    the 2-D lift (SURVEY.md §2.4 J3).
+    """
+    if dt < 1:
+        raise ValueError(f"dt must be >= 1, got {dt}")
+    if res is None:
+        res = dwithin_res(radius)
+    if res >= 1 and (1 << (GRID_BITS - res)) < radius:
+        raise ValueError(
+            f"cell side {1 << (GRID_BITS - res)} at res={res} is smaller "
+            f"than radius={radius}: the 3x3 neighborhood would miss pairs")
+    shift = GRID_BITS - res
+    n_cells = 1 << res
+
+    a_side = points.select(
+        *id_cols,
+        F.col("qlat").alias("a_qlat"), F.col("qlon").alias("a_qlon"),
+        F.col(t_col).cast("long").alias("a_t"),
+        F.shiftright("qlat", shift).alias("ccy"),
+        F.shiftright("qlon", shift).alias("ccx"),
+        F.expr(f"CAST({t_col} AS BIGINT) div {int(dt)}").alias("ctb"),
+    )
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit(db).alias("db"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) for db in (-1, 0, 1)
+    ])).alias("off")
+    b_side = (
+        points.select(
+            *[F.col(c).alias(f"b_{c}") for c in id_cols],
+            F.col("qlat").alias("b_qlat"), F.col("qlon").alias("b_qlon"),
+            F.col(t_col).cast("long").alias("b_t"),
+        )
+        .select("*", off)
+        .select(
+            *[f"b_{c}" for c in id_cols], "b_qlat", "b_qlon", "b_t",
+            (F.shiftright("b_qlat", shift) + F.col("off.dy")).alias("ccy"),
+            (F.shiftright("b_qlon", shift) + F.col("off.dx")).alias("ccx"),
+            (F.expr(f"b_t div {int(dt)}") + F.col("off.db")).alias("ctb"),
+        )
+        # out-of-grid neighbor cells can never match; time buckets are
+        # unbounded so only the spatial axes are range-filtered
+        .filter(
+            (F.col("ccy") >= 0) & (F.col("ccy") < n_cells)
+            & (F.col("ccx") >= 0) & (F.col("ccx") < n_cells)
+        )
+    )
+    d2 = (
+        (F.col("a_qlat") - F.col("b_qlat")) * (F.col("a_qlat") - F.col("b_qlat"))
+        + (F.col("a_qlon") - F.col("b_qlon")) * (F.col("a_qlon") - F.col("b_qlon"))
+    )
+    a_key = F.struct(*[F.col(c) for c in id_cols])
+    b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
+    return (
+        a_side.join(b_side, ["ccy", "ccx", "ctb"], "inner")
+        .withColumn("d2", d2)
+        .withColumn("dt_s", F.abs(F.col("a_t") - F.col("b_t")))
+        .filter(
+            (F.col("d2") <= F.lit(int(radius) * int(radius)))
+            & (F.col("dt_s") <= F.lit(int(dt)))
+            & (a_key < b_key)
+        )
+        .select(*id_cols, *[f"b_{c}" for c in id_cols], "d2", "dt_s")
+    )
+
+
 def od_matrix(
     points: DataFrame,
     res: int,
@@ -916,3 +1007,81 @@ def hull_diameter(points: DataFrame, by: tuple = ("doc_id",),
         .groupBy(*by).agg(F.max("s").alias("s"))
     )
     return best.select(*by, "s.diam_sq", "s.y1", "s.x1", "s.y2", "s.x2")
+
+
+def rdp_simplify(
+    points: DataFrame,
+    epsilon: int,
+    by: tuple = ("doc_id",),
+    order_col: str = "span_pos",
+    lat_col: str = "qlat",
+    lon_col: str = "qlon",
+) -> DataFrame:
+    """Per-trajectory Ramer-Douglas-Peucker polyline simplification:
+    keep a point iff its perpendicular distance from the chord of the
+    current (recursively split) segment exceeds epsilon.
+
+    All comparisons are EXACT integers — the classic float form
+    |cross| / |chord| > eps is tested as cross^2 > eps^2 * |chord|^2 in
+    arbitrary-precision Python ints (cross^2 can reach ~2^66 on the
+    16-bit grid, past int64), so the kept set is bit-identical at any
+    parallelism and any split order.  Zero-length chords (closed loops)
+    fall back to squared point-to-point distance.  The strict `>` means
+    epsilon=0 keeps every point except exactly-collinear interior runs.
+
+    Scale shape: applyInPandas per trajectory id — one shuffle on the
+    id, each trajectory processed with an iterative stack (no recursion
+    limit); right when trajectories are bounded (a doc's ordered span
+    path), the same contract as trajectory_stats (SURVEY.md §2.12).
+
+    Output: by + (order_col, lat, lon) rows that survive, original order.
+    """
+    import pandas as pd
+
+    if epsilon < 0:
+        raise ValueError(f"epsilon must be >= 0, got {epsilon}")
+    by = list(by)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema if f.name in by)
+    schema = (f"{fields}, {order_col} long, "
+              f"{lat_col} long, {lon_col} long")
+    eps2 = int(epsilon) * int(epsilon)
+
+    def simplify_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ys = [int(v) for v in pdf[lat_col]]
+        xs = [int(v) for v in pdf[lon_col]]
+        n = len(ys)
+        keep = [False] * n
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)] if n > 1 else []
+        while stack:
+            i, j = stack.pop()
+            if j - i < 2:
+                continue
+            ay, ax, dy, dx = ys[i], xs[i], ys[j] - ys[i], xs[j] - xs[i]
+            chord2 = dy * dy + dx * dx
+            best_k, best_num = -1, -1
+            for k in range(i + 1, j):
+                if chord2 == 0:
+                    num = ((ys[k] - ay) ** 2 + (xs[k] - ax) ** 2)
+                    thresh = eps2
+                else:
+                    cross = dx * (ys[k] - ay) - dy * (xs[k] - ax)
+                    num = cross * cross
+                    thresh = eps2 * chord2
+                if num > thresh and num > best_num:
+                    best_num, best_k = num, k
+            if best_k >= 0:
+                keep[best_k] = True
+                stack.append((i, best_k))
+                stack.append((best_k, j))
+        out = pdf.iloc[[k for k in range(n) if keep[k]]]
+        return out[by + [order_col, lat_col, lon_col]]
+
+    prepped = points.select(
+        *by, F.col(order_col).cast("long").alias(order_col),
+        F.col(lat_col).cast("long").alias(lat_col),
+        F.col(lon_col).cast("long").alias(lon_col))
+    return prepped.groupBy(*by).applyInPandas(simplify_one, schema)

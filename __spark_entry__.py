@@ -4017,6 +4017,61 @@ bfs_edges AS (
 SQL_BFS = _bfs_sql()
 
 
+SSSP_MAX_DIST = 24  # total-distance cap (contract: farther nodes absent)
+
+
+def _edge_weight_col(src, dst):
+    """Deterministic positive integer weight 1..9 for a directed edge —
+    the same arithmetic the SQL mirror inlines."""
+    return (src.cast("long") * 31 + dst.cast("long") * 17) % 9 + 1
+
+
+def q_sssp(spark, sf_dir):
+    """Multi-seed weighted shortest paths over the proximity graph
+    (deterministic integer weights 1..9, distance cap {SSSP_MAX_DIST}) —
+    distributed Bellman-Ford with frontier pruning, one frontier-edges
+    equi-join + min-agg + improvement join per round
+    (operators/graph.sssp); distance-capped recursive-CTE mirror."""
+    from tree_code_chunker_spark.operators.graph import sssp
+
+    edges = _graph_edges(spark, sf_dir).select(
+        "src", "dst",
+        _edge_weight_col(F.col("src"), F.col("dst")).alias("w"))
+    seeds = (_points(spark, sf_dir)
+             .filter(F.col("doc_id").cast("long") % BFS_SEED_MOD == 0)
+             .select(F.col("doc_id").alias("node")).distinct())
+    return sssp(edges, seeds, max_dist=SSSP_MAX_DIST)
+
+
+def _sssp_sql():
+    from tree_code_chunker_spark.operators.graph import sssp_sql
+
+    edges = f"""
+sssp_edges AS (
+  SELECT src, dst,
+         (CAST(src AS BIGINT) * 31 + CAST(dst AS BIGINT) * 17) % 9 + 1 AS w
+  FROM (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM points a JOIN points b
+      ON b.qlat BETWEEN a.qlat - {SELF_RADIUS} AND a.qlat + {SELF_RADIUS}
+     AND b.qlon BETWEEN a.qlon - {SELF_RADIUS} AND a.qlon + {SELF_RADIUS}
+    WHERE a.doc_id != b.doc_id
+      AND (a.qlat - b.qlat) * (a.qlat - b.qlat)
+          + (a.qlon - b.qlon) * (a.qlon - b.qlon)
+          <= {SELF_RADIUS * SELF_RADIUS}
+  )
+), sssp_seeds AS (
+  SELECT DISTINCT doc_id AS node FROM points
+  WHERE CAST(doc_id AS BIGINT) % {BFS_SEED_MOD} = 0
+)"""
+    head = SPANS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (f"{head}, {POINTS_SQL}, {edges}, "
+            + sssp_sql("sssp_edges", "sssp_seeds", SSSP_MAX_DIST))
+
+
+SQL_SSSP = _sssp_sql()
+
+
 OHLC_BAR_US = 21_600_000_000  # 6 h bars
 
 
@@ -4129,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r5
+        "sssp": q_sssp,
         "st_contacts": q_st_contacts,
         "hll_cells": q_hll_cells,
         "cms_cells": q_cms_cells,
@@ -4237,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sssp": SQL_SSSP,
         "st_contacts": SQL_ST_CONTACTS,
         "hll_cells": SQL_HLL_CELLS,
         "cms_cells": SQL_CMS_CELLS,

@@ -241,3 +241,112 @@ def test_bfs_matches_duckdb_recursive(spark):
            + bfs_hops_sql("e", "s", 5))
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+from tree_code_chunker_spark.operators.graph import sssp, sssp_sql
+
+
+def _mk_wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w long")
+
+
+def _dijkstra_py(triples, seeds, cap):
+    import heapq
+    adj = {}
+    for s, d, w in triples:
+        if s != d and 1 <= w <= cap:
+            cur = adj.setdefault(s, {})
+            cur[d] = min(cur.get(d, cap + 1), w)
+    dist = {}
+    heap = [(0, s) for s in seeds]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj.get(n, {}).items():
+            if m not in dist and d + w <= cap:
+                heapq.heappush(heap, (d + w, m))
+    return dist
+
+
+def test_sssp_vs_python_dijkstra(spark):
+    import random
+    rng = random.Random(13)
+    triples = sorted({(rng.randrange(40), rng.randrange(40),
+                       rng.randrange(1, 10)) for _ in range(200)})
+    seeds = [0, 9]
+    got = {r.node: r.dist for r in sssp(
+        _mk_wedges(spark, triples),
+        spark.createDataFrame([(s,) for s in seeds], "node long"),
+        max_dist=12).collect()}
+    assert got == _dijkstra_py(triples, seeds, 12)
+
+
+def test_sssp_parallel_edges_cap_and_isolated_seed(spark):
+    # parallel edges 0->1 of weight 9 and 2: min wins; chain 1->2 puts
+    # node 2 at 5; node 3 costs 105 — outside the cap, absent; seed 99
+    # isolated at 0
+    triples = [(0, 1, 9), (0, 1, 2), (1, 2, 3), (2, 3, 100)]
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r.node: r.dist for r in
+           sssp(_mk_wedges(spark, triples), seeds, max_dist=10).collect()}
+    assert got == {0: 0, 1: 2, 2: 5, 99: 0}
+    # widen the cap and the far node appears with the exact distance
+    got2 = {r.node: r.dist for r in
+            sssp(_mk_wedges(spark, triples), seeds, max_dist=200).collect()}
+    assert got2[3] == 105
+
+
+def test_sssp_relaxation_beats_greedy_first_path(spark):
+    # the 1-hop path 0->2 (w=9) must lose to the 2-hop 0->1->2 (w=2+2)
+    triples = [(0, 2, 9), (0, 1, 2), (1, 2, 2)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in
+           sssp(_mk_wedges(spark, triples), seeds, max_dist=20).collect()}
+    assert got == {0: 0, 1: 2, 2: 4}
+
+
+def test_sssp_nonpositive_weight_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    triples = [(0, 1, 2), (1, 2, 0)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="positive integer weights"):
+        sssp(_mk_wedges(spark, triples), seeds, max_dist=10).collect()
+
+
+def test_sssp_matches_duckdb_recursive(spark):
+    import duckdb
+    import random
+    rng = random.Random(29)
+    triples = sorted({(rng.randrange(25), rng.randrange(25),
+                       rng.randrange(1, 8)) for _ in range(100)})
+    got = sorted((r.node, r.dist) for r in sssp(
+        _mk_wedges(spark, triples),
+        spark.createDataFrame([(0,), (5,)], "node long"),
+        max_dist=15).collect())
+    ev = ", ".join(f"({a}, {b}, {w})" for a, b, w in triples)
+    sql = ("WITH RECURSIVE e(src, dst, w) AS (VALUES " + ev + "), "
+           "s(node) AS (VALUES (0), (5)), "
+           + sssp_sql("e", "s", 15))
+    want = sorted((int(n), int(d)) for n, d in
+                  duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_sssp_deterministic_across_parallelism(spark):
+    import random
+    rng = random.Random(31)
+    triples = sorted({(rng.randrange(40), rng.randrange(40),
+                       rng.randrange(1, 10)) for _ in range(200)})
+    seeds = spark.createDataFrame([(0,)], "node long")
+    outs = []
+    for nparts in (1, 7):
+        e = _mk_wedges(spark, triples).repartition(nparts)
+        outs.append(sorted((r.node, r.dist) for r in
+                           sssp(e, seeds, max_dist=14).collect()))
+    assert outs[0] == outs[1]

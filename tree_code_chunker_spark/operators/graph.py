@@ -426,3 +426,89 @@ def bfs_hops_sql(edges_cte: str, seeds_cte: str, max_hops: int) -> str:
   WHERE w.d < {max_hops}
 )
 SELECT node, CAST(min(d) AS INT) AS hops FROM bfs_walk GROUP BY node"""
+
+
+def sssp(edges: DataFrame, seeds: DataFrame, max_dist: int,
+         max_rounds: int = 256) -> DataFrame:
+    """Multi-seed single-source shortest paths over positive integer
+    edge weights, capped at total distance ``max_dist``.  ``edges``
+    (src, dst, w) directed with w >= 1; ``seeds`` one column ``node``.
+    Output: (node, dist) for every node whose shortest distance from any
+    seed is <= max_dist (seeds at 0).
+
+    Distributed Bellman-Ford with frontier pruning — each round relaxes
+    ONLY the edges out of nodes improved last round: one frontier-edges
+    equi-join (shuffle on src), a map-side-combinable min-agg, and one
+    join against the current distance table to keep strict improvements.
+    Round cost is O(frontier-adjacent edges), not O(all edges); the
+    distance table is localCheckpoint-ed per round to bound lineage
+    (same discipline as bfs_hops/pagerank_int).  Distances are integers,
+    so the fixed point is bit-exact at any parallelism; the loop stops
+    when a round improves nothing, which is guaranteed within
+    max_dist/min(w) rounds by the cap.
+
+    The cap is part of the CONTRACT, not just a bound: nodes farther
+    than max_dist are absent from the output, which is what makes the
+    recursive-CTE mirror (sssp_sql) terminate — every recursive step
+    grows d by >= 1, so walk depth <= max_dist.
+
+    Parallel (src, dst) duplicates are collapsed to their min weight;
+    self-loops and non-positive weights are rejected rows (w < 1 raises
+    — silent dropping would hide a modelling bug).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    # The w >= 1 guard rides the consumed weight expression (no extra
+    # eager scan of a possibly-huge edge list, and Catalyst cannot
+    # prune it away because w feeds the relaxation arithmetic).
+    w_checked = F.when(
+        F.col("w").cast("long") >= 1, F.col("w").cast("long")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("sssp requires positive integer weights; got w="),
+        F.col("w").cast("string"))))
+    e = (edges.select("src", "dst", w_checked.alias("w"))
+         .filter(F.col("src") != F.col("dst")))
+    e = (e.filter(F.col("w") <= max_dist)
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=False))
+    dist = (seeds.select(F.col("node")).distinct()
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=False))
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (frontier.join(e, frontier["node"] == e["src"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("d"))
+                .filter(F.col("d") <= max_dist)
+                .groupBy("node").agg(F.min("d").alias("d")))
+        improved = (cand.join(dist, ["node"], "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("d") < F.col("dist")))
+                    .select("node", F.col("d").alias("dist"))
+                    .localCheckpoint(eager=False))
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select("node"), ["node"], "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=False))
+        frontier = improved
+    return dist
+
+
+def sssp_sql(edges_cte: str, seeds_cte: str, max_dist: int) -> str:
+    """DuckDB mirror of sssp: recursive CTE over ``edges_cte``
+    (src, dst, w) from ``seeds_cte`` (node), pruned to cumulative
+    distance <= max_dist BEFORE emitting (so the walk set is exactly
+    the capped path set and min(d) per node is the capped shortest
+    distance).  Terminates because w >= 1 bounds depth at max_dist and
+    the UNION dedups (node, d) pairs."""
+    return f"""sssp_walk(node, d) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM {seeds_cte}
+  UNION
+  SELECT e.dst, w.d + e.w
+  FROM sssp_walk w JOIN {edges_cte} e ON e.src = w.node AND e.src != e.dst
+  WHERE w.d + e.w <= {max_dist}
+)
+SELECT node, min(d) AS dist FROM sssp_walk GROUP BY node"""

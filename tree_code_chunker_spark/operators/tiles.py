@@ -304,3 +304,38 @@ def hotspot_gi(hist: DataFrame, res: int, count_col: str = "n",
         .withColumn("gi_z", z)
         .select(*by, "cy", "cx", "wx", "w", "gi_z")
     )
+
+
+def layout_by_cell(df: DataFrame, n_files: int,
+                   qlat_col: str = "qlat", qlon_col: str = "qlon",
+                   extra_sort: tuple = (), keep_key: bool = False) -> DataFrame:
+    """Z-order data layout: range-partition rows across ``n_files``
+    output partitions by their full-resolution Morton cell and sort
+    within each partition, so a parquet write of the result carries
+    per-file min/max statistics that are spatially TIGHT — any later
+    bbox/radius/cover scan prunes to the handful of files whose
+    z-interval intersects the query instead of reading the corpus.
+
+    This is the write-side half of every spatial operator in the
+    engine: the read-side prunes (dwithin cell buckets, PIP covers, kNN
+    ring scans) become file-skipping prunes when the data on disk is
+    z-clustered.  One range shuffle (sampled boundaries, balanced
+    files regardless of spatial skew), one in-partition sort — the
+    standard table-layout maintenance job a 100 TB deployment runs
+    after ingest, same contract as Delta/Iceberg Z-ORDER compaction
+    (public technique; Morton interleave per geo.cell_col).
+
+    ``extra_sort`` appends secondary in-file sort keys (e.g. a time
+    column for spatiotemporal range scans).  ``keep_key`` retains the
+    z-key column (``zkey``) for inspection; by default the layout is
+    invisible to the schema, exactly like engine-side clustering.
+    """
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    from .geo import cell_col as _cell_col
+    out = (
+        df.withColumn("zkey", _cell_col(F.col(qlat_col), F.col(qlon_col)))
+        .repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey", *extra_sort)
+    )
+    return out if keep_key else out.drop("zkey")

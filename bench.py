@@ -171,6 +171,23 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
     timed("dwithin", lambda: dwithin_join(
         pts, sq, 800, broadcast_b=True).count())
 
+    # spatiotemporal co-location SELF-join (contact detection) over a
+    # 577k-point deterministic subsample (span_pos % 16): the 3-D
+    # (cell, cell, time-bucket) 27-neighborhood equi-join, radius 16 /
+    # dt 300 s on a derived day-clock -> ~2.3M contact pairs.  The time
+    # bucketing divides each hot cell's candidates across ~288 day-clock
+    # buckets — without it the 2-D form is output-bound in hot cells.
+    # Subsampled for the same reason knn_self_200k subsamples its probe:
+    # the full 9.2M-point form measures 223 s / 10.5M pairs (r=4,
+    # dt=60) and is dominated by the same candidate-join term this
+    # stage already isolates at bench-budget cost.
+    from tree_code_chunker_spark.operators.spatial import st_colocate_join
+    pts_t = pts.filter(F.col("span_pos") % 16 == 0).withColumn(
+        "t_s",
+        (F.col("doc_id").cast("long") * 7919 + F.col("span_pos") * 131)
+        % 86400)
+    timed("st_colocate", lambda: st_colocate_join(pts_t, 16, 300).count())
+
     # relational baseline query (pushdown + partial agg showcase)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed("tpch_pricing", lambda: (

@@ -397,11 +397,19 @@ def st_colocate_join(
 
     The dwithin cell-bucket prune lifted to 3-D: bucket on (cell_y,
     cell_x, t DIV dt) with cell side >= radius and time-bucket width dt,
-    expand ONE side to its 3x3x3 neighborhood (27 candidate buckets — a
-    superset of the space-time box by the per-axis side >= tolerance
-    argument), equi-join on the composite key, then exact integer filter.
-    Never all-pairs; the only shuffle is the 3-part-key equi-join, and
-    hot space-time buckets ride AQE skew-join splitting like dwithin.
+    expand ONE side to the CANONICAL HALF of its 3x3x3 neighborhood —
+    the zero offset plus the 13 lexicographically positive ones.  For an
+    unordered self-join that finds every pair exactly once: a
+    cross-bucket pair's bucket delta d has exactly one of d / -d
+    lex-positive, so it joins under a unique (side, offset) role
+    assignment; same-bucket pairs join under offset 0 and keep the
+    a < b orientation.  Cross-bucket survivors are canonically swapped
+    so the lesser id always lands in the left columns — output is
+    IDENTICAL to the full 27-offset form, at 15x/28x the shuffled rows
+    (~1.9x less shuffle volume, the dominant cost at corpus scale).
+    Equi-join on the composite key, then exact integer filter.  Never
+    all-pairs; the only shuffle is the 3-part-key equi-join, and hot
+    space-time buckets ride AQE skew-join splitting like dwithin.
 
     Timestamps must be nonnegative integers (epoch seconds / micros):
     the bucket id uses truncating integer division, which equals floor
@@ -430,10 +438,16 @@ def st_colocate_join(
         F.shiftright("qlon", shift).alias("ccx"),
         F.expr(f"CAST({t_col} AS BIGINT) div {int(dt)}").alias("ctb"),
     )
+    half = [(0, 0, 0)] + [
+        (dy, dx, db)
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) for db in (-1, 0, 1)
+        if (dy, dx, db) > (0, 0, 0)
+    ]
     off = F.explode(F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
-                 F.lit(db).alias("db"))
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1) for db in (-1, 0, 1)
+                 F.lit(db).alias("db"),
+                 F.lit(1 if (dy, dx, db) == (0, 0, 0) else 0).alias("o0"))
+        for dy, dx, db in half
     ])).alias("off")
     b_side = (
         points.select(
@@ -444,6 +458,7 @@ def st_colocate_join(
         .select("*", off)
         .select(
             *[f"b_{c}" for c in id_cols], "b_qlat", "b_qlon", "b_t",
+            F.col("off.o0").alias("o0"),
             (F.shiftright("b_qlat", shift) + F.col("off.dy")).alias("ccy"),
             (F.shiftright("b_qlon", shift) + F.col("off.dx")).alias("ccx"),
             (F.expr(f"b_t div {int(dt)}") + F.col("off.db")).alias("ctb"),
@@ -461,6 +476,16 @@ def st_colocate_join(
     )
     a_key = F.struct(*[F.col(c) for c in id_cols])
     b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
+    # same-bucket (o0) pairs appear in both orientations: keep a < b.
+    # Cross-bucket pairs appear exactly once with geometry-chosen roles:
+    # keep all, then swap so the lesser id is always on the left.
+    need_swap = (F.col("o0") == 0) & (b_key < a_key)
+    out_cols = (
+        [F.when(need_swap, F.col(f"b_{c}")).otherwise(F.col(c)).alias(c)
+         for c in id_cols]
+        + [F.when(need_swap, F.col(c)).otherwise(F.col(f"b_{c}"))
+           .alias(f"b_{c}") for c in id_cols]
+    )
     return (
         a_side.join(b_side, ["ccy", "ccx", "ctb"], "inner")
         .withColumn("d2", d2)
@@ -468,9 +493,9 @@ def st_colocate_join(
         .filter(
             (F.col("d2") <= F.lit(int(radius) * int(radius)))
             & (F.col("dt_s") <= F.lit(int(dt)))
-            & (a_key < b_key)
+            & ((F.col("o0") == 0) | (a_key < b_key))
         )
-        .select(*id_cols, *[f"b_{c}" for c in id_cols], "d2", "dt_s")
+        .select(*out_cols, "d2", "dt_s")
     )
 
 

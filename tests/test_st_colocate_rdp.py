@@ -178,3 +178,75 @@ def test_rdp_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, rdp_simplify(traj.coalesce(1), 25).collect()))
     b = sorted(map(tuple, rdp_simplify(traj.repartition(16), 25).collect()))
     assert a == b
+
+
+# -------------------------------------------------------- two-sided / stream
+
+
+from tree_code_chunker_spark.operators.spatial import st_colocate_ab
+
+
+def _brute_ab(apdf, bpdf, radius, dt):
+    out = []
+    for a in apdf.itertuples(index=False):
+        for b in bpdf.itertuples(index=False):
+            d2 = (a.qlat - b.qlat) ** 2 + (a.qlon - b.qlon) ** 2
+            if d2 <= radius * radius and abs(a.t_s - b.t_s) <= dt:
+                out.append((a.doc_id, a.span_pos, b.b_doc_id, b.b_span_pos,
+                            d2, abs(a.t_s - b.t_s)))
+    return sorted(out)
+
+
+def test_st_colocate_ab_matches_brute_force(spark):
+    a = _mkpoints(spark, 150)
+    b = (_mkpoints(spark, 210)
+         .select(F.col("doc_id").alias("b_doc_id"),
+                 F.col("span_pos").alias("b_span_pos"),
+                 (F.col("qlat") + 31).alias("qlat"),
+                 (F.col("qlon") - 17).alias("qlon"),
+                 (F.col("t_s") + 500).alias("t_s")))
+    for radius, dt in [(200, 2000), (60, 700)]:
+        got = sorted(map(tuple, st_colocate_ab(a, b, radius, dt).collect()))
+        want = _brute_ab(a.toPandas(), b.toPandas(), radius, dt)
+        assert got == want, (radius, dt, len(got), len(want))
+    assert _brute_ab(a.toPandas(), b.toPandas(), 200, 2000)  # non-vacuous
+
+
+def test_st_colocate_ab_validates_args(spark):
+    pts = _mkpoints(spark, 10)
+    with pytest.raises(ValueError, match="overlap"):
+        st_colocate_ab(pts, pts, 48, 60,
+                       a_keep=("doc_id",), b_keep=("doc_id",))
+    with pytest.raises(ValueError):
+        st_colocate_ab(pts, pts, 48, 0, b_keep=("x",))
+
+
+def test_stream_colocate_equals_batch(spark, tmp_path):
+    from tree_code_chunker_spark.streaming.stream_chunk import (
+        run_stream_colocate,
+    )
+
+    corpus = (_mkpoints(spark, 120)
+              .select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("span_pos").alias("b_span_pos"),
+                      "qlat", "qlon", "t_s"))
+    new_a = _mkpoints(spark, 60).filter(F.col("span_pos") % 2 == 0)
+    new_b = (_mkpoints(spark, 60).filter(F.col("span_pos") % 2 == 1)
+             .withColumn("qlat", F.col("qlat") + 11))
+    src = str(tmp_path / "in")
+    new_a.coalesce(1).write.parquet(src + "/f1")
+    new_b.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(new_a.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = run_stream_colocate(stream, corpus, 150, 1500,
+                            out_path=str(tmp_path / "out"),
+                            checkpoint_path=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple,
+                     spark.read.parquet(str(tmp_path / "out"))
+                     .drop("_batch_id").collect()))
+    want = sorted(map(tuple, st_colocate_ab(
+        new_a.unionByName(new_b), corpus, 150, 1500).collect()))
+    assert got == want and got

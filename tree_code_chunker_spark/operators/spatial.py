@@ -499,6 +499,96 @@ def st_colocate_join(
     )
 
 
+def st_colocate_ab(
+    a: DataFrame,
+    b: DataFrame,
+    radius: int,
+    dt: int,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    b_keep: tuple[str, ...] = ("b_doc_id", "b_span_pos"),
+    t_col: str = "t_s",
+    b_t_col: str | None = None,
+    res: int | None = None,
+) -> DataFrame:
+    """Two-sided spatiotemporal co-location join: every (a, b) pair with
+    squared grid distance <= radius^2 AND |t_a - t_b| <= dt.  The
+    asymmetric sibling of st_colocate_join — roles are semantic (e.g.
+    new events vs a reference corpus), so every match is emitted once
+    per (a, b) row pair with no pair-order canonicalization.
+
+    Same 3-D prune: bucket both sides on (cell_y, cell_x, t DIV dt),
+    expand the B side to its full 3x3x3 neighborhood (27 offsets — the
+    half-neighborhood trick needs the self-join's exchangeable roles),
+    one composite-key equi-join, exact integer filter.  Timestamps must
+    be nonnegative integers.
+
+    ``b_keep`` names must already exist on ``b`` (pre-aliased by the
+    caller, mirroring dwithin_join's contract) and be disjoint from
+    ``a_keep``.  ``b_t_col`` defaults to ``t_col``.
+    """
+    if dt < 1:
+        raise ValueError(f"dt must be >= 1, got {dt}")
+    if set(a_keep) & set(b_keep):
+        raise ValueError(
+            f"a_keep and b_keep overlap: {set(a_keep) & set(b_keep)}")
+    if b_t_col is None:
+        b_t_col = t_col
+    if res is None:
+        res = dwithin_res(radius)
+    if res >= 1 and (1 << (GRID_BITS - res)) < radius:
+        raise ValueError(
+            f"cell side {1 << (GRID_BITS - res)} at res={res} is smaller "
+            f"than radius={radius}: the 3x3 neighborhood would miss pairs")
+    shift = GRID_BITS - res
+    n_cells = 1 << res
+
+    a_side = a.select(
+        *a_keep,
+        F.col("qlat").alias("a_qlat"), F.col("qlon").alias("a_qlon"),
+        F.col(t_col).cast("long").alias("a_t"),
+        F.shiftright("qlat", shift).alias("ccy"),
+        F.shiftright("qlon", shift).alias("ccx"),
+        F.expr(f"CAST({t_col} AS BIGINT) div {int(dt)}").alias("ctb"),
+    )
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit(db).alias("db"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) for db in (-1, 0, 1)
+    ])).alias("off")
+    b_side = (
+        b.select(
+            *b_keep,
+            F.col("qlat").alias("b_qlat"), F.col("qlon").alias("b_qlon"),
+            F.col(b_t_col).cast("long").alias("b_t"),
+        )
+        .select("*", off)
+        .select(
+            *b_keep, "b_qlat", "b_qlon", "b_t",
+            (F.shiftright("b_qlat", shift) + F.col("off.dy")).alias("ccy"),
+            (F.shiftright("b_qlon", shift) + F.col("off.dx")).alias("ccx"),
+            (F.expr(f"b_t div {int(dt)}") + F.col("off.db")).alias("ctb"),
+        )
+        .filter(
+            (F.col("ccy") >= 0) & (F.col("ccy") < n_cells)
+            & (F.col("ccx") >= 0) & (F.col("ccx") < n_cells)
+        )
+    )
+    d2 = (
+        (F.col("a_qlat") - F.col("b_qlat")) * (F.col("a_qlat") - F.col("b_qlat"))
+        + (F.col("a_qlon") - F.col("b_qlon")) * (F.col("a_qlon") - F.col("b_qlon"))
+    )
+    return (
+        a_side.join(b_side, ["ccy", "ccx", "ctb"], "inner")
+        .withColumn("d2", d2)
+        .withColumn("dt_s", F.abs(F.col("a_t") - F.col("b_t")))
+        .filter(
+            (F.col("d2") <= F.lit(int(radius) * int(radius)))
+            & (F.col("dt_s") <= F.lit(int(dt)))
+        )
+        .select(*a_keep, *b_keep, "d2", "dt_s")
+    )
+
+
 def od_matrix(
     points: DataFrame,
     res: int,

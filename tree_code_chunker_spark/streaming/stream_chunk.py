@@ -227,3 +227,52 @@ def run_stream_asof(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_colocate(
+    point_stream: DataFrame,
+    corpus_static: DataFrame,
+    radius: int,
+    dt: int,
+    out_path: str,
+    checkpoint_path: str,
+    a_keep: tuple = ("doc_id", "span_pos"),
+    b_keep: tuple = ("b_doc_id", "b_span_pos"),
+    t_col: str = "t_s",
+    available_now: bool = True,
+):
+    """Streaming spatiotemporal contact detection: each micro-batch of
+    arriving points joins against a STATIC reference corpus for
+    space-time co-locations (|d| <= radius AND |t_a - t_b| <= dt) — the
+    continuous form of spatial.st_colocate_ab (new sightings vs a known
+    set: vessels vs restricted zones' guard points, devices vs known
+    beacons).
+
+    Exact per micro-batch because an arriving row's contacts depend only
+    on the static corpus, never on other stream rows — the same
+    independence argument as run_stream_asof.  foreachBatch is
+    AT-LEAST-once, so the write overwrites its own `_batch_id=<n>`
+    partition (dynamic partition overwrite); a replayed batch rewrites
+    identical rows.  The union of all written batches equals the batch
+    st_colocate_ab over the union of inputs — pinned by test.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.spatial import st_colocate_ab
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (st_colocate_ab(df, corpus_static, radius, dt,
+                        a_keep=a_keep, b_keep=b_keep, t_col=t_col)
+         .withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (point_stream.writeStream.foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

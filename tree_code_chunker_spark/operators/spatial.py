@@ -367,20 +367,79 @@ def dwithin_self_join(
     operators in operators/dedup.py — co-located records are duplicate
     candidates for a geocoded corpus).
 
-    Plans exactly like dwithin_join with both sides the same set, then
-    keeps each pair once by the lexicographic id order (a < b), which also
-    drops self-pairs.  Same scale shape: the 9x neighbor explode rides the
-    cell-key equi-join; never all-pairs.
+    Plans like dwithin_join with both sides the same set, but explodes
+    only the CANONICAL HALF of the 3x3 neighborhood — the zero offset
+    plus the 4 lexicographically positive ones.  A cross-cell pair's
+    cell delta has exactly one lex-positive orientation, so it joins
+    under a unique (side, offset) role assignment; same-cell pairs join
+    under offset 0 and keep the a < b orientation; cross-cell survivors
+    are canonically swapped so the lesser id lands left.  Output is
+    identical to the full 9-offset + a < b form (pinned by brute-force
+    tests and the DuckDB oracle) at 6x/10x the shuffled rows.  Same
+    scale shape otherwise: explode rides the cell-key equi-join; never
+    all-pairs.
     """
-    b_renamed = [F.col(c).alias(f"b_{c}") for c in id_cols]
-    b = points.select(*b_renamed, "qlat", "qlon")
-    pairs = dwithin_join(points, b, radius,
-                         a_keep=id_cols,
-                         b_keep=tuple(f"b_{c}" for c in id_cols),
-                         res=res)
+    if res is None:
+        res = dwithin_res(radius)
+    if res >= 1 and (1 << (GRID_BITS - res)) < radius:
+        raise ValueError(
+            f"cell side {1 << (GRID_BITS - res)} at res={res} is smaller "
+            f"than radius={radius}: the 3x3 neighborhood would miss pairs")
+    shift = GRID_BITS - res
+    n_cells = 1 << res
+
+    a_side = points.select(
+        *id_cols,
+        F.col("qlat").alias("a_qlat"), F.col("qlon").alias("a_qlon"),
+        F.shiftright("qlat", shift).alias("ccy"),
+        F.shiftright("qlon", shift).alias("ccx"),
+    )
+    half = [(0, 0)] + [(dy, dx) for dy, dx in NEIGHBOR_OFFSETS
+                       if (dy, dx) > (0, 0)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit(1 if (dy, dx) == (0, 0) else 0).alias("o0"))
+        for dy, dx in half
+    ])).alias("off")
+    b_side = (
+        points.select(
+            *[F.col(c).alias(f"b_{c}") for c in id_cols],
+            F.col("qlat").alias("b_qlat"), F.col("qlon").alias("b_qlon"),
+        )
+        .select("*", off)
+        .select(
+            *[f"b_{c}" for c in id_cols], "b_qlat", "b_qlon",
+            F.col("off.o0").alias("o0"),
+            (F.shiftright("b_qlat", shift) + F.col("off.dy")).alias("ccy"),
+            (F.shiftright("b_qlon", shift) + F.col("off.dx")).alias("ccx"),
+        )
+        .filter(
+            (F.col("ccy") >= 0) & (F.col("ccy") < n_cells)
+            & (F.col("ccx") >= 0) & (F.col("ccx") < n_cells)
+        )
+    )
+    d2 = (
+        (F.col("a_qlat") - F.col("b_qlat")) * (F.col("a_qlat") - F.col("b_qlat"))
+        + (F.col("a_qlon") - F.col("b_qlon")) * (F.col("a_qlon") - F.col("b_qlon"))
+    )
     a_key = F.struct(*[F.col(c) for c in id_cols])
     b_key = F.struct(*[F.col(f"b_{c}") for c in id_cols])
-    return pairs.filter(a_key < b_key)
+    need_swap = (F.col("o0") == 0) & (b_key < a_key)
+    out_cols = (
+        [F.when(need_swap, F.col(f"b_{c}")).otherwise(F.col(c)).alias(c)
+         for c in id_cols]
+        + [F.when(need_swap, F.col(c)).otherwise(F.col(f"b_{c}"))
+           .alias(f"b_{c}") for c in id_cols]
+    )
+    return (
+        a_side.join(b_side, ["ccy", "ccx"], "inner")
+        .withColumn("d2", d2)
+        .filter(
+            (F.col("d2") <= F.lit(int(radius) * int(radius)))
+            & ((F.col("o0") == 0) | (a_key < b_key))
+        )
+        .select(*out_cols, "d2")
+    )
 
 
 def st_colocate_join(

@@ -350,3 +350,18 @@ def test_sssp_deterministic_across_parallelism(spark):
         outs.append(sorted((r.node, r.dist) for r in
                            sssp(e, seeds, max_dist=14).collect()))
     assert outs[0] == outs[1]
+
+
+def test_sssp_raises_when_rounds_exhausted(spark):
+    import pytest
+    # a 12-hop unit chain cannot converge in 5 rounds; silent truncation
+    # would return a partial frontier as if it were the answer
+    triples = [(i, i + 1, 1) for i in range(12)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        sssp(_mk_wedges(spark, triples), seeds, max_dist=12, max_rounds=5)
+    # enough rounds: full chain, exact distances
+    got = {r.node: r.dist for r in
+           sssp(_mk_wedges(spark, triples), seeds,
+                max_dist=12, max_rounds=12).collect()}
+    assert got == {i: i for i in range(13)}

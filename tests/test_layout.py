@@ -87,3 +87,10 @@ def test_layout_rejects_bad_n_files(spark):
     import pytest
     with pytest.raises(ValueError, match="n_files"):
         layout_by_cell(_points(spark, 10), 0)
+
+
+def test_layout_rejects_existing_zkey_column(spark):
+    import pytest
+    pts = _points(spark, 10).withColumn("zkey", F.lit(7))
+    with pytest.raises(ValueError, match="zkey"):
+        layout_by_cell(pts, 2)

@@ -250,3 +250,37 @@ def test_stream_colocate_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, st_colocate_ab(
         new_a.unionByName(new_b), corpus, 150, 1500).collect()))
     assert got == want and got
+
+
+def test_self_joins_drop_duplicate_id_pairs(spark):
+    # two DISTINCT rows sharing one id key, within radius/dt but in
+    # DIFFERENT grid cells: the half-neighborhood forms must drop the
+    # equal-key pair exactly like the full 9/27-offset + a<b forms (and
+    # the SQL oracles) do
+    from tree_code_chunker_spark.operators.spatial import dwithin_self_join
+    rows = [("dup", 0, 4090, 4090, 100),   # cell boundary at 4096 (res 4..)
+            ("dup", 0, 4100, 4100, 120),   # same key, adjacent cell
+            ("ok", 1, 4090, 4092, 100)]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, span_pos long, qlat long, qlon long, t_s long")
+    st = st_colocate_join(pts, 48, 900).collect()
+    assert all(not (r.doc_id == r.b_doc_id and r.span_pos == r.b_span_pos)
+               for r in st)
+    dw = dwithin_self_join(pts, 48).collect()
+    assert all(not (r.doc_id == r.b_doc_id and r.span_pos == r.b_span_pos)
+               for r in dw)
+    # the distinct-key pairs still come through
+    assert any(r.doc_id == "dup" and r.b_doc_id == "ok" or
+               r.doc_id == "ok" and r.b_doc_id == "dup" for r in dw)
+
+
+def test_st_colocate_odd_t_col_name(spark):
+    # a t column whose name would misparse if spliced unquoted into SQL
+    pts = (_mkpoints(spark, 240)
+           .withColumnRenamed("t_s", "t-s")
+           .withColumn("t", F.lit(999999)).withColumn("s", F.lit(0)))
+    got = sorted(map(tuple, st_colocate_join(
+        pts.drop("t", "s"), 200, 2000, t_col="t-s").collect()))
+    want = sorted(map(tuple, st_colocate_join(
+        _mkpoints(spark, 240), 200, 2000).collect()))
+    assert got == want and got

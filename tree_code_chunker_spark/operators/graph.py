@@ -477,7 +477,11 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_dist: int,
             .select("node", F.lit(0).cast("long").alias("dist"))
             .localCheckpoint(eager=False))
     frontier = dist
-    for _ in range(max_rounds):
+    converged = False
+    # max_rounds bounds the IMPROVING rounds; the +1 is the confirming
+    # round that observes an empty improvement set, so a graph needing
+    # exactly max_rounds rounds converges instead of spuriously raising
+    for _ in range(max_rounds + 1):
         cand = (frontier.join(e, frontier["node"] == e["src"])
                 .select(F.col("dst").alias("node"),
                         (F.col("dist") + F.col("w")).alias("d"))
@@ -489,11 +493,19 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_dist: int,
                     .select("node", F.col("d").alias("dist"))
                     .localCheckpoint(eager=False))
         if improved.isEmpty():
+            converged = True
             break
         dist = (dist.join(improved.select("node"), ["node"], "left_anti")
                 .unionByName(improved)
                 .localCheckpoint(eager=False))
         frontier = improved
+    if not converged:
+        # returning unconverged distances would silently violate the
+        # output contract (missing / stale-larger entries)
+        raise RuntimeError(
+            f"sssp did not reach its fixed point within max_rounds="
+            f"{max_rounds}; raise max_rounds (<= max_dist rounds always "
+            "suffice for w >= 1)")
     return dist
 
 

@@ -436,7 +436,8 @@ def dwithin_self_join(
         .withColumn("d2", d2)
         .filter(
             (F.col("d2") <= F.lit(int(radius) * int(radius)))
-            & ((F.col("o0") == 0) | (a_key < b_key))
+            & ((F.col("o0") == 1) & (a_key < b_key)
+               | (F.col("o0") == 0) & (a_key != b_key))
         )
         .select(*out_cols, "d2")
     )
@@ -495,7 +496,7 @@ def st_colocate_join(
         F.col(t_col).cast("long").alias("a_t"),
         F.shiftright("qlat", shift).alias("ccy"),
         F.shiftright("qlon", shift).alias("ccx"),
-        F.expr(f"CAST({t_col} AS BIGINT) div {int(dt)}").alias("ctb"),
+        F.expr(f"CAST(`{t_col}` AS BIGINT) div {int(dt)}").alias("ctb"),
     )
     half = [(0, 0, 0)] + [
         (dy, dx, db)
@@ -552,7 +553,8 @@ def st_colocate_join(
         .filter(
             (F.col("d2") <= F.lit(int(radius) * int(radius)))
             & (F.col("dt_s") <= F.lit(int(dt)))
-            & ((F.col("o0") == 0) | (a_key < b_key))
+            & ((F.col("o0") == 1) & (a_key < b_key)
+               | (F.col("o0") == 0) & (a_key != b_key))
         )
         .select(*out_cols, "d2", "dt_s")
     )
@@ -607,7 +609,7 @@ def st_colocate_ab(
         F.col(t_col).cast("long").alias("a_t"),
         F.shiftright("qlat", shift).alias("ccy"),
         F.shiftright("qlon", shift).alias("ccx"),
-        F.expr(f"CAST({t_col} AS BIGINT) div {int(dt)}").alias("ctb"),
+        F.expr(f"CAST(`{t_col}` AS BIGINT) div {int(dt)}").alias("ctb"),
     )
     off = F.explode(F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),

@@ -332,6 +332,12 @@ def layout_by_cell(df: DataFrame, n_files: int,
     """
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
+    if "zkey" in df.columns:
+        # silently overwriting (and, with keep_key=False, dropping) a
+        # user column of the same name would lose data
+        raise ValueError(
+            "input already has a 'zkey' column; rename it before calling "
+            "layout_by_cell")
     from .geo import cell_col as _cell_col
     out = (
         df.withColumn("zkey", _cell_col(F.col(qlat_col), F.col(qlon_col)))

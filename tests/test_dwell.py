@@ -1,0 +1,72 @@
+"""Geofence dwell time: pip assignment + per-(id, polygon) visit split."""
+
+import pyspark.sql.functions as F
+
+from tree_code_chunker_spark.operators.spatial import dwell_time
+
+
+def _square(spark, pid, y0, x0, side):
+    ring = [(y0, x0), (y0, x0 + side), (y0 + side, x0 + side),
+            (y0 + side, x0), (y0, x0)]
+    return spark.createDataFrame(
+        [(pid, [{"qlat": y, "qlon": x} for y, x in ring])],
+        "polygon_id long, ring array<struct<qlat: long, qlon: long>>")
+
+
+def test_dwell_visits_and_gaps(spark):
+    polys = _square(spark, 1, 1000, 1000, 500).unionByName(
+        _square(spark, 2, 5000, 5000, 500))
+    rows = [
+        # entity a: two visits to polygon 1 split by a > gap break,
+        # interleaved with an out-of-zone ping (dropped by pip)
+        ("a", 100, 1200, 1200), ("a", 400, 1250, 1210),
+        ("a", 9000, 1100, 1100),          # gap 8600 > 1800 -> new visit
+        ("a", 9400, 1120, 1130),
+        ("a", 5000, 9999, 9999),          # outside both zones
+        # entity a also pings zone 2 once (single-ping visit, dwell 0)
+        ("a", 700, 5200, 5100),
+        # entity b: one visit spanning the gap boundary exactly (1800 ok)
+        ("b", 0, 1010, 1010), ("b", 1800, 1020, 1020),
+    ]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, t_s long, qlat long, qlon long")
+    got = {(r.doc_id, r.polygon_id, r.visit):
+           (r.t_enter, r.t_exit, r.n_pings, r.dwell_s)
+           for r in dwell_time(pts, polys, gap_s=1800).collect()}
+    # pip_join returns polygon_id as string (documented output schema)
+    assert got == {
+        ("a", "1", 0): (100, 400, 2, 300),
+        ("a", "1", 1): (9000, 9400, 2, 400),
+        ("a", "2", 0): (700, 700, 1, 0),
+        ("b", "1", 0): (0, 1800, 2, 1800),
+    }
+
+
+def test_dwell_deterministic_and_tie_safe(spark):
+    import random
+    rng = random.Random(5)
+    rows = [("e", rng.randrange(0, 50000) // 10 * 10,   # duplicate ts likely
+             1000 + rng.randrange(500), 1000 + rng.randrange(500))
+            for _ in range(300)]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, t_s long, qlat long, qlon long")
+    polys = _square(spark, 7, 1000, 1000, 500)
+    outs = []
+    for nparts in (1, 13):
+        outs.append(sorted(map(tuple, dwell_time(
+            pts.repartition(nparts), polys, gap_s=600).collect())))
+    assert outs[0] == outs[1] and outs[0]
+    # python brute force on the same pings
+    ts = sorted(t for _, t, y, x in rows
+                if 1000 <= y <= 1500 and 1000 <= x <= 1500)
+    visits, cur = [], [ts[0]]
+    for t in ts[1:]:
+        if t - cur[-1] > 600:
+            visits.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    visits.append(cur)
+    want = [(v[0], v[-1], len(v), v[-1] - v[0]) for v in visits]
+    got = [(r[3], r[4], r[5], r[6]) for r in outs[0]]
+    assert got == want

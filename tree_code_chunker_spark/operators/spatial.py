@@ -1261,3 +1261,52 @@ def rdp_simplify(
         F.col(lat_col).cast("long").alias(lat_col),
         F.col(lon_col).cast("long").alias(lon_col))
     return prepped.groupBy(*by).applyInPandas(simplify_one, schema)
+
+
+def dwell_time(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    index=None,
+    id_col: str = "doc_id",
+    ts_col: str = "t_s",
+    gap_s: int = 1800,
+    res: int | None = None,
+) -> DataFrame:
+    """Geofence dwell: per (entity, polygon) VISITS — maximal runs of an
+    entity's consecutive in-polygon pings with inter-ping gap <= gap_s —
+    with enter/exit times, ping count, and dwell seconds (the
+    how-long-was-each-vehicle-in-each-zone query).
+
+    Composes two existing pruned plans: pip_join (broadcast classified
+    cover, probe never shuffled) assigns pings to polygons, then the
+    lag-flag-cumsum sessionization algebra (streaming/windows.py
+    sessionize_batch's core) runs per (id, polygon_id) — one window
+    shuffle on the composite key.  All comparisons are integer-exact;
+    equal-timestamp pings flag 0 in any order, so visit numbering and
+    every aggregate are bit-identical at any parallelism.
+
+    Output: id, polygon_id, visit (0-based per key), t_enter, t_exit,
+    n_pings, dwell_s = t_exit - t_enter (0 for single-ping visits).
+    """
+    from pyspark.sql import Window
+
+    if gap_s < 0:
+        raise ValueError(f"gap_s must be >= 0, got {gap_s}")
+    kw = {} if res is None else {"res": res}
+    inside = pip_join(points, polygons, index=index,
+                      keep_cols=(id_col, ts_col), **kw)
+    w = Window.partitionBy(id_col, "polygon_id") \
+        .orderBy(F.col(ts_col).cast("long").asc())
+    t = F.col(ts_col).cast("long")
+    # first ping of a key: lag is NULL -> comparison NULL -> otherwise(0)
+    new_visit = F.when(t - F.lag(t).over(w) > F.lit(int(gap_s)),
+                       F.lit(1)).otherwise(F.lit(0))
+    return (
+        inside
+        .withColumn("_nv", new_visit)
+        .withColumn("visit", F.sum("_nv").over(w))
+        .groupBy(id_col, "polygon_id", "visit")
+        .agg(F.min(t).alias("t_enter"), F.max(t).alias("t_exit"),
+             F.count("*").alias("n_pings"))
+        .withColumn("dwell_s", F.col("t_exit") - F.col("t_enter"))
+    )

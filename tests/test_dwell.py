@@ -70,3 +70,25 @@ def test_dwell_deterministic_and_tie_safe(spark):
     want = [(v[0], v[-1], len(v), v[-1] - v[0]) for v in visits]
     got = [(r[3], r[4], r[5], r[6]) for r in outs[0]]
     assert got == want
+
+
+def test_zonal_mode_majority_and_ties(spark):
+    from tree_code_chunker_spark.operators.spatial import zonal_mode
+    polys = _square(spark, 1, 1000, 1000, 500)
+    rows = (
+        [("x", 1100, 1100)] * 3 + [("y", 1200, 1200)] * 2
+        + [("z", 9000, 9000)]            # outside
+    )
+    pts = spark.createDataFrame(
+        [(v, y + i, x + i) for i, (v, y, x) in enumerate(rows)],
+        "cat string, qlat long, qlon long")
+    r = zonal_mode(pts, polys, value="cat").collect()
+    assert len(r) == 1
+    assert (r[0].mode_value, r[0].mode_count, r[0].n_points) == ("x", 3, 5)
+    # exact tie 2-2: struct order breaks toward the larger value ("y")
+    pts2 = spark.createDataFrame(
+        [("x", 1100, 1100), ("x", 1101, 1101),
+         ("y", 1200, 1200), ("y", 1201, 1201)],
+        "cat string, qlat long, qlon long")
+    r2 = zonal_mode(pts2, polys, value="cat").collect()[0]
+    assert (r2.mode_value, r2.mode_count, r2.n_points) == ("y", 2, 4)

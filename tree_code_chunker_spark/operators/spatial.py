@@ -1310,3 +1310,32 @@ def dwell_time(
              F.count("*").alias("n_pings"))
         .withColumn("dwell_s", F.col("t_exit") - F.col("t_enter"))
     )
+
+
+def zonal_mode(
+    points: DataFrame,
+    polygons: DataFrame = None,
+    value: str = "doc_id",
+    index=None,
+    res: int | None = None,
+) -> DataFrame:
+    """Majority (modal) value of `value` among the points each polygon
+    contains — the categorical companion to zonal_stats (land-cover
+    majority per zone, dominant language per region).
+
+    Two hash aggregations, no window: count per (polygon, value), then
+    max_by with a (count, value) struct so ties break deterministically
+    toward the LARGEST value under Spark's struct order — the same total
+    order the DuckDB mirror `arg_max(v, (n, v))` uses.  Returns
+    polygon_id, mode_value, mode_count, n_points.
+    """
+    kw = {} if res is None else {"res": res}
+    matched = pip_join(points, polygons, index=index,
+                       keep_cols=(value,), **kw)
+    per_val = (matched.groupBy("polygon_id", F.col(value).alias("v"))
+               .agg(F.count("*").alias("n")))
+    pick = F.struct(F.col("n"), F.col("v"))
+    return (per_val.groupBy("polygon_id")
+            .agg(F.max_by(F.col("v"), pick).alias("mode_value"),
+                 F.max("n").alias("mode_count"),
+                 F.sum("n").alias("n_points")))

@@ -351,3 +351,41 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert top.cab == 6
     ranks = [r.rank for r in out]
     assert ranks == [1, 2, 3]                     # dense, deterministic
+
+
+def test_resample_ffill_locf_and_leading_nulls(spark):
+    from tree_code_chunker_spark.operators.events import resample_ffill
+
+    rows = [("a", 3, 30.0), ("a", 12, 120.0), ("a", 12, 125.0),  # dup ts
+            ("b", 25, 1.0)]
+    ev = spark.createDataFrame(rows, "sym string, ts long, v double")
+    out = {(r.sym, r.t): (r.r_v, r.r_ts) for r in
+           resample_ffill(ev, ["sym"], "ts", 0, 30, 10).collect()}
+    assert len(out) == 8   # 2 keys x 4 grid points
+    assert out[("a", 0)] == (None, None)          # before first event
+    assert out[("a", 10)] == (30.0, 3)
+    # grid point lands ON the dup-ts pair: max payload struct wins (125.0)
+    assert out[("a", 20)] == (125.0, 12)
+    assert out[("a", 30)] == (125.0, 12)
+    assert out[("b", 20)] == (None, None)
+    assert out[("b", 30)] == (1.0, 25)
+
+
+def test_resample_ffill_deterministic_and_args(spark):
+    import pytest
+    from tree_code_chunker_spark.operators.events import resample_ffill
+
+    import random
+    rng = random.Random(3)
+    rows = [("k%d" % (i % 5), rng.randrange(0, 1000), float(i))
+            for i in range(400)]
+    ev = spark.createDataFrame(rows, "sym string, ts long, v double")
+    outs = []
+    for nparts in (1, 11):
+        outs.append(sorted(map(tuple, resample_ffill(
+            ev.repartition(nparts), ["sym"], "ts", 0, 1000, 50).collect())))
+    assert outs[0] == outs[1] and len(outs[0]) == 5 * 21
+    with pytest.raises(ValueError, match="step"):
+        resample_ffill(ev, ["sym"], "ts", 0, 100, 0)
+    with pytest.raises(ValueError, match="< start"):
+        resample_ffill(ev, ["sym"], "ts", 100, 0, 10)

@@ -321,3 +321,34 @@ def time_weighted_avg(events: DataFrame, key: str, ts: str, value: str,
     ).otherwise(
         F.round(F.col("_vsum").cast("double") / F.col("n"), round_dp))
     return out.select(F.col("k").alias(key), "n", twa.alias("twa"))
+
+
+def resample_ffill(events: DataFrame, on: list[str], ts_col: str,
+                   start: int, end: int, step: int) -> DataFrame:
+    """Regular-grid resampling with forward fill (last observation
+    carried forward): one output row per key per grid instant t in
+    [start, end] stepping by `step` (integer time units), carrying the
+    latest event at or before t — the telemetry/feature-table staple
+    that turns irregular events into a fixed-frequency training input.
+
+    A thin composition over asof_join's zero-join union-tag plan: the
+    grid (keys × sequence, generated as a JVM expression, never
+    collected) is the probe side, so the whole operator is one exchange
+    on the keys + one per-partition sort; no join node.  Grid instants
+    before a key's first event carry NULLs (left-join semantics), and
+    duplicate-timestamp events resolve by asof_join's payload-struct
+    total order — deterministic at any parallelism.
+
+    Output: on + t + every non-key event column as r_{col}
+    (r_{ts_col} = the source event time, i.e. staleness = t - r_ts).
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    if end < start:
+        raise ValueError(f"end {end} < start {start}")
+    grid = (events.select(*on).distinct()
+            .withColumn("t", F.explode(F.expr(
+                f"sequence(CAST({int(start)} AS BIGINT), "
+                f"CAST({int(end)} AS BIGINT), "
+                f"CAST({int(step)} AS BIGINT))"))))
+    return asof_join(grid, events, on=on, left_ts="t", right_ts=ts_col)

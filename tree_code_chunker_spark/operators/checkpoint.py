@@ -109,3 +109,30 @@ def pipeline_lineage(root: str) -> list[dict]:
             with open(p) as f:
                 out.append(json.load(f))
     return out
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: tuple,
+                   n_buckets: int, sort_cols: tuple = (),
+                   mode: str = "overwrite") -> None:
+    """Persist `df` as a Spark BUCKETED table: rows hash-partitioned into
+    `n_buckets` files per partition by `bucket_cols` (optionally sorted
+    within each bucket), registered in the session catalog.
+
+    Why this matters at 100 TB: two tables bucketed the same way
+    (same columns, same bucket count) join WITHOUT any exchange — the
+    bucketing metadata proves co-location, so every repeated join/agg on
+    the bucket key skips its shuffle entirely (verified by test: the
+    joined plan contains zero shuffle exchanges).  This is the persisted
+    complement of layout_by_cell: zkey layout accelerates scans via
+    file-skipping; bucketing accelerates joins via shuffle elision.
+    Bucketed output requires the table catalog (saveAsTable) — plain
+    .parquet(path) writes cannot carry bucket metadata.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

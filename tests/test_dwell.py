@@ -92,3 +92,38 @@ def test_zonal_mode_majority_and_ties(spark):
         "cat string, qlat long, qlon long")
     r2 = zonal_mode(pts2, polys, value="cat").collect()[0]
     assert (r2.mode_value, r2.mode_count, r2.n_points) == ("y", 2, 4)
+
+
+def test_group_quantiles_approx_rank_error_bound(spark):
+    from tree_code_chunker_spark.operators.profile import (
+        group_quantiles_approx,
+    )
+    import random
+    rng = random.Random(11)
+    rows = [("g%d" % (i % 3), float(rng.randrange(0, 100000)))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = (0.25, 0.5, 0.9)
+    out = group_quantiles_approx(df, "k", "v", qs, accuracy=10000).collect()
+    by_key = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    assert len(out) == 3
+    for r in out:
+        vals = sorted(by_key[r.key])
+        n = len(vals)
+        assert r.n == n
+        for q, col in zip(qs, ("p25", "p50", "p90")):
+            got = getattr(r, col)
+            assert got in by_key[r.key]          # an actual element
+            # GK guarantee: |rank - q*n| <= n/accuracy (+1 slack for
+            # boundary definitions)
+            import bisect
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / 10000 + 1, (r.key, q, got, err)
+    import pytest
+    with pytest.raises(ValueError, match="accuracy"):
+        group_quantiles_approx(df, "k", "v", qs, accuracy=0)

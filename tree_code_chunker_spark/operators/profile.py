@@ -200,3 +200,34 @@ def corr_matrix_sql(table: str, cols: list[str],
             f"{ROUND}) ELSE 0.0 END AS corr FROM corr_moments")
     return (f"corr_moments AS (SELECT {', '.join(moment_sel)} "
             f"FROM {table})\n" + "\nUNION ALL\n".join(unions))
+
+
+def group_quantiles_approx(df: DataFrame, key: str, value: str,
+                           qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+                           accuracy: int = 10000) -> DataFrame:
+    """The bounded-memory scale path for per-group quantiles: Spark's
+    `percentile_approx` (Greenwald-Khanna sketch) instead of the exact
+    rank interpolation — same call shape and output columns as
+    group_quantiles, but per-group state is O(accuracy · log n) rather
+    than every value, so groups with billions of rows cannot blow the
+    aggregation buffer.
+
+    Contract differences from the exact form, stated rather than hidden:
+    the result is an ACTUAL element of the group (no interpolation), and
+    its rank error is bounded by n/accuracy.  Mergeable partial sketches
+    mean one shuffle on the key, map-side combine intact.
+    """
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    agg = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value), ROUND).alias("mean_v"),
+        F.expr(f"percentile_approx({value}, array({q_list}), "
+               f"{int(accuracy)})").alias("_ps"),
+    )
+    return agg.select(
+        "key", "n", "mean_v",
+        *[F.col("_ps")[i].alias(f"p{int(q * 100)}")
+          for i, q in enumerate(qs)],
+    )

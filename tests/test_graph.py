@@ -365,3 +365,75 @@ def test_sssp_raises_when_rounds_exhausted(spark):
            sssp(_mk_wedges(spark, triples), seeds,
                 max_dist=12, max_rounds=12).collect()}
     assert got == {i: i for i in range(13)}
+
+
+from tree_code_chunker_spark.operators.graph import (  # noqa: E402
+    pagerank_weighted,
+    pagerank_weighted_sql,
+)
+
+
+def _pagerank_weighted_py(triples, iters=5, num=85, den=100, scale=SCALE):
+    nodes = sorted({s for s, _, _ in triples} | {d for _, d, _ in triples})
+    wsum = {}
+    for s, _, w in triples:
+        wsum[s] = wsum.get(s, 0) + w
+    base = scale * (den - num) // den
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        arrived = {}
+        for s, d, w in triples:
+            arrived[d] = arrived.get(d, 0) + (rank[s] * w) // wsum[s]
+        rank = {n: base + num * arrived.get(n, 0) // den for n in nodes}
+    return rank
+
+
+def _rand_wedges(rng, n_nodes=40, n_edges=200, wmax=9):
+    out = {}
+    while len(out) < n_edges:
+        s, d = int(rng.randint(0, n_nodes)), int(rng.randint(0, n_nodes))
+        if s != d:
+            out[(s, d)] = int(rng.randint(1, wmax + 1))
+    return sorted((s, d, w) for (s, d), w in out.items())
+
+
+def test_pagerank_weighted_vs_python_and_parallelism(spark):
+    import numpy as np
+    rng = np.random.RandomState(67)
+    triples = _rand_wedges(rng)
+    df = spark.createDataFrame(triples, "src bigint, dst bigint, w bigint")
+    want = _pagerank_weighted_py(triples)
+    for nparts in (1, 7):
+        got = {r.node: r.rank for r in
+               pagerank_weighted(df.repartition(nparts)).collect()}
+        assert got == want
+    # all weight on one edge == that edge gets the full uniform share
+    tri2 = [(0, 1, 1000000), (0, 2, 1)]
+    got2 = {r.node: r.rank for r in pagerank_weighted(
+        spark.createDataFrame(tri2, "src bigint, dst bigint, w bigint"),
+        iters=1).collect()}
+    assert got2[1] > got2[2]
+
+
+def test_pagerank_weighted_duckdb_mirror(spark):
+    import duckdb
+    import numpy as np
+    rng = np.random.RandomState(71)
+    triples = _rand_wedges(rng, n_nodes=25, n_edges=100)
+    df = spark.createDataFrame(triples, "src bigint, dst bigint, w bigint")
+    got = sorted((r.node, r.rank)
+                 for r in pagerank_weighted(df, iters=4).collect())
+    ev = ", ".join(f"({s}, {d}, {w})" for s, d, w in triples)
+    sql = ("WITH e(src, dst, w) AS (VALUES " + ev + "), "
+           + pagerank_weighted_sql("e", iters=4))
+    want = sorted((int(n), int(r)) for n, r in
+                  duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 0)], "src bigint, dst bigint, w bigint")
+    with pytest.raises(Exception, match="positive integer weights"):
+        pagerank_weighted(df, iters=1).collect()

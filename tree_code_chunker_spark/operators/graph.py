@@ -524,3 +524,97 @@ def sssp_sql(edges_cte: str, seeds_cte: str, max_dist: int) -> str:
   WHERE w.d + e.w <= {max_dist}
 )
 SELECT node, min(d) AS dist FROM sssp_walk GROUP BY node"""
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Weighted PageRank: edges(src, dst, w) with positive integer
+    weights — each node splits its rank across out-edges PROPORTIONALLY
+    to weight instead of evenly: per-edge contribution =
+    (rank * w) div sum_w(src), everything else as pagerank_int's 'drop'
+    mode (base + damped arrivals, integer fixed point, bit-exact at any
+    parallelism, chained-CTE mirrorable via pagerank_weighted_sql).
+
+    Parallel (src, dst) rows are independent edges (their truncated
+    contributions add; NOT identical to one merged-weight edge — the
+    defined semantics is per edge row, and the mirror does the same).
+    Overflow bound: rank * w must stay under 2^63; rank <= n_nodes *
+    scale, so with the default scale=1e6 any w <= ~9e18 / (n * 1e6)
+    is safe and ANSI mode throws loudly rather than wrapping if not.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = scale * (damping_den - damping_num) // damping_den
+    w_checked = F.when(
+        F.col("w").cast("long") >= 1, F.col("w").cast("long")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("pagerank_weighted requires positive integer weights; "
+              "got w="), F.col("w").cast("string"))))
+    e = (edges.select("src", "dst", w_checked.alias("w"))
+         .localCheckpoint(eager=False))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wsum = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("wsum")).localCheckpoint(eager=False)
+    rank = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            rank.join(wsum, "node")
+            .join(e, F.col("node") == e["src"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("(rank * w) div wsum").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("arrived"))
+        )
+        damped = F.expr(
+            f"(({damping_num} * coalesce(arrived, CAST(0 AS BIGINT)))"
+            f" div {damping_den})")
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select("node", (F.lit(base) + damped).cast("long").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return rank
+
+
+def pagerank_weighted_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB mirror of pagerank_weighted over `edges_cte`(src, dst, w):
+    chained per-iteration CTEs, INTEGRAL `//` division on non-negative
+    operands matching Spark's `div` bit-for-bit."""
+    base = scale * (damping_den - damping_num) // damping_den
+    ctes = [
+        f"prw_nodes AS (SELECT DISTINCT node FROM "
+        f"(SELECT src AS node FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        f"prw_wsum AS (SELECT src AS node, SUM(w) AS wsum "
+        f"FROM {edges_cte} GROUP BY 1)",
+        f"prw_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank "
+        f"FROM prw_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"prw_r{i - 1}"
+        ctes.append(
+            f"prw_r{i} AS (SELECT n.node, CAST({base} + "
+            f"(({damping_num} * COALESCE(s.arrived, 0)) // {damping_den})"
+            f" AS BIGINT) AS rank FROM prw_nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM((r.rank * e.w) // ws.wsum) AS arrived"
+            f" FROM {prev} r JOIN prw_wsum ws ON r.node = ws.node"
+            f" JOIN {edges_cte} e ON e.src = r.node"
+            f" GROUP BY 1) s ON n.node = s.node)")
+    return (", ".join(ctes)
+            + f" SELECT node, rank FROM prw_r{iters}")

@@ -127,3 +127,41 @@ def test_group_quantiles_approx_rank_error_bound(spark):
     import pytest
     with pytest.raises(ValueError, match="accuracy"):
         group_quantiles_approx(df, "k", "v", qs, accuracy=0)
+
+
+def test_sample_weighted_k_mirror_and_contracts(spark):
+    import math
+    import pytest
+    from tree_code_chunker_spark.operators.training import (
+        POLY_MOD,
+        sample_weighted_k,
+    )
+    from tree_code_chunker_spark.operators.training import _sample_key_col
+
+    rows = [("d%03d" % i, float(1 + (i * 7) % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, q double")
+    # python mirror: same uniform key (read back from the shared column
+    # expression so the formulas cannot drift), same 9dp-rounded es
+    keys = {r.doc_id: r.k for r in df.select(
+        "doc_id", _sample_key_col("doc_id", 42).alias("k")).collect()}
+    es = {d: round(-math.log((keys[d] + 1.0) / (POLY_MOD + 1.0)) / q, 9)
+          for d, q in rows}
+    want = sorted(rows, key=lambda r: (es[r[0]], r[0]))[:25]
+    got = [(r.doc_id, r.q) for r in
+           sample_weighted_k(df, 25, "q").collect()]
+    assert got == [(d, q) for d, q in want]
+    # determinism across parallelism
+    got2 = [(r.doc_id, r.q) for r in
+            sample_weighted_k(df.repartition(9), 25, "q").collect()]
+    assert got2 == got
+    # a huge weight forces selection; k >= n returns everything
+    df2 = df.withColumn("q", F.when(F.col("doc_id") == "d199",
+                                    1e12).otherwise(F.col("q")))
+    assert "d199" in {r.doc_id for r in
+                      sample_weighted_k(df2, 5, "q").collect()}
+    assert sample_weighted_k(df, 500, "q").count() == 200
+    with pytest.raises(ValueError, match="k must"):
+        sample_weighted_k(df, 0, "q")
+    with pytest.raises(Exception, match="weights > 0"):
+        sample_weighted_k(
+            df.withColumn("q", F.lit(0.0)), 5, "q").collect()

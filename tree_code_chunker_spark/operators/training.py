@@ -392,3 +392,43 @@ SELECT * EXCLUDE (_rn, _k) FROM (
     ON t.{group_col} = lim.{group_col}
 ) WHERE _rn <= _k
 """
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets the exponential key
+    es = -ln(u) / w with u the shared content-derived uniform in (0, 1],
+    and the k SMALLEST keys win — P(selection) is proportional to
+    weight, without replacement, in one pass.  The complement of
+    sample_weighted's independent Bernoulli (which cannot hit an exact
+    budget) — this is the pick-exactly-k-docs-by-quality form.
+
+    Deterministic end to end: u derives from poly31(id:seed) (the same
+    key every sampler here uses), es is rounded at 9 dp right after the
+    one non-correctly-rounded op (ln — the bm25 discipline), and the
+    (es, id) ordering is a total order.  Top-k runs as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k), so
+    there is no global sort at any scale.
+
+    Weights must be > 0; the guard rides the consumed expression.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_checked = F.when(
+        F.col(weight_col).cast("double") > 0,
+        F.col(weight_col).cast("double"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("sample_weighted_k requires weights > 0; got "),
+        F.col(weight_col).cast("string"))))
+    u = (_sample_key_col(id_col, seed) + F.lit(1).cast("double")) \
+        / F.lit(float(POLY_MOD) + 1.0)
+    es = F.round(-F.log(u) / w_checked, 9)
+    return (df.withColumn("es_key", es)
+            .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+            .limit(int(k)))

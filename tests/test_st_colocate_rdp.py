@@ -284,3 +284,26 @@ def test_st_colocate_odd_t_col_name(spark):
     want = sorted(map(tuple, st_colocate_join(
         _mkpoints(spark, 240), 200, 2000).collect()))
     assert got == want and got
+
+
+def test_st_colocate_anti_complement(spark):
+    from tree_code_chunker_spark.operators.spatial import st_colocate_anti
+
+    a = _mkpoints(spark, 150)
+    b = (_mkpoints(spark, 90)
+         .select((F.col("qlat") + 25).alias("qlat"),
+                 (F.col("qlon") - 13).alias("qlon"),
+                 (F.col("t_s") + 200).alias("t_s")))
+    radius, dt = 120, 1200
+    anti = {(r.doc_id, r.span_pos)
+            for r in st_colocate_anti(a, b, radius, dt).collect()}
+    hit = {(r.doc_id, r.span_pos) for r in st_colocate_ab(
+        a, b.select(F.lit(0).alias("b_doc_id"),
+                    F.lit(0).alias("b_span_pos"), "qlat", "qlon", "t_s"),
+        radius, dt).collect()}
+    allk = {(r.doc_id, r.span_pos) for r in a.collect()}
+    assert anti == allk - hit
+    assert anti and hit                     # both sides non-vacuous
+    # anti keeps ALL original columns
+    cols = st_colocate_anti(a, b, radius, dt).columns
+    assert set(cols) == set(a.columns)

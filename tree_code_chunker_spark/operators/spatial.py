@@ -1339,3 +1339,34 @@ def zonal_mode(
             .agg(F.max_by(F.col("v"), pick).alias("mode_value"),
                  F.max("n").alias("mode_count"),
                  F.sum("n").alias("n_points")))
+
+
+def st_colocate_anti(
+    a: DataFrame,
+    b: DataFrame,
+    radius: int,
+    dt: int,
+    a_keep: tuple[str, ...] = ("doc_id", "span_pos"),
+    t_col: str = "t_s",
+    b_t_col: str | None = None,
+    res: int | None = None,
+) -> DataFrame:
+    """Isolation query: the A rows with NO space-time contact in B —
+    no b within `radius` grid units AND `dt` time units (the complement
+    of st_colocate_ab, the pip_anti of the spatiotemporal family:
+    sensors that never saw a beacon, vessels outside every escort
+    window).
+
+    One pruned candidate join to find contacted A keys, then a
+    LEFT ANTI join back — the anti side shuffles only the contacted-key
+    set, which is <= |A| and usually far smaller.  Output: the full A
+    rows (all columns), un-contacted only.
+    """
+    hit = (st_colocate_ab(
+        a, b.select(
+            F.col(t_col if b_t_col is None else b_t_col).alias("_bt"),
+            "qlat", "qlon"),
+        radius, dt, a_keep=a_keep, b_keep=("_bt",),
+        t_col=t_col, b_t_col="_bt", res=res)
+        .select(*a_keep).distinct())
+    return a.join(hit, list(a_keep), "left_anti")

@@ -165,3 +165,15 @@ def test_sample_weighted_k_mirror_and_contracts(spark):
     with pytest.raises(Exception, match="weights > 0"):
         sample_weighted_k(
             df.withColumn("q", F.lit(0.0)), 5, "q").collect()
+
+
+def test_group_quantiles_approx_subpercent_labels(spark):
+    from tree_code_chunker_spark.operators.profile import (
+        group_quantiles_approx,
+    )
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], "k string, v double")
+    out = group_quantiles_approx(df, "k", "v", qs=(0.99, 0.999))
+    assert "p99" in out.columns and "p99_9" in out.columns
+    r = out.collect()[0]
+    assert r.p99 <= r.p99_9

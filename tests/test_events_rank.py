@@ -389,3 +389,15 @@ def test_resample_ffill_deterministic_and_args(spark):
         resample_ffill(ev, ["sym"], "ts", 0, 100, 0)
     with pytest.raises(ValueError, match="< start"):
         resample_ffill(ev, ["sym"], "ts", 100, 0, 10)
+
+
+def test_resample_ffill_rejects_t_collision(spark):
+    import pytest
+    from tree_code_chunker_spark.operators.events import resample_ffill
+
+    ev = spark.createDataFrame([("a", 1, 2.0)], "t string, ts long, v double")
+    with pytest.raises(ValueError, match="'t' collides"):
+        resample_ffill(ev, ["t"], "ts", 0, 10, 5)
+    ev2 = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, v double")
+    with pytest.raises(ValueError, match="'t' collides"):
+        resample_ffill(ev2, ["k"], "t", 0, 10, 5)

@@ -437,3 +437,29 @@ def test_pagerank_weighted_rejects_bad_weights(spark):
         [(0, 1, 2), (1, 2, 0)], "src bigint, dst bigint, w bigint")
     with pytest.raises(Exception, match="positive integer weights"):
         pagerank_weighted(df, iters=1).collect()
+
+
+def test_weighted_ops_reject_fractional_weights(spark):
+    import pytest
+    frac = spark.createDataFrame(
+        [(0, 1, 2.7), (1, 2, 1.0)], "src bigint, dst bigint, w double")
+    with pytest.raises(Exception, match="positive integer weights"):
+        pagerank_weighted(frac, iters=1).collect()
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(Exception, match="positive integer weights"):
+        sssp(frac, seeds, max_dist=10).collect()
+    # integral doubles are fine
+    ok = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0)], "src bigint, dst bigint, w double")
+    assert pagerank_weighted(ok, iters=1).count() == 3
+    assert sssp(ok, seeds, max_dist=10).count() == 3
+
+
+def test_pagerank_weighted_overflow_throws_not_wraps(spark):
+    import pytest
+    # rank * w past 2^63 must THROW under the project's ANSI sessions,
+    # never wrap silently (the docstring's overflow contract)
+    big = spark.createDataFrame(
+        [(0, 1, 9_000_000_000_000_000)], "src bigint, dst bigint, w bigint")
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        pagerank_weighted(big, iters=1).collect()

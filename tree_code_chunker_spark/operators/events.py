@@ -346,6 +346,12 @@ def resample_ffill(events: DataFrame, on: list[str], ts_col: str,
         raise ValueError(f"step must be >= 1, got {step}")
     if end < start:
         raise ValueError(f"end {end} < start {start}")
+    if "t" in on or ts_col == "t":
+        # withColumn("t") would silently overwrite the key column and
+        # partition the as-of join on grid instants instead of keys
+        raise ValueError(
+            "a key or ts column named 't' collides with the grid column; "
+            "rename it before resampling")
     grid = (events.select(*on).distinct()
             .withColumn("t", F.explode(F.expr(
                 f"sequence(CAST({int(start)} AS BIGINT), "

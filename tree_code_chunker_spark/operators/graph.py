@@ -464,7 +464,10 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_dist: int,
     # eager scan of a possibly-huge edge list, and Catalyst cannot
     # prune it away because w feeds the relaxation arithmetic).
     w_checked = F.when(
-        F.col("w").cast("long") >= 1, F.col("w").cast("long")
+        (F.col("w").cast("long") >= 1)
+        & (F.col("w").cast("double")
+           == F.col("w").cast("long").cast("double")),
+        F.col("w").cast("long")
     ).otherwise(F.raise_error(F.concat(
         F.lit("sssp requires positive integer weights; got w="),
         F.col("w").cast("string"))))
@@ -544,14 +547,21 @@ def pagerank_weighted(
     contributions add; NOT identical to one merged-weight edge — the
     defined semantics is per edge row, and the mirror does the same).
     Overflow bound: rank * w must stay under 2^63; rank <= n_nodes *
-    scale, so with the default scale=1e6 any w <= ~9e18 / (n * 1e6)
-    is safe and ANSI mode throws loudly rather than wrapping if not.
+    scale, so with the default scale=1e6 any w <= ~9e18 / (n * 1e6) is
+    safe.  Past the bound the engine THROWS (ArithmeticException) —
+    pinned by test — because the project sessions run Spark 4's
+    default ANSI mode; on an ANSI-off deployment the caller must keep
+    within the bound (document-checked, not silently wrapped, ONLY
+    under ANSI).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     base = scale * (damping_den - damping_num) // damping_den
     w_checked = F.when(
-        F.col("w").cast("long") >= 1, F.col("w").cast("long")
+        (F.col("w").cast("long") >= 1)
+        & (F.col("w").cast("double")
+           == F.col("w").cast("long").cast("double")),
+        F.col("w").cast("long")
     ).otherwise(F.raise_error(F.concat(
         F.lit("pagerank_weighted requires positive integer weights; "
               "got w="), F.col("w").cast("string"))))
@@ -564,12 +574,18 @@ def pagerank_weighted(
         .localCheckpoint(eager=False)
     )
     wsum = e.groupBy(F.col("src").alias("node")).agg(
-        F.sum("w").alias("wsum")).localCheckpoint(eager=False)
+        F.sum("w").alias("wsum"))
+    # (w, wsum) are loop-invariant: join them onto the edge list ONCE so
+    # each iteration is one rank-to-edges join + one agg, same shape as
+    # pagerank_int (the per-iteration wsum join the first cut had was a
+    # review finding)
+    e_w = (e.join(wsum, e["src"] == wsum["node"])
+           .select("src", "dst", "w", "wsum")
+           .localCheckpoint(eager=False))
     rank = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            rank.join(wsum, "node")
-            .join(e, F.col("node") == e["src"])
+            rank.join(e_w, rank["node"] == e_w["src"])
             .select(F.col("dst").alias("node"),
                     F.expr("(rank * w) div wsum").alias("c"))
             .groupBy("node")

@@ -219,6 +219,11 @@ def group_quantiles_approx(df: DataFrame, key: str, value: str,
     """
     if accuracy < 1:
         raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    # label p25 / p99 / p99_9: %g keeps sub-percent quantiles distinct
+    # (int(q*100) would collide 0.99 and 0.999 into two "p99" columns)
+    labels = [("p" + ("%g" % (q * 100)).replace(".", "_")) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs}")
     q_list = ", ".join(repr(float(q)) for q in qs)
     agg = df.groupBy(F.col(key).alias("key")).agg(
         F.count("*").alias("n"),
@@ -228,6 +233,5 @@ def group_quantiles_approx(df: DataFrame, key: str, value: str,
     )
     return agg.select(
         "key", "n", "mean_v",
-        *[F.col("_ps")[i].alias(f"p{int(q * 100)}")
-          for i, q in enumerate(qs)],
+        *[F.col("_ps")[i].alias(lab) for i, lab in enumerate(labels)],
     )

@@ -1361,6 +1361,12 @@ def st_colocate_anti(
     LEFT ANTI join back — the anti side shuffles only the contacted-key
     set, which is <= |A| and usually far smaller.  Output: the full A
     rows (all columns), un-contacted only.
+
+    CONTRACT: `a_keep` must uniquely identify A rows (the default
+    (doc_id, span_pos) is the point key everywhere in this engine).
+    The anti join removes by KEY, so with a non-unique a_keep every
+    row sharing a contacted key is removed — pass the row key, not a
+    grouping column.
     """
     hit = (st_colocate_ab(
         a, b.select(

@@ -463,3 +463,57 @@ def test_pagerank_weighted_overflow_throws_not_wraps(spark):
         [(0, 1, 9_000_000_000_000_000)], "src bigint, dst bigint, w bigint")
     with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
         pagerank_weighted(big, iters=1).collect()
+
+
+from tree_code_chunker_spark.operators.graph import label_propagation  # noqa: E402
+
+
+def _lpa_py(pairs, iters):
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nodes = sorted({s for s, _ in und} | {d for _, d in und})
+    adj = {}
+    for s, d in und:
+        adj.setdefault(d, []).append(s)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt = {}
+            for m in adj.get(n, []):
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            if cnt:
+                mx = max(cnt.values())
+                new[n] = min(l for l, c in cnt.items() if c == mx)
+            else:
+                new[n] = lab[n]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques_and_python_mirror(spark):
+    # two 4-cliques joined by one bridge edge: LPA should give each
+    # clique one label (the clique minimum)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iters=5).collect()}
+    assert got == _lpa_py(pairs, 5)
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+
+
+def test_label_propagation_random_mirror_and_parallelism(spark):
+    import random
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(90)})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    want = _lpa_py(pairs, 4)
+    for nparts in (1, 7):
+        got = {r.node: r.label for r in
+               label_propagation(df.repartition(nparts), iters=4).collect()}
+        assert got == want

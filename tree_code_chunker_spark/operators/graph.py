@@ -634,3 +634,48 @@ def pagerank_weighted_sql(
             f" GROUP BY 1) s ON n.node = s.node)")
     return (", ".join(ctes)
             + f" SELECT node, rank FROM prw_r{iters}")
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Synchronous label propagation communities over an UNDIRECTED view
+    of edges(src, dst): every node starts as its own label; each
+    iteration every node adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label — a deterministic
+    total order, so unlike classic randomized LPA the result is
+    bit-identical at any parallelism and mirrorable in plain python.
+    Fixed `iters` sweeps (synchronous LPA need not converge — it can
+    two-cycle on bipartite-ish structure — so a fixed sweep count IS
+    the contract, not a truncation).
+
+    Per iteration: one labels-to-edges equi-join, one (node, label)
+    count agg, one per-node max + join + min — all hash shuffles on
+    node-sized or edge-sized keys, localCheckpoint per round.  Isolated
+    labels never move; nodes keep their own label only when they have
+    no neighbors (mode-of-neighbors excludes self).
+
+    Output: (node, label) — community id = the label that survived.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")))
+    und = (d.unionByName(d.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=False))
+    nodes = und.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        # neighbor label histogram: label of src arrives at dst
+        hist = (labels.join(und, labels["node"] == und["src"])
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").alias("n")))
+        top = hist.groupBy("node").agg(F.max("n").alias("mx"))
+        pick = (hist.join(top, "node")
+                .filter(F.col("n") == F.col("mx"))
+                .groupBy("node").agg(F.min("label").alias("new_label")))
+        labels = (labels.join(pick, "node", "left")
+                  .select("node",
+                          F.coalesce("new_label", "label").alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels

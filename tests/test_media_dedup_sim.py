@@ -641,3 +641,53 @@ def test_edit1_join_catches_all_single_edits(spark):
     assert all(not (a == 1 and b == 5) for a, b, _ in got)  # 2 edits out
     # symmetry/one-direction: every pair reported once with id_a < id_b
     assert all(a < b for a, b, _ in got)
+
+
+def test_media_phash_and_near_dup_pairs(spark):
+    from tree_code_chunker_spark.operators.media import (
+        media_near_dup_pairs,
+        media_phash,
+    )
+
+    refs = spark.createDataFrame(
+        [(f"ref://m/{i}",) for i in range(60)], "media_ref string")
+    media = synth_media(spark, refs)
+    ph = media_phash(media).collect()
+    assert len(ph) == 60 and all(r.ok and r.phash is not None for r in ph)
+    assert all(0 <= r.phash < (1 << FEATURE_DIM) for r in ph)
+    # python mirror: same aHash from the same fake decode
+    import numpy as np
+    from tree_code_chunker_spark.operators.media import _fake_decode
+    for r in ph[:10]:
+        # synth_media contract: payload == utf-8 bytes of media_ref
+        f = _fake_decode(r.media_ref.encode("utf-8"), r.kind)
+        want = sum(1 << i for i in range(FEATURE_DIM) if f[i] > f.mean())
+        assert r.phash == want, r.media_ref
+    # near-dup pairs == brute-force hamming <= h over the mirror hashes
+    h = 3
+    hashes = {r.media_ref: r.phash for r in ph}
+    want_pairs = {(a, b) for a in hashes for b in hashes if a < b
+                  and bin(hashes[a] ^ hashes[b]).count("1") <= h}
+    got = {(r.mid, r.b_mid) for r in
+           media_near_dup_pairs(media, max_hamming=h).collect()}
+    assert got == want_pairs
+    assert want_pairs  # non-vacuous at 16 bits / 60 items
+
+
+def test_media_near_dup_zero_tolerance_and_bad_rows(spark):
+    from tree_code_chunker_spark.operators.media import media_near_dup_pairs
+
+    refs = spark.createDataFrame(
+        [(f"ref://m/{i}",) for i in range(40)], "media_ref string")
+    media = synth_media(spark, refs)
+
+    def half_bad(payload, kind):
+        if payload and payload[-1] % 2 == 0:
+            raise ValueError("boom")
+        return _fake_decode(payload, kind)
+
+    from tree_code_chunker_spark.operators.media import _fake_decode
+    pairs = media_near_dup_pairs(media, max_hamming=0, decode_fn=half_bad)
+    rows = pairs.collect()
+    # failed decodes are excluded, never crash the job
+    assert all(r.hamming == 0 for r in rows)

@@ -279,3 +279,75 @@ SELECT doc_id, span_pos, media_ref,
 FROM {spans_cte}
 QUALIFY kind = 'media'
 """
+
+
+def media_phash(df: DataFrame, decode_fn=None) -> DataFrame:
+    """Perceptual average-hash over the decoded feature vector: bit i is
+    set iff feature[i] exceeds the vector's own mean — the classic
+    aHash, invariant to global brightness/gain shifts of the decoded
+    signal.  Runs on whatever decoder extract_media_features is given
+    (the deterministic fake here; a real PIL/ffmpeg decoder on a real
+    cluster via decode_fn=), entirely in JVM expressions after the
+    decode: one aggregate for the mean, one fold packing FEATURE_DIM
+    bits into a BIGINT.  Failed decodes (ok=false) carry phash NULL.
+
+    Output: input media columns + ok/error + phash (bigint).
+    """
+    feats = extract_media_features(df, decode_fn)
+    mean = F.expr(
+        "aggregate(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        " / size(feature)")
+    pack = F.expr(
+        "aggregate(transform(sequence(0, size(feature) - 1), "
+        "i -> IF(feature[i] > _fmean, shiftleft(CAST(1 AS BIGINT), i), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    return (feats.withColumn("_fmean", mean)
+            .withColumn("phash",
+                        F.when(F.col("ok"), pack).otherwise(F.lit(None)))
+            .drop("_fmean"))
+
+
+def media_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
+                         id_col: str = "media_ref",
+                         decode_fn=None) -> DataFrame:
+    """Perceptual near-duplicate media pairs: unordered id pairs whose
+    average-hashes differ in <= max_hamming bits.
+
+    Banded exactly like the text SimHash/MinHash dedup: the hash splits
+    into max_hamming + 1 bit-bands, so any pair within tolerance agrees
+    on at least one whole band (pigeonhole) and is caught by a pure
+    equi-join on (band_id, band_bits) — never all-pairs — then verified
+    with an exact bit_count(xor) filter.  The same shape that carries
+    the text dedup to corpus scale carries images/audio once a real
+    decoder is swapped in.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_bands = int(max_hamming) + 1
+    width = (FEATURE_DIM + n_bands - 1) // n_bands
+    ph = (media_phash(df, decode_fn)
+          .filter(F.col("ok"))
+          .select(F.col(id_col).alias("mid"), "phash"))
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.shiftrightunsigned(
+                F.col("phash"), j * width).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("band_bits"))
+        for j in range(n_bands)
+    ])).alias("b")
+    sides = ph.select("mid", "phash", bands).select(
+        "mid", "phash", F.col("b.band_id").alias("band_id"),
+        F.col("b.band_bits").alias("band_bits"))
+    other = sides.select(F.col("mid").alias("b_mid"),
+                         F.col("phash").alias("b_phash"),
+                         "band_id", "band_bits")
+    return (
+        sides.join(other, ["band_id", "band_bits"])
+        .filter(F.col("mid") < F.col("b_mid"))
+        .select("mid", "b_mid",
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("b_phash")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .distinct()
+    )

@@ -401,3 +401,39 @@ def test_resample_ffill_rejects_t_collision(spark):
     ev2 = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, v double")
     with pytest.raises(ValueError, match="'t' collides"):
         resample_ffill(ev2, ["k"], "t", 0, 10, 5)
+
+
+def test_rolling_zscore_flags_spike_not_steady(spark):
+    from tree_code_chunker_spark.operators.events import rolling_zscore
+
+    rows = ([("a", t, 10.0 + (t % 3) * 0.1) for t in range(0, 200, 10)]
+            + [("a", 205, 500.0)]              # spike
+            + [("b", t, 7.0) for t in range(0, 100, 10)])   # constant
+    ev = spark.createDataFrame(rows, "sym string, ts long, v double")
+    out = rolling_zscore(ev, "sym", "ts", "v", window_us=100,
+                         k_sigma=3.0, min_points=5).collect()
+    flagged = {(r.sym, r.ts_us) for r in out if r.is_anomaly}
+    assert flagged == {("a", 205)}
+    # constant series: zero variance -> z NULL, never flagged
+    bs = [r for r in out if r.sym == "b"]
+    assert all(r.z is None and not r.is_anomaly for r in bs)
+    # python mirror of the BASELINE moments (strictly earlier events)
+    win = [v for s, t, v in rows if s == "a" and 105 <= t <= 204]
+    m = sum(win) / len(win)
+    var = sum(x * x for x in win) / len(win) - m * m
+    spike = [r for r in out if r.sym == "a" and r.ts_us == 205][0]
+    assert spike.n_w == len(win)
+    # relative tolerance: the engine's decimal-exact moments and the
+    # mirror's float moments agree to ~1e-12 relative, not absolute
+    want_z = (500.0 - m) / var ** 0.5
+    assert abs(spike.z - want_z) / abs(want_z) < 1e-9
+
+
+def test_rolling_zscore_min_points_gate(spark):
+    from tree_code_chunker_spark.operators.events import rolling_zscore
+    # an early wild value with < min_points context must NOT flag
+    rows = [("a", 0, 1.0), ("a", 10, 99.0)]
+    ev = spark.createDataFrame(rows, "sym string, ts long, v double")
+    out = rolling_zscore(ev, "sym", "ts", "v", window_us=100,
+                         k_sigma=1.0, min_points=5).collect()
+    assert not any(r.is_anomaly for r in out)

@@ -358,3 +358,56 @@ def resample_ffill(events: DataFrame, on: list[str], ts_col: str,
                 f"CAST({int(end)} AS BIGINT), "
                 f"CAST({int(step)} AS BIGINT))"))))
     return asof_join(grid, events, on=on, left_ts="t", right_ts=ts_col)
+
+
+def rolling_zscore(events: DataFrame, key: str, ts: str, value: str,
+                   window_us: int, k_sigma: float = 3.0,
+                   min_points: int = 5,
+                   id_cols: list[str] | None = None) -> DataFrame:
+    """Trailing-window anomaly flags: for every event, the z-score of its
+    value against the mean/std of the SAME key's STRICTLY EARLIER
+    events in [ts - window_us, ts) — the point (and its equal-timestamp
+    peers) is excluded from its own baseline, because a self-included
+    z-score is capped at ~sqrt(n-1) no matter how wild the value is —
+    flagged when |z| > k_sigma and the baseline holds >= min_points
+    events.  The standard streaming data-quality / outlier screen.
+
+    Moments accumulate as DECIMAL(28,6) / DECIMAL(38,12) (sum and sum
+    of squares), so the windowed sums are exact and order-independent;
+    only the final variance/sqrt/z arithmetic is float (per-row,
+    single-expression, deterministic).  Population variance over the
+    window; a zero-variance window (all equal values) yields z = NULL
+    and never flags.  Same scale shape as rolling_time_agg: one
+    shuffle on the key, O(n) two-pointer RANGE frame.
+    """
+    if min_points < 1:
+        raise ValueError(f"min_points must be >= 1, got {min_points}")
+    id_cols = id_cols or []
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_ts_us"))
+         .rangeBetween(-int(window_us), -1))
+    dec = F.col(value).cast("decimal(28,6)")
+    base = events.select(
+        *id_cols, F.col(key), _ts_us(events, ts).alias("_ts_us"),
+        F.col(value).cast("double").alias("v"), dec.alias("_v"),
+        (dec * dec).cast("decimal(38,12)").alias("_v2"))
+    n = F.count("_v").over(w)
+    s1 = F.sum("_v").over(w)
+    s2 = F.sum("_v2").over(w)
+    out = (base
+           .withColumn("n_w", n)
+           .withColumn("_s1", s1)
+           .withColumn("_s2", s2))
+    mean = F.col("_s1").cast("double") / F.col("n_w")
+    var = (F.col("_s2").cast("double") / F.col("n_w")) - mean * mean
+    z = F.when(var > 0, (F.col("v") - mean) / F.sqrt(var))
+    return (out
+            .withColumn("mean_w", mean)
+            .withColumn("z", z)
+            .withColumn(
+                "is_anomaly",
+                F.coalesce((F.abs(F.col("z")) > F.lit(float(k_sigma)))
+                           & (F.col("n_w") >= F.lit(int(min_points))),
+                           F.lit(False)))
+            .select(*id_cols, F.col(key), F.col("_ts_us").alias("ts_us"),
+                    "v", "n_w", "mean_w", "z", "is_anomaly"))

@@ -437,3 +437,37 @@ def test_rolling_zscore_min_points_gate(spark):
     out = rolling_zscore(ev, "sym", "ts", "v", window_us=100,
                          k_sigma=1.0, min_points=5).collect()
     assert not any(r.is_anomaly for r in out)
+
+
+def test_rolling_zscore_numerics_hard_cases(spark):
+    import pytest
+    from tree_code_chunker_spark.operators.events import rolling_zscore
+
+    # cancellation regime: huge mean, tiny variance — the naive double
+    # E[x^2] - mean^2 silently returns var <= 0 here and never flags
+    rows = ([("a", t, 1e8 + ((t // 10) % 3) * 0.0014)
+             for t in range(0, 200, 10)] + [("a", 205, 1e8 + 50.0)])
+    ev = spark.createDataFrame(rows, "sym string, ts long, v double")
+    out = {r.ts_us: r for r in rolling_zscore(
+        ev, "sym", "ts", "v", window_us=100, min_points=5).collect()}
+    assert out[205].is_anomaly and out[205].z > 1000
+    # sub-milli values: 6dp-quantized squares must stay exact
+    rows2 = ([("b", t, 0.001 + ((t // 10) % 5) * 0.0002)
+              for t in range(0, 200, 10)] + [("b", 205, 0.05)])
+    ev2 = spark.createDataFrame(rows2, "sym string, ts long, v double")
+    out2 = {r.ts_us: r for r in rolling_zscore(
+        ev2, "sym", "ts", "v", window_us=100, min_points=5).collect()}
+    win = [v for s, t, v in rows2 if s == "b" and 105 <= t <= 204]
+    m = sum(win) / len(win)
+    var = sum(x * x for x in win) / len(win) - m * m
+    want = (0.05 - m) / var ** 0.5
+    assert out2[205].is_anomaly
+    assert abs(out2[205].z - want) / want < 1e-9
+    # domain guard: wild sentinel raises with a clear message
+    ev3 = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 10, 9.9e15)], "sym string, ts long, v double")
+    with pytest.raises(Exception, match="domain"):
+        rolling_zscore(ev3, "sym", "ts", "v", window_us=100).collect()
+    # mis-unit'd window raises instead of silently never flagging
+    with pytest.raises(ValueError, match="window_us"):
+        rolling_zscore(ev, "sym", "ts", "v", window_us=0)

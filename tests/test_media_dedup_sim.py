@@ -688,6 +688,18 @@ def test_media_near_dup_zero_tolerance_and_bad_rows(spark):
 
     from tree_code_chunker_spark.operators.media import _fake_decode
     pairs = media_near_dup_pairs(media, max_hamming=0, decode_fn=half_bad)
-    rows = pairs.collect()
-    # failed decodes are excluded, never crash the job
-    assert all(r.hamming == 0 for r in rows)
+    got = {(r.mid, r.b_mid) for r in pairs.collect()}
+    # mirror: only OK rows (odd last payload byte) may pair, exact match
+    ok_refs = [r for r in media.select("media_ref").toPandas().media_ref
+               if r.encode("utf-8")[-1] % 2 == 1]
+    hashes = {}
+    for ref in ok_refs:
+        f = _fake_decode(ref.encode("utf-8"), "")
+        hashes[ref] = sum(1 << i for i in range(FEATURE_DIM)
+                          if f[i] > f.mean())
+    want = {(a, b) for a in hashes for b in hashes
+            if a < b and hashes[a] == hashes[b]}
+    assert got == want
+    bad = {r for r in media.select("media_ref").toPandas().media_ref
+           if r.encode("utf-8")[-1] % 2 == 0}
+    assert not any(a in bad or b in bad for a, b in got)

@@ -372,34 +372,61 @@ def rolling_zscore(events: DataFrame, key: str, ts: str, value: str,
     flagged when |z| > k_sigma and the baseline holds >= min_points
     events.  The standard streaming data-quality / outlier screen.
 
-    Moments accumulate as DECIMAL(28,6) / DECIMAL(38,12) (sum and sum
-    of squares), so the windowed sums are exact and order-independent;
-    only the final variance/sqrt/z arithmetic is float (per-row,
-    single-expression, deterministic).  Population variance over the
-    window; a zero-variance window (all equal values) yields z = NULL
-    and never flags.  Same scale shape as rolling_time_agg: one
-    shuffle on the key, O(n) two-pointer RANGE frame.
+    Numerics, deliberately: values are quantized to 6 dp and must lie
+    in |v| < 1e9 (a wilder input RAISES with a clear message — an
+    anomaly screen fed sentinel garbage like 9.9e15 should stop, not
+    silently flag-or-crash downstream; pre-normalize readings outside
+    the domain).  Within it, v scales to an exact integer of 1e-6
+    units carried as decimal(38,0); sums, squares and the variance
+    numerator n*s2 - s1^2 are all INTEGRAL-exact and order-independent —
+    the naive double-precision E[x^2] - mean^2 loses to catastrophic
+    cancellation exactly when the mean is large and the variance small
+    (mean ~1e8, sd ~1e-3: double ulp ~ 1e1 swallows the variance and
+    the spike never flags; reproduced and pinned by test).  Only the
+    final /n^2, sqrt and z division are float.  Population variance;
+    zero-variance or thin baselines yield z = NULL and never flag.
+    Same scale shape as rolling_time_agg: one shuffle on the key,
+    O(n) two-pointer RANGE frame.
     """
     if min_points < 1:
         raise ValueError(f"min_points must be >= 1, got {min_points}")
+    if window_us < 1:
+        # rangeBetween(0, -1) is an empty frame: every row would come
+        # back n_w=0 / never-flag with no hint the window was mis-unit'd
+        raise ValueError(f"window_us must be >= 1, got {window_us}")
     id_cols = id_cols or []
     w = (Window.partitionBy(key)
          .orderBy(F.col("_ts_us"))
          .rangeBetween(-int(window_us), -1))
-    dec = F.col(value).cast("decimal(28,6)")
+    # integer micro-units: v quantized at 6dp scales to an exact
+    # integer v_i = round(v * 1e6), carried as decimal(38,0) so sums,
+    # squares and the variance numerator n*s2 - s1^2 are ALL integral-
+    # exact (decimal(18,6) arithmetic loses here: Spark caps products
+    # at precision 38 by trimming SCALE, which silently re-rounds s1^2
+    # to 6dp and zeroes out small variances).  var is then exactly
+    # var_int * 1e-12 / n^2, with only that normalization in double.
+    vi = F.when(
+        F.abs(F.col(value).cast("double")) < 1e9,
+        F.round(F.col(value).cast("double") * 1e6, 0).cast("decimal(38,0)"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("rolling_zscore domain is |v| < 1e9 (6dp); got "),
+        F.col(value).cast("string"))))
     base = events.select(
         *id_cols, F.col(key), _ts_us(events, ts).alias("_ts_us"),
-        F.col(value).cast("double").alias("v"), dec.alias("_v"),
-        (dec * dec).cast("decimal(38,12)").alias("_v2"))
-    n = F.count("_v").over(w)
-    s1 = F.sum("_v").over(w)
-    s2 = F.sum("_v2").over(w)
+        F.col(value).cast("double").alias("v"), vi.alias("_vi"),
+        (vi * vi).alias("_vi2"))
+    n = F.count("_vi").over(w)
+    s1 = F.sum("_vi").over(w)
+    s2 = F.sum("_vi2").over(w)
     out = (base
            .withColumn("n_w", n)
            .withColumn("_s1", s1)
            .withColumn("_s2", s2))
-    mean = F.col("_s1").cast("double") / F.col("n_w")
-    var = (F.col("_s2").cast("double") / F.col("n_w")) - mean * mean
+    mean = (F.col("_s1").cast("double") / 1e6) / F.col("n_w")
+    # exact integral difference — no cancellation by construction
+    var_num = (F.col("_s2") * F.col("n_w")
+               - F.col("_s1") * F.col("_s1"))
+    var = (var_num.cast("double") * 1e-12)         / (F.col("n_w") * F.col("n_w"))
     z = F.when(var > 0, (F.col("v") - mean) / F.sqrt(var))
     return (out
             .withColumn("mean_w", mean)

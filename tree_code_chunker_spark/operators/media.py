@@ -317,9 +317,15 @@ def media_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
     into max_hamming + 1 bit-bands, so any pair within tolerance agrees
     on at least one whole band (pigeonhole) and is caught by a pure
     equi-join on (band_id, band_bits) — never all-pairs — then verified
-    with an exact bit_count(xor) filter.  The same shape that carries
-    the text dedup to corpus scale carries images/audio once a real
-    decoder is swapped in.
+    with an exact bit_count(xor) filter.
+
+    SCALE CAVEAT: the prune's selectivity is the band-key space
+    2^(FEATURE_DIM // (max_hamming+1)).  With this container's 16-bit
+    fake decoder and max_hamming=2 that is only 2^6 buckets — fine for
+    tests, degenerate (~n^2/64 candidates) at corpus scale.  The plan
+    shape carries to corpus scale exactly when a real decoder supplies
+    a 64-bit+ hash (FEATURE_DIM >= 64), matching the text SimHash
+    family's 16-bit+ band keys.
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")

@@ -177,3 +177,30 @@ def test_group_quantiles_approx_subpercent_labels(spark):
     assert "p99" in out.columns and "p99_9" in out.columns
     r = out.collect()[0]
     assert r.p99 <= r.p99_9
+
+
+def test_sample_weighted_k_by_groups(spark):
+    from tree_code_chunker_spark.operators.training import (
+        sample_weighted_k,
+        sample_weighted_k_by,
+    )
+    rows = [("d%03d" % i, "g%d" % (i % 4), float(1 + (i * 7) % 10))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, q double")
+    got = sample_weighted_k_by(df, ("grp",), 10, "q").collect()
+    # exactly 10 per group, and each group's picks equal the global
+    # operator applied to that group alone (same keys -> same winners)
+    from collections import Counter
+    assert Counter(r.grp for r in got) == {"g%d" % g: 10 for g in range(4)}
+    for g in range(2):
+        sub = df.filter(F.col("grp") == "g%d" % g)
+        want = {r.doc_id for r in sample_weighted_k(sub, 10, "q").collect()}
+        have = {r.doc_id for r in got if r.grp == "g%d" % g}
+        assert have == want
+    # tiny group returns whole
+    tiny = df.filter(F.col("doc_id").isin("d000", "d001"))
+    assert sample_weighted_k_by(tiny, ("grp",), 10, "q").count() == 2
+    # WindowGroupLimit partial limit below the exchange
+    plan = sample_weighted_k_by(df, ("grp",), 10, "q") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -432,3 +432,43 @@ def sample_weighted_k(
     return (df.withColumn("es_key", es)
             .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
             .limit(int(k)))
+
+
+def sample_weighted_k_by(
+    df: DataFrame,
+    by: tuple,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group exactly-k weighted sampling without replacement: the
+    grouped form of sample_weighted_k — within every `by` group, k rows
+    win by the same Efraimidis-Spirakis exponential key (the
+    pick-k-best-docs-PER-LANGUAGE / per-source quota shape).
+
+    Same determinism contract (shared uniform, 9dp-after-ln es_key,
+    (es_key, id) total order); the per-group top-k runs as a window
+    rank with map-side WindowGroupLimit below the exchange — one
+    shuffle on the group key, no global sort, partial limits applied
+    before data moves.  Groups smaller than k return whole.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_checked = F.when(
+        F.col(weight_col).cast("double") > 0,
+        F.col(weight_col).cast("double"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("sample_weighted_k_by requires weights > 0; got "),
+        F.col(weight_col).cast("string"))))
+    u = (_sample_key_col(id_col, seed) + F.lit(1).cast("double")) \
+        / F.lit(float(POLY_MOD) + 1.0)
+    es = F.round(-F.log(u) / w_checked, 9)
+    win = Window.partitionBy(*by).orderBy(
+        F.col("es_key").asc(), F.col(id_col).asc())
+    return (df.withColumn("es_key", es)
+            .withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= int(k))
+            .drop("_rk"))

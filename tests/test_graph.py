@@ -517,3 +517,20 @@ def test_label_propagation_random_mirror_and_parallelism(spark):
         got = {r.node: r.label for r in
                label_propagation(df.repartition(nparts), iters=4).collect()}
         assert got == want
+
+
+def test_k_core_raises_on_round_exhaustion(spark):
+    """ADVICE r5 (medium): exhausting max_rounds used to silently return a
+    non-fixpoint SUPERSET of the true core; it must raise instead (the
+    sssp convergence-guard contract)."""
+    import pytest as _pytest
+
+    from tree_code_chunker_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "src long, dst long")
+    # a 25-node path peels 2 ends per round: needs ~12 rounds for k=2
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        k_core(path, 2, max_rounds=3).collect()
+    # and with enough rounds the same graph converges to the empty core
+    assert k_core(path, 2, max_rounds=100).count() == 0

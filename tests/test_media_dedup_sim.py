@@ -703,3 +703,29 @@ def test_media_near_dup_zero_tolerance_and_bad_rows(spark):
     bad = {r for r in media.select("media_ref").toPandas().media_ref
            if r.encode("utf-8")[-1] % 2 == 0}
     assert not any(a in bad or b in bad for a, b in got)
+
+
+def test_media_near_dup_full_width_band_64bit(spark, monkeypatch):
+    """ADVICE r5 (low): with FEATURE_DIM=64 and max_hamming=0 the single
+    band is 64 bits wide and the (1 << 64) - 1 mask literal overflowed;
+    the full-width band must use the hash itself as the band key."""
+    import tree_code_chunker_spark.operators.media as media_mod
+
+    monkeypatch.setattr(media_mod, "FEATURE_DIM", 64)
+    refs = spark.createDataFrame(
+        [("ref://m/a",), ("ref://m/a2",), ("ref://m/b",), ("ref://m/c",)],
+        "media_ref string")
+    media = synth_media(spark, refs)
+
+    def dup_decode(payload, kind):
+        # map the two 'a' payloads to the same 64-dim feature
+        key = (payload or b"").rstrip(b"2")
+        return media_mod._fake_decode(key, kind)
+
+    ph = {r.media_ref: r.phash
+          for r in media_mod.media_phash(media, decode_fn=dup_decode).collect()}
+    want = {(a, b) for a in ph for b in ph if a < b and ph[a] == ph[b]}
+    assert ("ref://m/a", "ref://m/a2") in want
+    got = {(r.mid, r.b_mid) for r in media_mod.media_near_dup_pairs(
+        media, max_hamming=0, decode_fn=dup_decode).collect()}
+    assert got == want

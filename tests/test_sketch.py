@@ -232,3 +232,17 @@ def test_hll_merge_idempotent_and_replay_safe(spark):
     doubled = hll_merge(regs.unionByName(regs), ("g",))
     assert sorted(map(tuple, doubled.collect())) == \
         sorted(map(tuple, regs.collect()))
+
+
+def test_bloom_semi_join_preserves_duplicate_rows(spark):
+    """ADVICE r5 (high): N identical rows used to accumulate N*k position
+    hits under a groupBy-all-columns and fail the == k check — a false
+    negative.  Duplicates must survive with multiplicity intact."""
+    df = spark.createDataFrame(
+        [(7, "a"), (7, "a"), (7, "a"), (8, "b"), (8, "b"), (9, "c")],
+        "item bigint, payload string")
+    keys = spark.createDataFrame([(7,), (8,)], "k bigint")
+    got = sorted((r.item, r.payload) for r in
+                 bloom_semi_join(df, "item", keys, "k",
+                                 m_bits=256, k=4).collect())
+    assert got == [(7, "a"), (7, "a"), (7, "a"), (8, "b"), (8, "b")]

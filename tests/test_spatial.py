@@ -518,7 +518,7 @@ def test_dwithin_geo_res_guards(spark):
                               "pid bigint, lat double, lon double")
     b = spark.createDataFrame([(2, 0.0, 0.0)],
                               "query_id bigint, lat double, lon double")
-    with pytest.raises(ValueError, match="smaller than radius"):
+    with pytest.raises(ValueError, match="grid quantum"):
         dwithin_geo(a, b, 100_000, a_keep=("pid",), res=14)
 
 
@@ -597,3 +597,39 @@ def test_hull_diameter_tie_break_and_single(spark):
     got = {r["doc_id"]: (r["diam_sq"], r["y1"], r["x1"], r["y2"], r["x2"])
            for r in hull_diameter(df).collect()}
     assert got == {1: (200, 0, 10, 10, 0), 2: (0, 7, 7, 7, 7)}
+
+
+def test_dwithin_geo_rejects_cell_side_equal_radius(spark):
+    """ADVICE r5 (low): a lat cell side exactly equal to radius_m (plus
+    quantization/rounding epsilons) can put a boundary pair 2 lat cells
+    apart; the guard must reject equality, and the auto-chooser must
+    never pick such a res."""
+    import math as _math
+
+    from tree_code_chunker_spark.operators.spatial import (
+        M_PER_DEG,
+        dwithin_geo,
+        dwithin_geo_res,
+    )
+
+    res = 10
+    side_m = 180.0 * M_PER_DEG / (1 << res)
+    a = spark.createDataFrame([(1, 10.0, 20.0)], "pid long, lat double, lon double")
+    b = spark.createDataFrame([(2, 10.1, 20.0)], "qid long, lat double, lon double")
+    with pytest.raises(ValueError, match="grid quantum"):
+        dwithin_geo(a, b, side_m, a_keep=("pid",), b_keep=("qid",),
+                    res=res).collect()
+    # auto-chooser: for any radius the chosen res leaves > one-quantum slack
+    for radius in (side_m, side_m * 0.999, 5_000.0, 123_456.0):
+        r = dwithin_geo_res(radius)
+        assert 180.0 * M_PER_DEG / (1 << r) > radius
+    # boundary pair at ~exactly one cell side due north/south is still found
+    lat0 = 40.0
+    lat1 = lat0 + side_m / M_PER_DEG  # exactly one res-10 cell side north
+    pts_a = spark.createDataFrame([(1, lat0, 5.0)],
+                                  "pid long, lat double, lon double")
+    pts_b = spark.createDataFrame([(2, lat1, 5.0)],
+                                  "qid long, lat double, lon double")
+    out = dwithin_geo(pts_a, pts_b, side_m * (1 + 1e-9), a_keep=("pid",),
+                      b_keep=("qid",)).collect()
+    assert len(out) == 1 and _math.isclose(out[0].dist_m, side_m, rel_tol=1e-3)

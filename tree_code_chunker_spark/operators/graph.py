@@ -334,12 +334,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
             .join(keep.select(F.col("node").alias("b")), "b", "leftsemi")
             .localCheckpoint(eager=False)
         )
-    deg = (
-        cur.select(F.col("a").alias("node"))
-        .unionAll(cur.select(F.col("b").alias("node")))
-        .groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
-    )
-    return deg.filter(F.col("core_deg") >= k)
+    # a non-fixpoint result is a silent SUPERSET of the true k-core (long
+    # peel chains legitimately need O(n) rounds) — fail loudly instead,
+    # matching sssp's convergence-guard contract
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds}; "
+        f"the peel was still removing nodes (last survivor count "
+        f"{prev_nodes}).  Raise max_rounds — each round is one degree "
+        "aggregation, and rounds needed is bounded by the longest peel "
+        "chain, not the node count in practice.")
 
 
 def k_core_sql(edges_cte: str, k: int, rounds: int) -> str:

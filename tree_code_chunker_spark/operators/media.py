@@ -334,12 +334,18 @@ def media_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
     ph = (media_phash(df, decode_fn)
           .filter(F.col("ok"))
           .select(F.col(id_col).alias("mid"), "phash"))
+    def _band_bits(j: int):
+        shifted = F.shiftrightunsigned(F.col("phash"), j * width)
+        if width >= 64:
+            # full-width band (max_hamming=0 over a 64-bit hash): the
+            # shifted hash IS the band key — a (1 << 64) - 1 literal
+            # would overflow the signed 64-bit literal space
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = F.explode(F.array(*[
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.shiftrightunsigned(
-                F.col("phash"), j * width).bitwiseAND(
-                F.lit((1 << width) - 1)).alias("band_bits"))
+        F.struct(F.lit(j).alias("band_id"),
+                 _band_bits(j).alias("band_bits"))
         for j in range(n_bands)
     ])).alias("b")
     sides = ph.select("mid", "phash", bands).select(

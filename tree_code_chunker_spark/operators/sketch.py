@@ -379,28 +379,35 @@ def bloom_semi_join(df: DataFrame, key_col: str, keys: DataFrame,
                     k: int = 4) -> DataFrame:
     """Exact semi-join result, computed as bloom prune -> exact verify.
 
-    The prune is a broadcast join against <= m_bits positions; only rows
-    passing it reach the (shuffling) exact semi-join, so the expensive
-    exchange moves the pruned slice, not the corpus."""
+    Bloom membership depends only on the key, so the prune tests the
+    DISTINCT keys of df and the original rows ride one final semi-join —
+    duplicate df rows keep their multiplicity (the earlier
+    groupBy-all-columns form collapsed N identical rows into one group
+    holding N*k position hits and dropped them at the == k check: a
+    false negative).  Within-row hash collisions are handled by
+    array_distinct + an all-distinct-positions-hit count.
+
+    The prune join is broadcast against <= m_bits positions; the final
+    semi-joins shuffle on key_col only (distinct-key side is the pruned
+    slice), cheaper than the corpus-wide all-columns exchange."""
     _cms_check(m_bits, k)
     pos_df = bloom_positions(keys, keys_col, m_bits, k)
     x = F.col(key_col)
-    probe = df.withColumn("_bpos", F.array(*[
-        _cms_bucket_col(x, r, m_bits) for r in range(k)]))
-    exploded = probe.select("*", F.explode("_bpos").alias("pos"))
-    # duplicate positions (two hash rows colliding) explode to duplicate
-    # rows that match identically, so "all k exploded rows survived the
-    # semi-join" is exactly "all positions set"
-    candidates = (
-        exploded.join(F.broadcast(pos_df), ["pos"], "left_semi")
-        .groupBy(*probe.columns)
+    key_probe = df.select(key_col).distinct().withColumn(
+        "_bpos", F.array_distinct(F.array(*[
+            _cms_bucket_col(x, r, m_bits) for r in range(k)])))
+    passing = (
+        key_probe.select(key_col, "_bpos", F.explode("_bpos").alias("pos"))
+        .join(F.broadcast(pos_df), ["pos"], "left_semi")
+        .groupBy(key_col, "_bpos")
         .agg(F.count("*").alias("_nhit"))
-        .filter(F.col("_nhit") == F.lit(k))
-        .drop("_nhit", "_bpos")
+        .filter(F.col("_nhit") == F.size(F.col("_bpos")))
+        .select(key_col)
     )
-    return candidates.join(
+    verified = passing.join(
         keys.select(F.col(keys_col).alias(key_col)).distinct(),
         [key_col], "left_semi")
+    return df.join(verified, [key_col], "left_semi")
 
 
 def bloom_flags_sql(table: str, key_col: str, keys_table: str,

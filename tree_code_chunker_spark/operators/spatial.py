@@ -786,13 +786,25 @@ from .geo import EARTH_RADIUS_M, haversine_m_col, quantize_col
 M_PER_DEG = math.pi * EARTH_RADIUS_M / 180.0  # meters per degree of arc
 
 
+# one GRID_BITS lat quantum in meters (~305 m at 16 bits): the slack the
+# lat-side guard must leave so floor quantization, float ulp in the
+# scaled multiply, and the round_to distance rounding can never push a
+# passing pair 2 lat cells apart (a cell side EXACTLY equal to radius_m
+# is the razor's edge: a pair at exactly the radius due north/south plus
+# any of those epsilons lands outside the +-1 lat neighborhood)
+_LAT_QUANTUM_M = 180.0 * M_PER_DEG / (1 << GRID_BITS)
+
+
 def dwithin_geo_res(radius_m: float) -> int:
     """Finest resolution whose LAT cell side (meters along a meridian)
-    >= radius_m, so the lat neighborhood is always just +-1 cell; the lon
-    neighborhood widens per row by 1/cos(lat)."""
+    is STRICTLY greater than radius_m + one grid quantum, so the lat
+    neighborhood is always just +-1 cell even at the exact boundary; the
+    lon neighborhood widens per row by 1/cos(lat)."""
     if radius_m <= 0:
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
     r = int(math.floor(math.log2(180.0 * M_PER_DEG / radius_m)))
+    while r >= 3 and 180.0 * M_PER_DEG / (1 << r) <= radius_m + _LAT_QUANTUM_M:
+        r -= 1
     if r < 3:
         raise ValueError(
             f"radius_m={radius_m} spans more than 1/8 of the grid "
@@ -839,10 +851,12 @@ def dwithin_geo(
     """
     if res is None:
         res = dwithin_geo_res(radius_m)
-    elif 180.0 * M_PER_DEG / (1 << res) < radius_m:
+    elif 180.0 * M_PER_DEG / (1 << res) <= radius_m + _LAT_QUANTUM_M:
         raise ValueError(
-            f"lat cell side at res={res} is smaller than radius_m="
-            f"{radius_m}: the +-1 lat neighborhood would miss pairs")
+            f"lat cell side at res={res} is not greater than radius_m="
+            f"{radius_m} plus one grid quantum ({_LAT_QUANTUM_M:.1f} m): "
+            "the +-1 lat neighborhood could miss boundary pairs under "
+            "floor quantization / distance rounding")
     shift = GRID_BITS - res
     n_cells = 1 << res
     rad_deg = radius_m / M_PER_DEG

@@ -284,6 +284,100 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         emb_aug, "vec_id", "v", dim=64, n_bits=32, bands=4).count()
     emb_aug.unpersist()
 
+    # DATA-LAYOUT pair (round-6): the same bbox count over (a) a z-order
+    # laid-out parquet table (operators/tiles.layout_by_cell) and (b) the
+    # same rows written in arrival order.  The laid-out scan reads only the
+    # files whose min/max stats intersect the box (parquet row-group
+    # pruning under the pushed-down predicate); skippable-file counts are
+    # recorded from the files' own stats so the delta is attributable.
+    import shutil
+    import tempfile
+
+    from tree_code_chunker_spark.operators.tiles import layout_by_cell
+
+    lay_dir = tempfile.mkdtemp(prefix="bench_zlay_")
+    unlay_dir = tempfile.mkdtemp(prefix="bench_unlay_")
+    n_lay_files = max(cores, 16)
+    layout_by_cell(pts.drop("cell"), n_lay_files) \
+        .write.mode("overwrite").parquet(lay_dir)
+    pts.drop("cell").repartition(n_lay_files, "doc_id") \
+        .write.mode("overwrite").parquet(unlay_dir)
+    BBOX = (20000, 26000, 38000, 46000)  # ~0.8% of the grid area
+
+    def _bbox_count(path):
+        t = spark.read.parquet(path)
+        return (t.filter((F.col("qlat") >= BBOX[0]) & (F.col("qlat") < BBOX[1])
+                         & (F.col("qlon") >= BBOX[2]) & (F.col("qlon") < BBOX[3]))
+                .count())
+
+    timed("layout_scan_laid", lambda: _bbox_count(lay_dir), trials=3)
+    timed("layout_scan_unlaid", lambda: _bbox_count(unlay_dir), trials=3)
+
+    def _skippable(path):
+        """Files whose own (qlat, qlon) stats rule out the bbox — the
+        row-group-pruning headroom written into the layout."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        skip = total_files = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            total_files += 1
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            lo = {c: min(md.row_group(g).column(names[c]).statistics.min
+                         for g in range(md.num_row_groups))
+                  for c in ("qlat", "qlon")}
+            hi = {c: max(md.row_group(g).column(names[c]).statistics.max
+                         for g in range(md.num_row_groups))
+                  for c in ("qlat", "qlon")}
+            if (hi["qlat"] < BBOX[0] or lo["qlat"] >= BBOX[1]
+                    or hi["qlon"] < BBOX[2] or lo["qlon"] >= BBOX[3]):
+                skip += 1
+        return skip, total_files
+
+    lay_skip, lay_files = _skippable(lay_dir)
+    unlay_skip, unlay_files = _skippable(unlay_dir)
+    shutil.rmtree(lay_dir, ignore_errors=True)
+    shutil.rmtree(unlay_dir, ignore_errors=True)
+    assert lay_skip > 0, (lay_skip, lay_files)
+
+    # BUCKETED-JOIN pair (round-6): orders x lineitem on l_orderkey, both
+    # sides persisted as same-bucketed tables (checkpoint.write_bucketed)
+    # vs the plain parquet join.  The bucketed JOIN must plan with ZERO
+    # hash-partitioning exchanges — asserted here, not assumed — which is
+    # the whole point: every repeated join on the bucket key skips its
+    # shuffle.  The measured query is join + count so the only exchange
+    # anywhere is count()'s SinglePartition gather (a downstream groupBy
+    # on a non-bucket key would legitimately add its own exchange and
+    # muddy the zero-exchange claim).
+    from tree_code_chunker_spark.operators.checkpoint import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(orders, "bench_bkt_orders", ("o_orderkey",), 16,
+                   sort_cols=("o_orderkey",))
+    write_bucketed(li.select("l_orderkey", "l_quantity"),
+                   "bench_bkt_lineitem", ("l_orderkey",), 16,
+                   sort_cols=("l_orderkey",))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bo, bl = spark.table("bench_bkt_orders"), spark.table("bench_bkt_lineitem")
+    bucketed_j = (bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+                  .select(bo["o_orderkey"], "o_orderstatus", "l_quantity"))
+    bucketed_plan = bucketed_j._jdf.queryExecution().executedPlan().toString()
+    n_exchanges_bucketed = bucketed_plan.count("Exchange hashpartitioning")
+    timed("join_bucketed", lambda: bucketed_j.count(), trials=3)
+    plain_j = (orders.join(li.select("l_orderkey", "l_quantity"),
+                           orders["o_orderkey"] == li["l_orderkey"])
+               .select(orders["o_orderkey"], "o_orderstatus", "l_quantity"))
+    n_exchanges_plain = (plain_j._jdf.queryExecution().executedPlan()
+                         .toString().count("Exchange hashpartitioning"))
+    timed("join_shuffled", lambda: plain_j.count(), trials=3)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS bench_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bench_bkt_lineitem")
+    assert n_exchanges_bucketed == 0, bucketed_plan
+    assert n_exchanges_plain >= 2, "plain join should shuffle both sides"
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "pip_tile_docs_per_sec",
@@ -301,6 +395,12 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         "lsh_n_vecs": n_vecs,
         "lsh_candidates": int(lsh_candidates),
         "lsh_all_pairs": n_vecs * (n_vecs - 1) // 2,
+        "layout_files_skippable": lay_skip,
+        "layout_files_total": lay_files,
+        "unlaid_files_skippable": unlay_skip,
+        "unlaid_files_total": unlay_files,
+        "bucketed_join_exchanges": n_exchanges_bucketed,
+        "shuffled_join_exchanges": n_exchanges_plain,
     }
     spark.stop()
     return result

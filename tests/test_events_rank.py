@@ -471,3 +471,95 @@ def test_rolling_zscore_numerics_hard_cases(spark):
     # mis-unit'd window raises instead of silently never flagging
     with pytest.raises(ValueError, match="window_us"):
         rolling_zscore(ev, "sym", "ts", "v", window_us=0)
+
+
+class TestResampleInterp:
+    def _ev(self, spark):
+        rows = [("a", 10, 1.0), ("a", 20, 3.0), ("a", 20, 5.0),
+                ("a", 40, 4.0), ("b", 15, 2.0)]
+        return spark.createDataFrame(rows, "k string, ts long, v double"), rows
+
+    def test_linear_interp_matches_python_mirror(self, spark):
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, rows = self._ev(spark)
+        out = {(r["k"], r["t"]): (r["v"], r["t_prev"], r["t_next"])
+               for r in resample_interp(ev, ["k"], "ts", "v",
+                                        0, 50, 5).collect()}
+
+        def mirror(key, t):
+            evs = sorted([(ts, v) for k, ts, v in rows if k == key])
+            prevs = [(ts, v) for ts, v in evs if ts <= t]
+            nexts = [(ts, v) for ts, v in evs if ts >= t]
+            if prevs:
+                pt = max(prevs)[0]
+                pv = max(v for ts, v in prevs if ts == pt)
+            else:
+                pt = pv = None
+            nt = min(nexts)[0] if nexts else None
+            nv = max(v for ts, v in nexts if ts == nt) if nexts else None
+            if pt is None:
+                return (None, None, nt)
+            if nt is None or nt == pt:
+                return (pv, pt, nt)
+            return (pv + (nv - pv) * (t - pt) / (nt - pt), pt, nt)
+
+        assert len(out) == 2 * 11
+        for key in ("a", "b"):
+            for t in range(0, 51, 5):
+                want = mirror(key, t)
+                got = out[(key, t)]
+                if want[0] is None:
+                    assert got[0] is None, (key, t, got)
+                else:
+                    assert got[0] == pytest.approx(want[0], abs=1e-12)
+                assert got[1:] == want[1:], (key, t, got, want)
+
+    def test_exact_hit_and_duplicate_ts_tie(self, spark):
+        # grid instant exactly at a duplicated (key, ts): greatest value
+        # wins, no 0/0
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, _ = self._ev(spark)
+        row = (resample_interp(ev, ["k"], "ts", "v", 20, 20, 1)
+               .filter("k = 'a'").collect()[0])
+        assert (row["v"], row["t_prev"], row["t_next"]) == (5.0, 20, 20)
+
+    def test_before_first_null_after_last_holds(self, spark):
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, _ = self._ev(spark)
+        by_t = {r["t"]: r["v"] for r in
+                resample_interp(ev, ["k"], "ts", "v", 0, 50, 5)
+                .filter("k = 'b'").collect()}
+        assert by_t[10] is None and by_t[0] is None
+        assert by_t[15] == 2.0 and by_t[50] == 2.0
+
+    def test_determinism_across_parallelism(self, spark):
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, _ = self._ev(spark)
+        a = sorted(map(tuple, resample_interp(
+            ev.repartition(1), ["k"], "ts", "v", 0, 50, 5).collect()))
+        b = sorted(map(tuple, resample_interp(
+            ev.repartition(13), ["k"], "ts", "v", 0, 50, 5).collect()))
+        assert a == b
+
+    def test_rejects_bad_args(self, spark):
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, _ = self._ev(spark)
+        with pytest.raises(ValueError):
+            resample_interp(ev, ["k"], "ts", "v", 0, 50, 0)
+        with pytest.raises(ValueError):
+            resample_interp(ev, ["k"], "ts", "v", 50, 0, 5)
+
+    def test_single_windowexec_one_exchange(self, spark):
+        # both direction frames must ride ONE sort / ONE exchange
+        from tree_code_chunker_spark.operators.events import resample_interp
+
+        ev, _ = self._ev(spark)
+        plan = (resample_interp(ev, ["k"], "ts", "v", 0, 50, 5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") <= 2  # grid + union
+        assert "Join" not in plan

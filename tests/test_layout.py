@@ -94,3 +94,59 @@ def test_layout_rejects_existing_zkey_column(spark):
     pts = _points(spark, 10).withColumn("zkey", F.lit(7))
     with pytest.raises(ValueError, match="zkey"):
         layout_by_cell(pts, 2)
+
+
+def test_layout_bbox_scan_file_skip_via_parquet_stats(spark):
+    """VERDICT r5 item 3: the file-skip effect measured end-to-end from the
+    written files' OWN parquet row-group statistics — a bbox scan over the
+    z-laid-out table can skip most files; the same rows written in arrival
+    order can skip none."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    BBOX = (20000, 26000, 38000, 46000)  # y0, y1, x0, x1 (half-open)
+
+    def skippable(path):
+        skip = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            total += 1
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            lo = {c: min(md.row_group(g).column(names[c]).statistics.min
+                         for g in range(md.num_row_groups))
+                  for c in ("qlat", "qlon")}
+            hi = {c: max(md.row_group(g).column(names[c]).statistics.max
+                         for g in range(md.num_row_groups))
+                  for c in ("qlat", "qlon")}
+            if (hi["qlat"] < BBOX[0] or lo["qlat"] >= BBOX[1]
+                    or hi["qlon"] < BBOX[2] or lo["qlon"] >= BBOX[3]):
+                skip += 1
+        return skip, total
+
+    pts = _points(spark)
+    lay = tempfile.mkdtemp(prefix="zskip_")
+    unlay = tempfile.mkdtemp(prefix="unskip_")
+    try:
+        layout_by_cell(pts, 16).write.mode("overwrite").parquet(lay)
+        pts.repartition(16, "doc_id").write.mode("overwrite").parquet(unlay)
+        lay_skip, lay_total = skippable(lay)
+        unlay_skip, unlay_total = skippable(unlay)
+        # the laid-out table skips MOST files; the hash layout skips none
+        # (every file covers the whole grid)
+        assert lay_total >= 8 and lay_skip >= lay_total // 2, (
+            lay_skip, lay_total)
+        assert unlay_skip == 0, (unlay_skip, unlay_total)
+        # and the pruned scan is still exact: same rows from both layouts
+        def bbox_rows(path):
+            t = spark.read.parquet(path)
+            return sorted(map(tuple, t.filter(
+                (F.col("qlat") >= BBOX[0]) & (F.col("qlat") < BBOX[1])
+                & (F.col("qlon") >= BBOX[2]) & (F.col("qlon") < BBOX[3])
+            ).collect()))
+
+        assert bbox_rows(lay) == bbox_rows(unlay)
+    finally:
+        shutil.rmtree(lay, ignore_errors=True)
+        shutil.rmtree(unlay, ignore_errors=True)

@@ -729,3 +729,102 @@ def test_media_near_dup_full_width_band_64bit(spark, monkeypatch):
     got = {(r.mid, r.b_mid) for r in media_mod.media_near_dup_pairs(
         media, max_hamming=0, decode_fn=dup_decode).collect()}
     assert got == want
+
+
+class TestDupSpanStats:
+    def test_planted_boilerplate_and_python_mirror(self, spark):
+        from tree_code_chunker_spark.operators.dedup import dup_span_stats
+
+        boiler = "all rights reserved license header text"
+        rows = [
+            (0, boiler + " alpha beta gamma delta epsilon"),
+            (1, boiler + " zeta eta theta iota kappa"),
+            (2, "totally unique content with no shared spans here at all"),
+            (3, "tiny doc"),  # < n words: collapses to one whole-text gram
+            (4, "tiny doc"),  # exact twin of 3 -> 100% dup
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        n = 5
+        got = {r["id"]: (r["n_spans"], r["n_dup_spans"],
+                         float(r["dup_frac"]))
+               for r in dup_span_stats(df, n=n).collect()}
+
+        # python mirror over the same tokenizer (split on single space)
+        occ = {}
+        for i, t in rows:
+            ws = t.split(" ")
+            grams = ([" ".join(ws[j:j + n])
+                      for j in range(len(ws) - n + 1)]
+                     if len(ws) >= n else [" ".join(ws)])
+            occ[i] = grams
+        docs_of = {}
+        for i, grams in occ.items():
+            for g in set(grams):
+                docs_of.setdefault(g, set()).add(i)
+        for i, grams in occ.items():
+            dup = sum(1 for g in grams if len(docs_of[g]) >= 2)
+            assert got[i] == (len(grams), dup,
+                              round(dup / len(grams), 6)), i
+        assert got[2][1] == 0 and got[4] == (1, 1, 1.0)
+        # boilerplate prefix shows up as partial dup coverage
+        assert 0 < got[0][1] < got[0][0]
+
+    def test_every_doc_has_a_row(self, spark):
+        from tree_code_chunker_spark.operators.dedup import dup_span_stats
+
+        df = spark.createDataFrame(
+            [(i, f"unique words only {i} x y") for i in range(7)],
+            "doc_id long, text string")
+        assert dup_span_stats(df, n=3).count() == 7
+
+
+class TestLmQuality:
+    def test_matches_python_mirror(self, spark):
+        import math
+
+        from tree_code_chunker_spark.operators.textstats import lm_quality
+
+        rows = [(0, "the cat sat on the mat"),
+                (1, "the dog sat on the log"),
+                (2, "zzqxj jxqzz qqq"),
+                (3, "ab")]  # < 3 chars: no row
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: (r["n_tri"], r["logp_avg"])
+               for r in lm_quality(df).collect()}
+        assert 3 not in got and set(got) == {0, 1, 2}
+
+        tris = {}
+        c3, alphabet = {}, set()
+        for i, t in rows:
+            if len(t) < 3:
+                continue
+            g = [t[j:j + 3] for j in range(len(t) - 2)]
+            tris[i] = g
+            for x in g:
+                c3[x] = c3.get(x, 0) + 1
+                alphabet.add(x[2])
+        c2 = {}
+        for x, c in c3.items():
+            c2[x[:2]] = c2.get(x[:2], 0) + c
+        v = len(alphabet)
+        for i, g in tris.items():
+            per = {}
+            for x in g:
+                per[x] = per.get(x, 0) + 1
+            s = sum(nn * round(math.log((c3[x] + 1) / (c2[x[:2]] + v)), 6)
+                    for x, nn in per.items())
+            want = round(s / len(g), 6)
+            assert got[i][0] == len(g)
+            assert got[i][1] == pytest.approx(want, abs=1e-9), i
+        # gibberish scores strictly below fluent text
+        assert got[2][1] < got[0][1] and got[2][1] < got[1][1]
+
+    def test_deterministic_across_parallelism(self, spark):
+        from tree_code_chunker_spark.operators.textstats import lm_quality
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text")
+        a = sorted(map(tuple, lm_quality(df.repartition(1)).collect()))
+        b = sorted(map(tuple, lm_quality(df.repartition(17)).collect()))
+        assert a == b

@@ -633,3 +633,42 @@ def test_dwithin_geo_rejects_cell_side_equal_radius(spark):
     out = dwithin_geo(pts_a, pts_b, side_m * (1 + 1e-9), a_keep=("pid",),
                       b_keep=("qid",)).collect()
     assert len(out) == 1 and _math.isclose(out[0].dist_m, side_m, rel_tol=1e-3)
+
+
+def test_dwithin_geo_high_latitude_band(spark):
+    """VERDICT r5 item 6: |lat| > 85 degrees — lon cells shrink toward zero
+    width, the per-row widening approaches the full ring, and caps may
+    contain the pole.  Brute-force haversine equality over a dense
+    high-latitude band (85..89.97, both hemispheres, antimeridian lons
+    included) at a radius that forces multi-cell lon widening."""
+    import numpy as np
+
+    from tree_code_chunker_spark.operators.geo import haversine_m_np
+    from tree_code_chunker_spark.operators.spatial import dwithin_geo
+
+    lats, lons, ids = [], [], []
+    i = 0
+    for k in range(160):
+        lat = 85.0 + (k * 7 % 100) * 0.0497       # 85.00 .. 89.92
+        lat = lat if k % 2 == 0 else -lat          # both poles
+        lon = -180.0 + (k * 37 % 144) * 2.5        # includes +-180 band
+        lats.append(lat); lons.append(lon); ids.append(i); i += 1
+    a = spark.createDataFrame(
+        list(zip(ids, lats, lons)), "pid long, lat double, lon double")
+    b = spark.createDataFrame(
+        [(1000 + j, lats[j] + 0.011, (lons[j] + 179.0) % 360.0 - 180.0)
+         for j in range(len(ids))],
+        "query_id long, lat double, lon double")
+    radius_m = 120_000.0
+    got = sorted((r.pid, r.query_id, r.dist_m) for r in dwithin_geo(
+        a, b, radius_m, a_keep=("pid",), b_keep=("query_id",)).collect())
+    alat = np.array(lats); alon = np.array(lons)
+    blat = np.array([lats[j] + 0.011 for j in range(len(ids))])
+    blon = np.array([(lons[j] + 179.0) % 360.0 - 180.0
+                     for j in range(len(ids))])
+    want = []
+    for x in range(len(ids)):
+        d = haversine_m_np(alat[x], alon[x], blat, blon)
+        for y in np.nonzero(np.round(d, 3) <= radius_m)[0]:
+            want.append((x, 1000 + int(y), float(np.round(d[y], 3))))
+    assert got == sorted(want) and got

@@ -872,6 +872,52 @@ def contamination_check(
     )
 
 
+def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 8) -> DataFrame:
+    """Per-document duplicated-SUBSTRING coverage: for every document,
+    the fraction of its word n-gram OCCURRENCES whose gram also appears
+    in at least one OTHER document — the substring-level dedup signal
+    (exact-substring dedup à la Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499) that document-
+    level MinHash misses: boilerplate headers, license blocks and quoted
+    passages shared across otherwise-distinct documents.  High dup_frac
+    documents are cut or trimmed by training-data pipelines even when no
+    whole-document near-duplicate exists.
+
+    Unlike corpus_ngram_stats / contamination_check this counts every
+    OCCURRENCE (a doc repeating a cross-duplicated gram 10 times has 10
+    of its spans covered), so the fraction measures how much of the doc
+    is duplicated text, not how many distinct grams are tainted.
+
+    Plan: grams are generated JVM-side per row (word_ngrams_col — no
+    shuffle, the same tokenizer as every other n-gram operator), the
+    cross-doc gram set is one hash aggregation keyed by gram
+    (countDistinct docs >= 2), and occurrences rejoin it by gram — a
+    banded equi-join, never all-pairs.  At corpus scale the gram join
+    key would be a 64-bit hash rather than the gram text (same bytes
+    shuffled, different width); text is kept here so the result is
+    directly oracle-mirrorable.  Output: (id, n_spans, n_dup_spans,
+    dup_frac) — one row per doc with >= 1 gram; docs shorter than n
+    words collapse to a single whole-text gram (word_ngrams_col's
+    contract), so every doc has a row.
+    """
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"))
+    cross = (occ.distinct()
+             .groupBy("gram").agg(F.count("*").alias("_ndocs"))
+             .filter(F.col("_ndocs") >= 2)
+             .select("gram"))
+    flagged = occ.join(cross, "gram", "left_semi")
+    n_spans = occ.groupBy("id").agg(F.count("*").alias("n_spans"))
+    n_dup = flagged.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
+    return (n_spans.join(n_dup, "id", "left")
+            .select("id", "n_spans",
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.round(F.coalesce("n_dup_spans", F.lit(0))
+                            / F.col("n_spans"), 6).alias("dup_frac")))
+
+
 def jaccard_set_join(df: DataFrame, id_col: str, set_col: str,
                      t_num: int, t_den: int) -> DataFrame:
     """Set-similarity self-join: every unordered pair of rows whose

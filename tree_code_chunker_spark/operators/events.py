@@ -360,6 +360,95 @@ def resample_ffill(events: DataFrame, on: list[str], ts_col: str,
     return asof_join(grid, events, on=on, left_ts="t", right_ts=ts_col)
 
 
+def resample_interp(events: DataFrame, on: list[str], ts_col: str,
+                    value_col: str, start: int, end: int,
+                    step: int) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation: one output row
+    per key per grid instant t in [start, end] stepping by `step`, the
+    value interpolated between the latest event at-or-before t and the
+    earliest event at-or-after t — the companion to resample_ffill for
+    continuous signals (sensor readings, prices) where a step function
+    misstates the value between observations.
+
+    Boundary semantics: before a key's first event the value is NULL
+    (nothing to anchor the left end); after the last event it holds the
+    last value (ffill tail); a grid instant with an event exactly at t
+    takes that event's value.  Duplicate (key, ts) events resolve like
+    asof_join: the greatest value at that instant wins on BOTH anchors
+    (a total order, so the result never depends on partitioning); with
+    both anchors at the same ts (exact hit) the left anchor's value is
+    used outright — no 0/0 division.
+
+    Scale shape — the same zero-join union-tag plan as asof_join run in
+    BOTH directions over ONE sort: events enter the union twice, once
+    tagged before grid rows (feeding the running `last` = previous
+    event) and once tagged after them (feeding the running `first` over
+    the following frame = next event).  Spark evaluates both frames in a
+    single WindowExec, so the whole operator is one exchange on the keys
+    + one per-partition sort; no join node, O(1) memory beyond the sort.
+
+    Output: on + t + v (interpolated double) + t_prev + t_next (NULL
+    where no anchor exists on that side).
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    if end < start:
+        raise ValueError(f"end {end} < start {start}")
+    if "t" in on or ts_col == "t":
+        raise ValueError(
+            "a key or ts column named 't' collides with the grid column; "
+            "rename it before resampling")
+    ts = _ts_us(events, ts_col)
+    v = F.col(value_col).cast("double")
+    ev = events.select(*on, ts.alias("_ts"), v.alias("_v"))
+    # grid tag sits BETWEEN the two event copies: prev copies (tag 0)
+    # sort before grid rows (tag 1) at equal ts, so an exact-hit event is
+    # inside the preceding frame; next copies (tag 2) sort after, so the
+    # same event is also inside the following frame.
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    prev_side = ev.select(*on, "_ts", F.lit(0).alias("_tag"),
+                          F.struct(F.col("_v"), F.col("_ts").alias("_pts"))
+                          .alias("_p"), null_d.alias("_nv"),
+                          null_l.alias("_nts"))
+    grid = (events.select(*on).distinct()
+            .withColumn("t", F.explode(F.expr(
+                f"sequence(CAST({int(start)} AS BIGINT), "
+                f"CAST({int(end)} AS BIGINT), "
+                f"CAST({int(step)} AS BIGINT))"))))
+    p_type = prev_side.schema["_p"].dataType
+    grid_side = grid.select(*on, F.col("t").alias("_ts"),
+                            F.lit(1).alias("_tag"),
+                            F.lit(None).cast(p_type).alias("_p"),
+                            null_d.alias("_nv"), null_l.alias("_nts"))
+    next_side = ev.select(*on, "_ts", F.lit(2).alias("_tag"),
+                          F.lit(None).cast(p_type).alias("_p"),
+                          F.col("_v").alias("_nv"),
+                          F.col("_ts").alias("_nts"))
+    # _p asc makes the running last() pick the GREATEST prev payload;
+    # _nv desc makes the running first() pick the GREATEST next value —
+    # the same greatest-wins tie rule on both anchors.
+    order = [F.col("_ts"), F.col("_tag"), F.col("_p"), F.col("_nv").desc()]
+    w_prev = (Window.partitionBy(*on).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy(*on).orderBy(*order)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = (prev_side.unionByName(grid_side).unionByName(next_side)
+         .withColumn("_pm", F.last("_p", ignorenulls=True).over(w_prev))
+         .withColumn("_nmv", F.first("_nv", ignorenulls=True).over(w_next))
+         .withColumn("_nmt", F.first("_nts", ignorenulls=True).over(w_next))
+         .filter(F.col("_tag") == 1))
+    pv, pt = F.col("_pm")["_v"], F.col("_pm")["_pts"]
+    nv, nt = F.col("_nmv"), F.col("_nmt")
+    interp = (
+        F.when(pt.isNull(), F.lit(None).cast("double"))
+        .when(nt.isNull() | (nt == pt), pv)
+        .otherwise(pv + (nv - pv) * (F.col("_ts") - pt).cast("double")
+                   / (nt - pt).cast("double")))
+    return u.select(*on, F.col("_ts").alias("t"), interp.alias("v"),
+                    pt.alias("t_prev"), nt.alias("t_next"))
+
+
 def rolling_zscore(events: DataFrame, key: str, ts: str, value: str,
                    window_us: int, k_sigma: float = 3.0,
                    min_points: int = 5,

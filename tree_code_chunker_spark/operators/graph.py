@@ -682,3 +682,34 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
                           F.coalesce("new_label", "label").alias("label"))
                   .localCheckpoint(eager=False))
     return labels
+
+
+def label_propagation_sql(edges_cte: str, iters: int) -> str:
+    """DuckDB mirror of label_propagation over `edges_cte`(src, dst):
+    chained per-iteration CTEs (the fixed-sweep contract makes a fixed
+    chain exact, same trick as pagerank_weighted_sql); every CTE is
+    MATERIALIZED because each level is referenced multiple times (the
+    k_core_sql inlining-blowup lesson)."""
+    ctes = [
+        f"lp_und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM {edges_cte} WHERE src != dst "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM {edges_cte} "
+        f"WHERE src != dst))",
+        "lp_l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label "
+        "FROM lp_und)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"lp_l{i - 1}"
+        ctes.append(
+            f"lp_h{i} AS MATERIALIZED (SELECT u.dst AS node, l.label, "
+            f"count(*) AS n FROM {prev} l JOIN lp_und u ON l.node = u.src "
+            f"GROUP BY 1, 2)")
+        ctes.append(
+            f"lp_p{i} AS MATERIALIZED (SELECT node, min(label) AS new_label "
+            f"FROM (SELECT node, label, n, max(n) OVER (PARTITION BY node) "
+            f"AS mx FROM lp_h{i}) WHERE n = mx GROUP BY node)")
+        ctes.append(
+            f"lp_l{i} AS MATERIALIZED (SELECT l.node, "
+            f"COALESCE(p.new_label, l.label) AS label "
+            f"FROM {prev} l LEFT JOIN lp_p{i} p USING (node))")
+    return ", ".join(ctes) + f" SELECT node, label FROM lp_l{iters}"

@@ -475,6 +475,19 @@ def st_colocate_join(
     the bucket id uses truncating integer division, which equals floor
     division only for t >= 0.
 
+    DEGENERATE-dt REGIME (dt >= the data's whole time span, e.g. "same
+    day" over one day of data): every row lands in one or two time
+    buckets, so the time part of the key stops discriminating — but the
+    join key stays the full 3-part (cell_y, cell_x, t_bucket) composite,
+    whose SPATIAL parts keep partitions distributed exactly like
+    dwithin_self_join's 2-D key; a hot time bucket therefore cannot
+    serialize the join onto one partition (pinned by test: all-equal
+    timestamps + vacuous dt == the pure spatial self-join, with a
+    bounded max-bucket share).  The time prune being vacuous DOES grow
+    the candidate set to the spatial prune's — if that is the intended
+    query, call dwithin_self_join directly and skip the 27/14-offset
+    time expansion entirely.
+
     Reference correspondence: the 3-D lift of the reference's 1-D
     interval-overlap prune (codechunk.go:631-651), as dwithin_join is
     the 2-D lift (SURVEY.md §2.4 J3).

@@ -388,3 +388,88 @@ def pmi_collocations_sql(table: str, text_col: str = "text",
   FROM pmi_scored
 )
 SELECT rank, a, b, cab, pmi FROM pmi_ranked WHERE rank <= {int(topk)}"""
+
+
+def lm_quality(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Character-trigram language-model quality score per document: the
+    average add-one-smoothed trigram log-probability
+    avg_i ln((C3(t_i) + 1) / (C2(ctx_i) + V)), with counts taken from the
+    corpus itself — the CCNet-style (Wenzek et al. 2020, arXiv:1911.00359)
+    perplexity filter that separates fluent text from gibberish /
+    boilerplate without any external model: documents whose character
+    sequences are atypical for the corpus score low (more negative).
+    C3 = corpus occurrences of the trigram, C2 = occurrences of its
+    2-char context (= sum of C3 over the context's completions, exactly),
+    V = distinct third characters observed corpus-wide (the add-one
+    alphabet).
+
+    Scale shape: trigram extraction is a pure JVM array transform per
+    row (no shuffle); the count model is two hash aggregations whose
+    results are bounded by the ALPHABET^3 trigram space, broadcast back
+    onto the per-doc gram table — the corpus is shuffled once, on
+    (id, tri).  Cross-engine exactness (the pmi_collocations discipline):
+    counts are integers, each trigram's ln is one ~1ulp op on one exact
+    integer ratio rounded to 6dp immediately, per-doc sums then run in
+    DECIMAL (order-independent), and the single final /n is a fixed-op-
+    order double rounded to 6dp.
+
+    Output: (id, n_tri, logp_avg), one row per document with >= 3 chars
+    (shorter documents have no trigram and no row).
+    """
+    tris = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("_t"))
+            .filter(F.length("_t") >= 3)
+            .select("id", F.explode(F.expr(
+                "transform(sequence(1, length(_t) - 2), "
+                "i -> substring(_t, i, 3))")).alias("tri")))
+    per = tris.groupBy("id", "tri").agg(F.count("*").alias("n"))
+    c3 = tris.groupBy("tri").agg(F.count("*").alias("c3"))
+    c2 = (c3.groupBy(F.substring("tri", 1, 2).alias("ctx"))
+          .agg(F.sum("c3").alias("c2")))
+    v = c3.select(F.countDistinct(F.substring("tri", 3, 1)).alias("v"))
+    lnp = F.round(
+        F.log((F.col("c3") + 1).cast("double")
+              / (F.col("c2") + F.col("v")).cast("double")),
+        6).cast("decimal(18,6)")
+    scored = (per
+              .join(F.broadcast(c3), "tri")
+              .join(F.broadcast(c2),
+                    F.substring("tri", 1, 2) == F.col("ctx"))
+              .crossJoin(F.broadcast(v))
+              .select("id", "n", lnp.alias("_lnp")))
+    return (scored.groupBy("id")
+            .agg(F.sum("n").alias("n_tri"),
+                 F.sum(F.col("n") * F.col("_lnp")).alias("_s"))
+            .select(F.col("id"), "n_tri",
+                    F.round(F.col("_s").cast("double") / F.col("n_tri"), 6)
+                    .alias("logp_avg")))
+
+
+def lm_quality_sql(table: str, id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB mirror of lm_quality (same op order, same rounding)."""
+    return f"""lm_tris AS (
+  SELECT {id_col} AS id,
+         unnest(list_transform(range(1, length({text_col}) - 1),
+                               i -> {text_col}[i:i + 2])) AS tri
+  FROM {table} WHERE length({text_col}) >= 3
+), lm_per AS (
+  SELECT id, tri, count(*)::BIGINT AS n FROM lm_tris GROUP BY id, tri
+), lm_c3 AS (
+  SELECT tri, count(*)::BIGINT AS c3 FROM lm_tris GROUP BY tri
+), lm_c2 AS (
+  SELECT tri[1:2] AS ctx, sum(c3)::BIGINT AS c2 FROM lm_c3 GROUP BY ctx
+), lm_v AS (
+  SELECT count(DISTINCT tri[3:3])::BIGINT AS v FROM lm_c3
+), lm_scored AS (
+  SELECT id, n,
+         CAST(round(ln(CAST(c3 + 1 AS DOUBLE) / CAST(c2 + v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lnp
+  FROM lm_per JOIN lm_c3 USING (tri)
+  JOIN lm_c2 ON lm_per.tri[1:2] = lm_c2.ctx
+  CROSS JOIN lm_v
+)
+SELECT id, sum(n)::BIGINT AS n_tri,
+       round(CAST(sum(n * lnp) AS DOUBLE) / sum(n), 6) AS logp_avg
+FROM lm_scored GROUP BY id"""

@@ -4879,6 +4879,126 @@ def q_stream_dedup(spark, sf_dir):
 SQL_STREAM_DEDUP = "WITH " + _minhash_ctes() + _MINHASH_PAIRS_SELECT
 
 
+def q_resample_interp(spark, sf_dir):
+    """Regular-grid resample + LINEAR interpolation over the derived
+    day-clock: one row per (user, 2h instant), the value interpolated
+    between the bracketing events — resample_ffill's companion for
+    continuous signals, the same zero-join union-tag plan evaluated in
+    both directions over ONE sort (operators/events.resample_interp)."""
+    from tree_code_chunker_spark.operators.events import resample_interp
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r = ev.select("user_id", (us % DAY_US).alias("tu"),
+                  F.col("value").alias("v"))
+    out = resample_interp(r, ["user_id"], "tu", "v",
+                          0, DAY_US - 1, RS_STEP_US)
+    return out.select(
+        "user_id", "t",
+        F.coalesce(F.round("v", 6), F.lit(-1.0)).alias("val"),
+        F.coalesce("t_prev", F.lit(-1)).alias("src_prev"),
+        F.coalesce("t_next", F.lit(-1)).alias("src_next"))
+
+
+SQL_RESAMPLE_INTERP = f"""
+WITH ri_r AS (
+  SELECT user_id, epoch_us(ts) % {DAY_US} AS tu, value AS v FROM events
+), ri_grid AS (
+  SELECT user_id, unnest(generate_series(0, {DAY_US - 1}, {RS_STEP_US}))
+    AS t
+  FROM (SELECT DISTINCT user_id FROM ri_r)
+), ri_u AS (
+  -- tag 0: prev-anchor event copies; tag 1: grid; tag 2: next-anchor
+  -- copies.  Exact-hit events land in BOTH anchors' frames.
+  SELECT user_id, tu AS ts_o, 0 AS tag, CAST(NULL AS BIGINT) AS t,
+         v AS pv, tu AS pts, CAST(NULL AS DOUBLE) AS nv,
+         CAST(NULL AS BIGINT) AS nts
+  FROM ri_r
+  UNION ALL
+  SELECT user_id, t, 1, t, NULL, NULL, NULL, NULL FROM ri_grid
+  UNION ALL
+  SELECT user_id, tu, 2, NULL, NULL, NULL, v, tu FROM ri_r
+), ri_m AS (
+  SELECT user_id, tag, t,
+         last_value(pv IGNORE NULLS) OVER wp AS m_pv,
+         last_value(pts IGNORE NULLS) OVER wp AS m_pt,
+         first_value(nv IGNORE NULLS) OVER wn AS m_nv,
+         first_value(nts IGNORE NULLS) OVER wn AS m_nt
+  FROM ri_u
+  WINDOW wp AS (PARTITION BY user_id
+                ORDER BY ts_o, tag, pv, nv DESC
+                ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY user_id
+                ORDER BY ts_o, tag, pv, nv DESC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t,
+       coalesce(round(CASE
+         WHEN m_pt IS NULL THEN NULL
+         WHEN m_nt IS NULL OR m_nt = m_pt THEN m_pv
+         ELSE m_pv + (m_nv - m_pv) * CAST(t - m_pt AS DOUBLE)
+              / CAST(m_nt - m_pt AS DOUBLE)
+       END, 6), -1.0) AS val,
+       coalesce(m_pt, -1) AS src_prev, coalesce(m_nt, -1) AS src_next
+FROM ri_m WHERE tag = 1
+"""
+
+
+DUP_SPAN_N = 4
+
+
+def q_dup_spans(spark, sf_dir):
+    """Per-document duplicated-substring coverage: the fraction of each
+    doc's word {DUP_SPAN_N}-gram occurrences whose gram appears in >= 2
+    documents — the exact-substring dedup signal document-level MinHash
+    misses (operators/dedup.dup_span_stats; Lee et al. 2022)."""
+    from tree_code_chunker_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir).select("doc_id", "text"),
+                          n=DUP_SPAN_N)
+
+
+SQL_DUP_SPANS = f"""
+WITH ds_occ AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN len(ws) >= {DUP_SPAN_N}
+                THEN list_transform(
+                  range(1, len(ws) - {DUP_SPAN_N - 2}),
+                  i -> array_to_string(ws[i:i + {DUP_SPAN_N - 1}], ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), ds_cross AS (
+  SELECT gram FROM (SELECT DISTINCT id, gram FROM ds_occ)
+  GROUP BY gram HAVING count(*) >= 2
+), ds_n AS (
+  SELECT id, count(*)::BIGINT AS n_spans FROM ds_occ GROUP BY id
+), ds_d AS (
+  SELECT id, count(*)::BIGINT AS nd FROM ds_occ
+  WHERE gram IN (SELECT gram FROM ds_cross) GROUP BY id
+)
+SELECT ds_n.id, n_spans, coalesce(nd, 0) AS n_dup_spans,
+       round(coalesce(nd, 0) / n_spans, 6) AS dup_frac
+FROM ds_n LEFT JOIN ds_d USING (id)
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """Char-trigram LM quality score per document (corpus-trained add-one
+    model, CCNet-style perplexity filter): avg trigram log-prob with
+    per-term 6dp-rounded ln summed in DECIMAL so the result is bit-stable
+    across engines (operators/textstats.lm_quality)."""
+    from tree_code_chunker_spark.operators.textstats import lm_quality
+
+    return lm_quality(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _lm_quality_sql():
+    from tree_code_chunker_spark.operators.textstats import lm_quality_sql
+
+    return "WITH " + lm_quality_sql("documents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -4887,6 +5007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r6: never driver-checked before
+        "resample_interp": q_resample_interp,
+        "dup_spans": q_dup_spans,
+        "lm_quality": q_lm_quality,
         "st_colocate_ab": q_st_colocate_ab,
         "st_colocate_anti": q_st_colocate_anti,
         "rdp_simplify": q_rdp_simplify,
@@ -5014,6 +5137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "resample_interp": SQL_RESAMPLE_INTERP,
+        "dup_spans": SQL_DUP_SPANS,
+        "lm_quality": _lm_quality_sql(),
         "st_colocate_ab": SQL_ST_COLOCATE_AB,
         "st_colocate_anti": SQL_ST_COLOCATE_ANTI,
         "rdp_simplify": SQL_RDP_SIMPLIFY,

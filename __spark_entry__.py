@@ -4999,6 +4999,204 @@ def _lm_quality_sql():
     return "WITH " + lm_quality_sql("documents")
 
 
+# ---- vector-overlay joins (operators/overlay.py): rect overlay, segment
+# ---- crossings, map-matching — derived deterministically from the span
+# ---- points so both engines build the identical geometry tables
+
+# rect per point: min corner at (qlat, qlon), data-dependent extents; A/B
+# sides split by span_pos parity
+_OVL_H = "(400 + qlat % 1999)"
+_OVL_W = "(400 + qlon % 1999)"
+OVL_RECTS_SQL = f"""
+ra AS (
+  SELECT doc_id AS a_doc, span_pos AS a_pos, qlat AS y0, qlon AS x0,
+         qlat + {_OVL_H} AS y1, qlon + {_OVL_W} AS x1
+  FROM points WHERE span_pos % 2 = 0
+), rb AS (
+  SELECT doc_id AS b_doc, span_pos AS b_pos, qlat AS y0, qlon AS x0,
+         qlat + {_OVL_H} AS y1, qlon + {_OVL_W} AS x1
+  FROM points WHERE span_pos % 2 = 1
+)"""
+
+
+def _ovl_rects(spark, sf_dir, parity, tag):
+    p = _points(spark, sf_dir).filter(F.col("span_pos") % 2 == parity)
+    return p.select(
+        F.col("doc_id").alias(f"{tag}_doc"),
+        F.col("span_pos").alias(f"{tag}_pos"),
+        F.col("qlat").alias("y0"),
+        F.col("qlon").alias("x0"),
+        (F.col("qlat") + 400 + F.col("qlat") % 1999).alias("y1"),
+        (F.col("qlon") + 400 + F.col("qlon") % 1999).alias("x1"),
+    )
+
+
+def q_rect_overlay(spark, sf_dir):
+    """Rectangle overlay join (intersection + union areas) with
+    reference-point exactly-once dedup (operators/overlay.rect_overlay_join);
+    the oracle is the brute-force inequality join over the same rects."""
+    from tree_code_chunker_spark.operators.overlay import (
+        overlay_res, rect_overlay_join)
+
+    a = _ovl_rects(spark, sf_dir, 0, "a")
+    b = _ovl_rects(spark, sf_dir, 1, "b")
+    return rect_overlay_join(a, b, overlay_res(400 + 1998),
+                             a_keep=("a_doc", "a_pos"),
+                             b_keep=("b_doc", "b_pos"))
+
+
+SQL_RECT_OVERLAY = f"""
+{SPANS_CTE}, {POINTS_SQL}, {OVL_RECTS_SQL}
+SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos,
+       (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))
+       * (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0)) AS inter_area,
+       (a.y1 - a.y0) * (a.x1 - a.x0) + (b.y1 - b.y0) * (b.x1 - b.x0)
+       - (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))
+         * (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0)) AS union_area
+FROM ra a JOIN rb b
+  ON GREATEST(a.y0, b.y0) < LEAST(a.y1, b.y1)
+ AND GREATEST(a.x0, b.x0) < LEAST(a.x1, b.x1)
+"""
+
+# segment per point: one endpoint at (qlat, qlon), the other displaced by a
+# data-dependent (dy, dx) in [-1200, 1200]; operands are nonnegative so
+# Spark and DuckDB % agree
+_SEG_DY = "((qlat * 7 + qlon * 3) % 2401 - 1200)"
+_SEG_DX = "((qlat * 5 + qlon * 11) % 2401 - 1200)"
+OVL_SEGS_SQL = f"""
+sa AS (
+  SELECT doc_id AS a_doc, span_pos AS a_pos, qlat AS y1, qlon AS x1,
+         qlat + {_SEG_DY} AS y2, qlon + {_SEG_DX} AS x2
+  FROM points WHERE span_pos % 2 = 0
+), sb AS (
+  SELECT doc_id AS b_doc, span_pos AS b_pos, qlat AS y1, qlon AS x1,
+         qlat + {_SEG_DY} AS y2, qlon + {_SEG_DX} AS x2
+  FROM points WHERE span_pos % 2 = 1
+)"""
+
+
+def _ovl_segs(spark, sf_dir, parity, tag):
+    p = _points(spark, sf_dir).filter(F.col("span_pos") % 2 == parity)
+    dy = (F.col("qlat") * 7 + F.col("qlon") * 3) % 2401 - 1200
+    dx = (F.col("qlat") * 5 + F.col("qlon") * 11) % 2401 - 1200
+    return p.select(
+        F.col("doc_id").alias(f"{tag}_doc"),
+        F.col("span_pos").alias(f"{tag}_pos"),
+        F.col("qlat").alias("y1"),
+        F.col("qlon").alias("x1"),
+        (F.col("qlat") + dy).alias("y2"),
+        (F.col("qlon") + dx).alias("x2"),
+    )
+
+
+def q_seg_crossings(spark, sf_dir):
+    """Segment-intersection join (strict proper crossings) via bbox cell
+    cover + reference-point dedup (operators/overlay.segment_crossings);
+    the oracle is the brute-force orientation-sign join."""
+    from tree_code_chunker_spark.operators.overlay import (
+        overlay_res, segment_crossings)
+
+    a = _ovl_segs(spark, sf_dir, 0, "a")
+    b = _ovl_segs(spark, sf_dir, 1, "b")
+    return segment_crossings(a, b, overlay_res(2 * 1200),
+                             a_keep=("a_doc", "a_pos"),
+                             b_keep=("b_doc", "b_pos"))
+
+
+_CCW_SQL = ("(({ax}) - ({ox})) * (({by}) - ({oy})) "
+            "- (({ay}) - ({oy})) * (({bx}) - ({ox}))")
+
+
+def _seg_cross_pred():
+    d1 = _CCW_SQL.format(oy="a.y1", ox="a.x1", ay="a.y2", ax="a.x2",
+                         by="b.y1", bx="b.x1")
+    d2 = _CCW_SQL.format(oy="a.y1", ox="a.x1", ay="a.y2", ax="a.x2",
+                         by="b.y2", bx="b.x2")
+    d3 = _CCW_SQL.format(oy="b.y1", ox="b.x1", ay="b.y2", ax="b.x2",
+                         by="a.y1", bx="a.x1")
+    d4 = _CCW_SQL.format(oy="b.y1", ox="b.x1", ay="b.y2", ax="b.x2",
+                         by="a.y2", bx="a.x2")
+    # explicit opposite-sign form (mirrors the engine): products of two
+    # orientation values could overflow BIGINT for far-apart pairs
+    return (f"((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0)) "
+            f"AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))")
+
+
+SQL_SEG_CROSSINGS = f"""
+{SPANS_CTE}, {POINTS_SQL}, {OVL_SEGS_SQL}
+SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
+FROM sa a JOIN sb b ON {_seg_cross_pred()}
+"""
+
+MAP_MATCH_RADIUS = 700
+
+
+def q_map_match(spark, sf_dir):
+    """Map-matching: snap every span point to its nearest odd-parity
+    segment within MAP_MATCH_RADIUS, exact 10^6-scaled squared distance
+    and seg_id tie-break (operators/overlay.snap_to_segments)."""
+    from tree_code_chunker_spark.operators.overlay import (
+        overlay_res, snap_to_segments)
+
+    pts = _points(spark, sf_dir)
+    segs = _ovl_segs(spark, sf_dir, 1, "b").select(
+        (F.col("b_doc").cast("long") * 1000 + F.col("b_pos")).alias("seg_id"),
+        "y1", "x1", "y2", "x2",
+    )
+    return snap_to_segments(
+        pts, segs, MAP_MATCH_RADIUS,
+        overlay_res(2 * 1200 + 2 * MAP_MATCH_RADIUS),
+        p_keep=("doc_id", "span_pos"))
+
+
+SQL_MAP_MATCH = f"""
+{SPANS_CTE}, {POINTS_SQL}, {OVL_SEGS_SQL},
+segs AS (
+  SELECT CAST(b_doc AS BIGINT) * 1000 + b_pos AS seg_id,
+         CAST(y1 AS BIGINT) AS y1, CAST(x1 AS BIGINT) AS x1,
+         CAST(y2 AS BIGINT) AS y2, CAST(x2 AS BIGINT) AS x2
+  FROM sb
+), pp AS (
+  SELECT doc_id, span_pos,
+         CAST(qlat AS BIGINT) AS qlat, CAST(qlon AS BIGINT) AS qlon
+  FROM points
+), cand AS (
+  SELECT p.doc_id, p.span_pos, s.seg_id,
+         CASE
+           WHEN (s.y2 - s.y1) * (s.y2 - s.y1)
+                + (s.x2 - s.x1) * (s.x2 - s.x1) = 0
+                OR (p.qlat - s.y1) * (s.y2 - s.y1)
+                   + (p.qlon - s.x1) * (s.x2 - s.x1) <= 0
+             THEN ((p.qlat - s.y1) * (p.qlat - s.y1)
+                   + (p.qlon - s.x1) * (p.qlon - s.x1)) * 1000000
+           WHEN (p.qlat - s.y1) * (s.y2 - s.y1)
+                + (p.qlon - s.x1) * (s.x2 - s.x1)
+                >= (s.y2 - s.y1) * (s.y2 - s.y1)
+                   + (s.x2 - s.x1) * (s.x2 - s.x1)
+             THEN ((p.qlat - s.y2) * (p.qlat - s.y2)
+                   + (p.qlon - s.x2) * (p.qlon - s.x2)) * 1000000
+           ELSE CAST(
+             (CAST((p.qlon - s.x1) * (s.y2 - s.y1)
+                   - (p.qlat - s.y1) * (s.x2 - s.x1) AS HUGEINT)
+              * CAST((p.qlon - s.x1) * (s.y2 - s.y1)
+                     - (p.qlat - s.y1) * (s.x2 - s.x1) AS HUGEINT)
+              * 1000000)
+             // ((s.y2 - s.y1) * (s.y2 - s.y1)
+                 + (s.x2 - s.x1) * (s.x2 - s.x1)) AS BIGINT)
+         END AS dist2_e6
+  FROM pp p CROSS JOIN segs s
+)
+SELECT doc_id, span_pos, seg_id, dist2_e6
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_pos
+                               ORDER BY dist2_e6, seg_id) AS rn
+  FROM cand
+  WHERE dist2_e6 <= {MAP_MATCH_RADIUS * MAP_MATCH_RADIUS * 1000000}
+)
+WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered fewest-prior-driver-green-rounds first: if the driver gate
     # caps how many entries it checks per round (50 observed), the window
@@ -5007,6 +5205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green veterans rotate to the back (all additionally pytest-pinned).
     return {
         # new in r6: never driver-checked before
+        "rect_overlay": q_rect_overlay,
+        "seg_crossings": q_seg_crossings,
+        "map_match": q_map_match,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5137,6 +5338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rect_overlay": SQL_RECT_OVERLAY,
+        "seg_crossings": SQL_SEG_CROSSINGS,
+        "map_match": SQL_MAP_MATCH,
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

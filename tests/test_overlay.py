@@ -1,0 +1,229 @@
+"""Vector-overlay joins: rectangle overlay, segment crossings, map-matching.
+
+Every test checks the distributed operator against an independent
+brute-force python oracle over the same rows (all-pairs loops the
+operators themselves must never run), plus the documented edge
+conventions: half-open rectangle edges, strict proper-crossing signs,
+exactly-once reference-point dedup, radius boundary inclusion, and
+deterministic tie-breaks.
+"""
+
+import random
+
+import pyspark.sql.functions as F
+
+from tree_code_chunker_spark.operators.overlay import (
+    SNAP_SCALE,
+    overlay_res,
+    rect_overlay_join,
+    segment_crossings,
+    snap_to_segments,
+)
+
+SEED = 0x5EED
+
+
+def _rects(n, rng, max_side=1200):
+    out = []
+    for i in range(n):
+        y0 = rng.randrange(0, 60000)
+        x0 = rng.randrange(0, 60000)
+        out.append((i, y0, x0,
+                    y0 + rng.randrange(1, max_side),
+                    x0 + rng.randrange(1, max_side)))
+    return out
+
+
+def _brute_overlay(ra, rb):
+    got = {}
+    for (ai, ay0, ax0, ay1, ax1) in ra:
+        for (bi, by0, bx0, by1, bx1) in rb:
+            iy0, ix0 = max(ay0, by0), max(ax0, bx0)
+            iy1, ix1 = min(ay1, by1), min(ax1, bx1)
+            if iy0 < iy1 and ix0 < ix1:
+                inter = (iy1 - iy0) * (ix1 - ix0)
+                union = ((ay1 - ay0) * (ax1 - ax0)
+                         + (by1 - by0) * (bx1 - bx0) - inter)
+                got[(ai, bi)] = (inter, union)
+    return got
+
+
+def test_rect_overlay_matches_brute_force(spark):
+    rng = random.Random(SEED)
+    ra, rb = _rects(300, rng), _rects(300, rng)
+    schema = "a_id long, y0 long, x0 long, y1 long, x1 long"
+    da = spark.createDataFrame(ra, schema)
+    db = spark.createDataFrame(rb, schema.replace("a_id", "b_id"))
+    res = overlay_res(1200)
+    got = {(r.a_id, r.b_id): (r.inter_area, r.union_area)
+           for r in rect_overlay_join(da, db, res).collect()}
+    assert got == _brute_overlay(ra, rb)
+    assert got  # non-vacuous
+
+
+def test_rect_overlay_exactly_once_across_cells(spark):
+    # one huge rect overlapping many cells x one small rect inside it:
+    # the pair must appear exactly once (reference-point dedup), with
+    # touching-edge pairs excluded by the half-open convention
+    da = spark.createDataFrame(
+        [(1, 0, 0, 40000, 40000)], "a_id long, y0 long, x0 long, y1 long, x1 long")
+    db = spark.createDataFrame(
+        [(1, 20000, 20000, 20500, 20700),   # strictly inside
+         (2, 40000, 0, 40100, 100),         # touches a's high edge: no overlap
+         (3, 39999, 39999, 50000, 50000)],  # 1x1 corner overlap
+        "b_id long, y0 long, x0 long, y1 long, x1 long")
+    rows = rect_overlay_join(da, db, res=8).collect()
+    got = {(r.a_id, r.b_id): r.inter_area for r in rows}
+    assert len(rows) == len(got) == 2
+    assert got[(1, 1)] == 500 * 700
+    assert got[(1, 3)] == 1
+
+
+def _segs(n, rng, max_len=900):
+    out = []
+    for i in range(n):
+        y1 = rng.randrange(0, 60000)
+        x1 = rng.randrange(0, 60000)
+        out.append((i, y1, x1,
+                    y1 + rng.randrange(-max_len, max_len + 1),
+                    x1 + rng.randrange(-max_len, max_len + 1)))
+    return out
+
+
+def _ccw(oy, ox, ay, ax, by, bx):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _crosses(sa, sb):
+    _, ay1, ax1, ay2, ax2 = sa
+    _, by1, bx1, by2, bx2 = sb
+    d1 = _ccw(ay1, ax1, ay2, ax2, by1, bx1)
+    d2 = _ccw(ay1, ax1, ay2, ax2, by2, bx2)
+    d3 = _ccw(by1, bx1, by2, bx2, ay1, ax1)
+    d4 = _ccw(by1, bx1, by2, bx2, ay2, ax2)
+    return d1 * d2 < 0 and d3 * d4 < 0
+
+
+def test_segment_crossings_matches_brute_force(spark):
+    rng = random.Random(SEED + 1)
+    sa, sb = _segs(250, rng), _segs(250, rng)
+    schema = "a_id long, y1 long, x1 long, y2 long, x2 long"
+    da = spark.createDataFrame(sa, schema)
+    db = spark.createDataFrame(sb, schema.replace("a_id", "b_id"))
+    res = overlay_res(2 * 900)
+    got = sorted((r.a_id, r.b_id)
+                 for r in segment_crossings(da, db, res).collect())
+    want = sorted((a[0], b[0]) for a in sa for b in sb if _crosses(a, b))
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_segment_crossings_strict_convention(spark):
+    schema_a = "a_id long, y1 long, x1 long, y2 long, x2 long"
+    schema_b = schema_a.replace("a_id", "b_id")
+    da = spark.createDataFrame([(1, 100, 100, 100, 500)], schema_a)
+    db = spark.createDataFrame(
+        [(1, 50, 300, 200, 300),    # proper crossing
+         (2, 100, 500, 300, 500),   # touches a's endpoint: excluded
+         (3, 100, 200, 100, 400),   # collinear overlap: excluded
+         (4, 100, 300, 300, 300)],  # endpoint ON a's interior: excluded
+        schema_b)
+    got = sorted((r.a_id, r.b_id)
+                 for r in segment_crossings(da, db, res=8).collect())
+    assert got == [(1, 1)]
+
+
+def _brute_snap(pts, segs, radius):
+    best = {}
+    for pid, py, px in pts:
+        for sid, y1, x1, y2, x2 in segs:
+            aby, abx = y2 - y1, x2 - x1
+            apy, apx = py - y1, px - x1
+            l2 = aby * aby + abx * abx
+            tnum = apy * aby + apx * abx
+            if l2 == 0 or tnum <= 0:
+                d = (apy * apy + apx * apx) * SNAP_SCALE
+            elif tnum >= l2:
+                bpy, bpx = py - y2, px - x2
+                d = (bpy * bpy + bpx * bpx) * SNAP_SCALE
+            else:
+                cross = apx * aby - apy * abx
+                d = (cross * cross * SNAP_SCALE) // l2
+            if d <= radius * radius * SNAP_SCALE:
+                if pid not in best or (d, sid) < best[pid]:
+                    best[pid] = (d, sid)
+    return {pid: (sid, d) for pid, (d, sid) in best.items()}
+
+
+def test_snap_to_segments_matches_brute_force(spark):
+    rng = random.Random(SEED + 2)
+    segs = _segs(200, rng, max_len=700)
+    pts = [(i, rng.randrange(0, 61000), rng.randrange(0, 61000))
+           for i in range(800)]
+    radius = 900
+    dp = spark.createDataFrame(pts, "pid long, qlat long, qlon long")
+    ds = spark.createDataFrame(
+        segs, "seg_id long, y1 long, x1 long, y2 long, x2 long")
+    res = overlay_res(2 * 700 + 2 * radius)
+    got = {r.pid: (r.seg_id, r.dist2_e6)
+           for r in snap_to_segments(
+               dp, ds, radius, res, p_keep=("pid",)).collect()}
+    assert got == _brute_snap(pts, segs, radius)
+    assert got  # non-vacuous
+
+
+def test_snap_interior_projection_exact_floor(spark):
+    # point (10, 3) vs segment (0,0)->(0,7): interior projection,
+    # d2 = 100 exactly; vs diagonal (0,0)->(5,5) from (2,0):
+    # cross=-2? d2 = 4/2 = 2.0 -> 2_000_000
+    dp = spark.createDataFrame(
+        [(1, 10, 3), (2, 2, 0)], "pid long, qlat long, qlon long")
+    ds = spark.createDataFrame(
+        [(1, 0, 0, 0, 7), (2, 0, 0, 5, 5)],
+        "seg_id long, y1 long, x1 long, y2 long, x2 long")
+    got = {(r.pid, r.seg_id): r.dist2_e6
+           for r in snap_to_segments(
+               dp, ds, 20, overlay_res(64), p_keep=("pid",),
+               nearest_only=False).collect()}
+    assert got[(1, 1)] == 100 * SNAP_SCALE
+    # point (2,0) vs diagonal: cross = 0*5 - 2*5 = -10, l2 = 50,
+    # d2 = 100/50 = 2 exactly
+    assert got[(2, 2)] == 2 * SNAP_SCALE
+    # non-divisible case: point (1,0) vs diagonal: cross=-5, l2=50,
+    # d2 = 25/50 = 0.5 -> floor(0.5e6) = 500000
+    dp2 = spark.createDataFrame([(3, 1, 0)], "pid long, qlat long, qlon long")
+    got2 = snap_to_segments(
+        dp2, ds.filter(F.col("seg_id") == 2), 20, overlay_res(64),
+        p_keep=("pid",)).collect()
+    assert got2[0].dist2_e6 == SNAP_SCALE // 2
+
+
+def test_snap_radius_boundary_and_ties(spark):
+    # point exactly at radius from a segment endpoint is INCLUDED
+    # (<=); two segments at identical distance tie-break by seg_id
+    dp = spark.createDataFrame([(1, 100, 100)], "pid long, qlat long, qlon long")
+    ds = spark.createDataFrame(
+        [(7, 100, 150, 100, 200), (3, 100, 50, 100, 0)],
+        "seg_id long, y1 long, x1 long, y2 long, x2 long")
+    rows = snap_to_segments(dp, ds, 50, overlay_res(300),
+                            p_keep=("pid",)).collect()
+    assert len(rows) == 1
+    assert rows[0].seg_id == 3  # tie at d2=2500e6 -> lower id wins
+    assert rows[0].dist2_e6 == 2500 * SNAP_SCALE
+    # radius 49: nothing within
+    assert not snap_to_segments(dp, ds, 49, overlay_res(300),
+                                p_keep=("pid",)).collect()
+
+
+def test_determinism_across_parallelism(spark):
+    rng = random.Random(SEED + 3)
+    ra, rb = _rects(150, rng), _rects(150, rng)
+    schema = "a_id long, y0 long, x0 long, y1 long, x1 long"
+    da = spark.createDataFrame(ra, schema)
+    db = spark.createDataFrame(rb, schema.replace("a_id", "b_id"))
+    res = overlay_res(1200)
+    one = sorted(map(tuple, rect_overlay_join(
+        da.coalesce(1), db.coalesce(1), res).collect()))
+    many = sorted(map(tuple, rect_overlay_join(
+        da.repartition(13), db.repartition(7), res).collect()))
+    assert one == many

@@ -5128,6 +5128,74 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+HAUS_THRESHOLD = 3000
+
+
+def _traj_compact(spark, sf_dir, parity, tag):
+    """Compact per-doc trajectories: every span point folded into a
+    2500-extent box at its doc's anchor (span_pos=0 derived point), so
+    trajectory bboxes are LOCAL and the Hausdorff bbox prune has teeth
+    (the raw span points scatter across the whole grid)."""
+    p = _points(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") % 2 == parity)
+    ay, ax = derive_point_cols(F.col("doc_id").cast("long"), F.lit(0))
+    return p.select(
+        F.col("doc_id").cast("long").alias(f"{tag}_id"),
+        (ay + (F.col("qlat") * 13 + F.col("qlon") * 7) % 2501).alias("qlat"),
+        (ax + (F.col("qlat") * 3 + F.col("qlon") * 19) % 2501).alias("qlon"),
+    )
+
+
+def q_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join: symmetric Hausdorff distance <= threshold
+    between even-doc and odd-doc compact trajectories, exact integer h2
+    (operators/overlay.hausdorff_join: bbox cell prune + per-pair max-min)."""
+    from tree_code_chunker_spark.operators.overlay import (
+        hausdorff_join, overlay_res)
+
+    a = _traj_compact(spark, sf_dir, 0, "a")
+    b = _traj_compact(spark, sf_dir, 1, "b")
+    return hausdorff_join(a, b, HAUS_THRESHOLD,
+                          overlay_res(2500 + 2 * HAUS_THRESHOLD))
+
+
+def _hausdorff_sql():
+    ay, ax = derive_point_sql("CAST(doc_id AS BIGINT)", "0")
+    traj = (
+        "SELECT CAST(doc_id AS BIGINT) AS tid, "
+        f"{ay} + (qlat * 13 + qlon * 7) % 2501 AS y, "
+        f"{ax} + (qlat * 3 + qlon * 19) % 2501 AS x "
+        "FROM points WHERE CAST(doc_id AS BIGINT) % 2 = {parity}"
+    )
+    return f"""
+{{SPANS_CTE}}, {{POINTS_SQL}},
+ta AS ({traj.format(parity=0)}),
+tb AS ({traj.format(parity=1)}),
+pp AS (
+  SELECT ta.tid AS a_id, tb.tid AS b_id, ta.y AS ay, ta.x AS ax,
+         tb.y AS by, tb.x AS bx,
+         (ta.y - tb.y) * (ta.y - tb.y)
+         + (ta.x - tb.x) * (ta.x - tb.x) AS d2
+  FROM ta CROSS JOIN tb
+), h_ab AS (
+  SELECT a_id, b_id, MAX(dmin) AS h_ab FROM (
+    SELECT a_id, b_id, ay, ax, MIN(d2) AS dmin
+    FROM pp GROUP BY a_id, b_id, ay, ax
+  ) GROUP BY a_id, b_id
+), h_ba AS (
+  SELECT a_id, b_id, MAX(dmin) AS h_ba FROM (
+    SELECT a_id, b_id, by, bx, MIN(d2) AS dmin
+    FROM pp GROUP BY a_id, b_id, by, bx
+  ) GROUP BY a_id, b_id
+)
+SELECT h_ab.a_id, h_ab.b_id, GREATEST(h_ab, h_ba) AS h2
+FROM h_ab JOIN h_ba ON h_ab.a_id = h_ba.a_id AND h_ab.b_id = h_ba.b_id
+WHERE GREATEST(h_ab, h_ba) <= {HAUS_THRESHOLD * HAUS_THRESHOLD}
+""".format(SPANS_CTE=SPANS_CTE, POINTS_SQL=POINTS_SQL)
+
+
+SQL_HAUSDORFF = _hausdorff_sql()
+
 MAP_MATCH_RADIUS = 700
 
 
@@ -5208,6 +5276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_overlay": q_rect_overlay,
         "seg_crossings": q_seg_crossings,
         "map_match": q_map_match,
+        "hausdorff": q_hausdorff,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5341,6 +5410,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_overlay": SQL_RECT_OVERLAY,
         "seg_crossings": SQL_SEG_CROSSINGS,
         "map_match": SQL_MAP_MATCH,
+        "hausdorff": SQL_HAUSDORFF,
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

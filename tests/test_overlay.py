@@ -227,3 +227,65 @@ def test_determinism_across_parallelism(spark):
     many = sorted(map(tuple, rect_overlay_join(
         da.repartition(13), db.repartition(7), res).collect()))
     assert one == many
+
+
+def _brute_hausdorff(pa, pb, threshold):
+    """pa/pb: dict id -> list[(y, x)] — directed max-min, symmetric max."""
+    import itertools
+    out = {}
+    t2 = threshold * threshold
+    for ai, aps in pa.items():
+        for bi, bps in pb.items():
+            h_ab = max(min((ay - by) ** 2 + (ax - bx) ** 2
+                           for by, bx in bps) for ay, ax in aps)
+            h_ba = max(min((ay - by) ** 2 + (ax - bx) ** 2
+                           for ay, ax in aps) for by, bx in bps)
+            h2 = max(h_ab, h_ba)
+            if h2 <= t2:
+                out[(ai, bi)] = h2
+    return out
+
+
+def _traj_points(n_trajs, rng, id_base=0, extent=2500, n_pts=8):
+    out = {}
+    for i in range(n_trajs):
+        oy = rng.randrange(0, 60000)
+        ox = rng.randrange(0, 60000)
+        out[id_base + i] = [
+            (oy + rng.randrange(0, extent), ox + rng.randrange(0, extent))
+            for _ in range(n_pts)]
+    return out
+
+
+def test_hausdorff_join_matches_brute_force(spark):
+    from tree_code_chunker_spark.operators.overlay import hausdorff_join
+
+    rng = random.Random(SEED + 4)
+    # clustered trajectories so some pairs are near, most far
+    pa = _traj_points(120, rng)
+    pb = _traj_points(120, rng, id_base=1000)
+    threshold = 4000
+    rows_a = [(i, y, x) for i, ps in pa.items() for y, x in ps]
+    rows_b = [(i, y, x) for i, ps in pb.items() for y, x in ps]
+    da = spark.createDataFrame(rows_a, "a_id long, qlat long, qlon long")
+    db = spark.createDataFrame(rows_b, "b_id long, qlat long, qlon long")
+    res = overlay_res(2500 + 2 * threshold)
+    got = {(r.a_id, r.b_id): r.h2
+           for r in hausdorff_join(da, db, threshold, res).collect()}
+    assert got == _brute_hausdorff(pa, pb, threshold)
+    assert got  # non-vacuous
+
+
+def test_hausdorff_symmetric_direction(spark):
+    from tree_code_chunker_spark.operators.overlay import hausdorff_join
+
+    # A is a single point inside B's hull: h(A->B) is small but h(B->A)
+    # is large — the symmetric distance must take the max
+    da = spark.createDataFrame(
+        [(1, 100, 100)], "a_id long, qlat long, qlon long")
+    db = spark.createDataFrame(
+        [(2, 100, 100), (2, 100, 400)], "b_id long, qlat long, qlon long")
+    got = hausdorff_join(da, db, 300, overlay_res(1000)).collect()
+    assert len(got) == 1 and got[0].h2 == 300 * 300
+    # threshold just under the far point's distance: pair excluded
+    assert not hausdorff_join(da, db, 299, overlay_res(1000)).collect()

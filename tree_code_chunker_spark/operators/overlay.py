@@ -216,6 +216,107 @@ def segment_crossings(
     )
 
 
+def hausdorff_join(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: int,
+    res: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Trajectory-similarity join: all (a, b) trajectory pairs whose
+    SYMMETRIC Hausdorff distance is <= threshold, with the exact squared
+    distance.
+
+    a(a_id, qlat, qlon) x b(b_id, qlat, qlon) -> (a_id, b_id, h2) where
+    h2 = max(h(A->B), h(B->A)) and the directed distance
+    h(A->B) = max over A-points of min over B-points of squared Euclidean
+    grid distance — every step is integer min/max, so h2 is exact and the
+    DuckDB mirror matches bit-for-bit.
+
+    Plan (never all-pairs across the corpus):
+      1. per-trajectory bounding boxes (one hash agg per side);
+      2. candidate pairs = boxes within `threshold` of each other, found by
+         the cell-cover equi-join (A boxes padded by threshold, B boxes
+         exact, reference-point dedup) + the exact bbox-gap filter — a
+         NECESSARY condition for H <= threshold since h(A->B) >= the bbox
+         gap;
+      3. exact phase: candidate pairs pull their own points through two
+         equi-joins on the trajectory ids, d2 per point pair, min per
+         (pair, a-point) then max per pair for each direction, final
+         filter h2 <= threshold^2.
+    Per-pair cost is |A|x|B| point pairs — bounded by trajectory length,
+    and long trajectories compose with rdp_simplify upstream (the classic
+    simplify-then-match pipeline; RDP guarantees its own epsilon bound).
+
+    Ties/determinism: min/max over integers — deterministic at any
+    parallelism by construction.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    shift = GRID_BITS - res
+    t2 = int(threshold) * int(threshold)
+
+    def boxes(df, key):
+        return df.groupBy(key).agg(
+            F.min("qlat").alias("loy"), F.max("qlat").alias("hiy"),
+            F.min("qlon").alias("lox"), F.max("qlon").alias("hix"),
+        )
+
+    a_box = (
+        boxes(a, a_id).select(
+            a_id, F.col("loy").alias("aloy"), F.col("hiy").alias("ahiy"),
+            F.col("lox").alias("alox"), F.col("hix").alias("ahix"),
+            _cell_axis(F.col("loy") - threshold, F.col("hiy") + threshold,
+                       shift, "cy"),
+        ).select("*", _cell_axis(F.col("alox") - threshold,
+                                 F.col("ahix") + threshold, shift, "cx"))
+    )
+    b_box = (
+        boxes(b, b_id).select(
+            b_id, F.col("loy").alias("bloy"), F.col("hiy").alias("bhiy"),
+            F.col("lox").alias("blox"), F.col("hix").alias("bhix"),
+            _cell_axis(F.col("loy"), F.col("hiy"), shift, "cy"),
+        ).select("*", _cell_axis(F.col("blox"), F.col("bhix"), shift, "cx"))
+    )
+    gy = F.greatest(F.lit(0), F.col("bloy") - F.col("ahiy"),
+                    F.col("aloy") - F.col("bhiy"))
+    gx = F.greatest(F.lit(0), F.col("blox") - F.col("ahix"),
+                    F.col("alox") - F.col("bhix"))
+    ry = F.greatest(F.col("aloy") - threshold, F.col("bloy"))
+    rx = F.greatest(F.col("alox") - threshold, F.col("blox"))
+    cand = (
+        a_box.join(b_box, ["cy", "cx"])
+        .filter(gy * gy + gx * gx <= F.lit(t2))
+        .filter((F.greatest(F.shiftright(ry, shift), F.lit(0)) == F.col("cy"))
+                & (F.greatest(F.shiftright(rx, shift), F.lit(0)) == F.col("cx")))
+        .select(a_id, b_id)
+    )
+
+    ap = a.select(a_id, F.col("qlat").alias("ay"), F.col("qlon").alias("ax"))
+    bp = b.select(b_id, F.col("qlat").alias("by"), F.col("qlon").alias("bx"))
+    d2 = ((F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+          + (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")))
+    pp = (
+        cand.join(ap, a_id).join(bp, b_id)
+        .select(a_id, b_id, "ay", "ax", "by", "bx", d2.alias("d2"))
+    )
+    h_ab = (
+        pp.groupBy(a_id, b_id, "ay", "ax").agg(F.min("d2").alias("dmin"))
+        .groupBy(a_id, b_id).agg(F.max("dmin").alias("h_ab"))
+    )
+    h_ba = (
+        pp.groupBy(a_id, b_id, "by", "bx").agg(F.min("d2").alias("dmin"))
+        .groupBy(a_id, b_id).agg(F.max("dmin").alias("h_ba"))
+    )
+    return (
+        h_ab.join(h_ba, [a_id, b_id])
+        .select(a_id, b_id,
+                F.greatest("h_ab", "h_ba").alias("h2"))
+        .filter(F.col("h2") <= F.lit(t2))
+    )
+
+
 def snap_to_segments(
     points: DataFrame,
     segs: DataFrame,

@@ -5128,6 +5128,47 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing over the documents table with deterministic synthetic
+    PII injected per doc-id residue (the raw corpus has none, which would
+    make the oracle vacuous); redacted strings and per-category counts
+    must match DuckDB byte-for-byte (operators/textstats.redact_pii)."""
+    from tree_code_chunker_spark.operators.textstats import redact_pii
+
+    did = F.col("doc_id").cast("long")
+    inj = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail a"), did.cast("string"),
+                        F.lit("@ex"), (did % 5).cast("string"),
+                        F.lit(".org")))
+        .when(did % 3 == 1,
+              F.concat(F.lit(" call 555-123-4567 ip 10.0."),
+                       (did % 256).cast("string"), F.lit(".7")))
+        .otherwise(F.lit("")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), inj).alias("text"))
+    return redact_pii(d)
+
+
+def _redact_pii_sql():
+    from tree_code_chunker_spark.operators.textstats import redact_pii_sql
+
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN
+             ' mail a' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+             || '@ex' || CAST(CAST(doc_id AS BIGINT) % 5 AS VARCHAR)
+             || '.org'
+           WHEN CAST(doc_id AS BIGINT) % 3 = 1 THEN
+             ' call 555-123-4567 ip 10.0.'
+             || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR) || '.7'
+           ELSE '' END AS text
+  FROM documents
+)
+{redact_pii_sql("aug")}"""
+
+
 HAUS_THRESHOLD = 3000
 
 
@@ -5277,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_crossings": q_seg_crossings,
         "map_match": q_map_match,
         "hausdorff": q_hausdorff,
+        "redact_pii": q_redact_pii,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5411,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         "seg_crossings": SQL_SEG_CROSSINGS,
         "map_match": SQL_MAP_MATCH,
         "hausdorff": SQL_HAUSDORFF,
+        "redact_pii": _redact_pii_sql(),
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

@@ -188,6 +188,30 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         % 86400)
     timed("st_colocate", lambda: st_colocate_join(pts_t, 16, 300).count())
 
+    # map-matching (round-6): snap the full ~9.2M-point corpus to a ~29k
+    # synthetic road-segment set (one segment per base span, non-hot docs
+    # only) within radius 200 — the cell-bucketed candidate join + exact
+    # scaled point-to-segment distance + per-point argmin.  Hot docs are
+    # excluded from the SEGMENT side for the same reason dwithin excludes
+    # hot queries: thousands of co-located segments inside a 64x64 hot box
+    # make hot x hot output-bound (every hot point x every hot segment),
+    # measuring row materialization rather than the matcher.
+    from tree_code_chunker_spark.operators.overlay import (
+        overlay_res, snap_to_segments)
+
+    segs = pts.filter((F.col("span_pos") % 256 == 0)
+                      & (F.col("doc_id").cast("long") % 5 != 0)).select(
+        (F.col("doc_id").cast("long") * 100000 + F.col("span_pos"))
+        .alias("seg_id"),
+        F.col("qlat").alias("y1"), F.col("qlon").alias("x1"),
+        (F.col("qlat") + (F.col("qlat") * 7 + F.col("qlon") * 3) % 2401
+         - 1200).alias("y2"),
+        (F.col("qlon") + (F.col("qlat") * 5 + F.col("qlon") * 11) % 2401
+         - 1200).alias("x2"))
+    timed("map_match", lambda: snap_to_segments(
+        pts, segs, 200, overlay_res(512),
+        p_keep=("doc_id", "span_pos")).count())
+
     # relational baseline query (pushdown + partial agg showcase)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed("tpch_pricing", lambda: (

@@ -473,3 +473,60 @@ def lm_quality_sql(table: str, id_col: str = "doc_id",
 SELECT id, sum(n)::BIGINT AS n_tri,
        round(CAST(sum(n * lnp) AS DOUBLE) / sum(n), 6) AS logp_avg
 FROM lm_scored GROUP BY id"""
+
+
+# PII patterns shared by the engine and the DuckDB mirror.  Deliberately
+# written in the dialect-safe intersection of Java regex and RE2: literal
+# dots as [.] (no backslash escapes — DuckDB standard strings do not
+# process them), no word boundaries (\b is unicode-aware in Java but ASCII
+# in RE2), no lookaround/backrefs (unsupported by RE2).  Order matters:
+# email is redacted FIRST so a dotted quad inside an email host (e.g.
+# u@10.0.0.7.net — the TLD keeps it a valid email match) is consumed by
+# the email token, matching how a real scrubber prioritizes the more
+# specific entity; a purely numeric host (user@10.0.0.7) fails the
+# alphabetic-TLD requirement and its quad is typed as an ip.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("ipv4", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: redact emails, phone numbers and
+    IPv4 addresses with typed placeholder tokens, and report per-category
+    match counts (counted BEFORE redaction, so e.g. an IP inside an email
+    host counts as email only — the replace chain runs in PII_PATTERNS
+    order).
+
+    Output: (id, redacted, n_email, n_phone, n_ipv4).
+
+    Scale shape: pure per-row JVM regexp expressions — no shuffle, no
+    Python; the scan stays inside whole-stage codegen and composes with
+    any downstream filter/dedup stage.  Cross-engine exactness: counts are
+    integers and the redacted string is byte-deterministic because both
+    engines implement leftmost-first matching for this (alternation-free,
+    greedy-quantifier) pattern subset.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col).alias("id"),
+                     red.alias("redacted"), *counts)
+
+
+def redact_pii_sql(table: str, id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB mirror of redact_pii (RE2 'g' flag = Java replace-all)."""
+    red = text_col
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({red}, '{pat}'))::BIGINT AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    cols = ",\n       ".join(counts)
+    return (f"SELECT {id_col} AS id, {red} AS redacted,\n       {cols}\n"
+            f"FROM {table}")

@@ -5366,6 +5366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pixels": q_raster_pixels,
         "detect_lang": q_detect_lang,
         "chunk_spans": q_chunk_spans,
+        # ---- 50-row window boundary (observed driver cap): everything
+        # ---- below is r4-green + pytest-pinned and rotates to the r7
+        # ---- front
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
         "minhash_jaccard": q_minhash_jaccard,
@@ -5373,10 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
-        # last driver-green in r4, oldest veterans — as many as fit the
-        # 50-row window this round; the rest rotate to the r7 front
         "tpch_pricing": q_tpch_pricing,
-        # ---- 50-row window boundary (observed driver cap) ----
         "join_rollup": q_join_rollup,
         "span_explode": q_span_explode,
         "cell_index": q_cell_index,

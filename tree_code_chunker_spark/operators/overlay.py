@@ -394,6 +394,15 @@ def snap_to_segments(
         .when(tnum >= l2, (bpy * bpy + bpx * bpx) * scale)
         .otherwise(interior)
     )
+    # NOTE (measured, sf0.1 / 9.2M points x 29k segments): a bbox-gap
+    # int64 prefilter before the distance — as a post-join filter OR as
+    # an explicit extra join condition — measured 7-8x SLOWER than this
+    # plain form (141-155 s vs 17-22 s): Catalyst pushes the adjacent
+    # distance filter into the BroadcastHashJoin condition with it, and
+    # the decimal-division CASE then evaluates per candidate row in the
+    # join condition AND again in the projection.  The simple
+    # join -> project -> filter below keeps the distance expression
+    # evaluated exactly once per candidate.
     cand = (
         p_side.join(s_side, ["cy", "cx"])
         .withColumn("dist2_e6", d2e6)

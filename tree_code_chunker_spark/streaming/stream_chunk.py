@@ -276,3 +276,50 @@ def run_stream_colocate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_map_match(
+    point_stream: DataFrame,
+    segs_static: DataFrame,
+    radius: int,
+    res: int,
+    out_path: str,
+    checkpoint_path: str,
+    p_keep: tuple = ("doc_id", "span_pos"),
+    seg_id: str = "seg_id",
+    available_now: bool = True,
+):
+    """Streaming map-matching: each micro-batch of arriving GPS points is
+    snapped to its nearest segment of a STATIC road set within `radius`
+    (the continuous form of overlay.snap_to_segments — live pings vs a
+    fixed network).
+
+    Exact per micro-batch because a point's nearest segment depends only
+    on the static segment set, never on other stream rows — the same
+    independence argument as run_stream_asof / run_stream_colocate.
+    foreachBatch is AT-LEAST-once, so each batch overwrites its own
+    `_batch_id=<n>` partition (dynamic partition overwrite); a replayed
+    batch rewrites identical rows.  The union of all written batches
+    equals the batch snap_to_segments over the union of inputs — pinned
+    by test.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.overlay import snap_to_segments
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        (snap_to_segments(df, segs_static, radius, res,
+                          p_keep=p_keep, seg_id=seg_id)
+         .withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out_path))
+
+    writer = (point_stream.writeStream.foreachBatch(_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -5128,6 +5128,36 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+BUFFER_RES = 6
+BUFFER_K = 2
+
+
+def q_buffer_cover(spark, sf_dir):
+    """Buffered geofence covers: the rect polygons' res-6 cell covers
+    dilated by Chebyshev-2 k-ring (operators/pip.buffer_cover); the
+    oracle dilates the rect cell ranges directly (dilation of a
+    rectangular cover is the expanded rectangle, clamped)."""
+    from tree_code_chunker_spark.operators.pip import buffer_cover
+
+    return buffer_cover(_rect_polygons(spark), BUFFER_RES, BUFFER_K)
+
+
+def _buffer_cover_sql():
+    side = 1 << (16 - BUFFER_RES)
+    n = (1 << BUFFER_RES) - 1
+    return f"""WITH {RECTS_SQL},
+by_cy AS (
+  SELECT polygon_id, x0, x1,
+         UNNEST(range(GREATEST(y0 // {side} - {BUFFER_K}, 0),
+                      LEAST(y1 // {side} + {BUFFER_K}, {n}) + 1)) AS cov_cy
+  FROM rects
+)
+SELECT polygon_id, cov_cy,
+       UNNEST(range(GREATEST(x0 // {side} - {BUFFER_K}, 0),
+                    LEAST(x1 // {side} + {BUFFER_K}, {n}) + 1)) AS cov_cx
+FROM by_cy"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing over the documents table with deterministic synthetic
     PII injected per doc-id residue (the raw corpus has none, which would
@@ -5319,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "hausdorff": q_hausdorff,
         "redact_pii": q_redact_pii,
+        "buffer_cover": q_buffer_cover,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5454,6 +5485,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": SQL_MAP_MATCH,
         "hausdorff": SQL_HAUSDORFF,
         "redact_pii": _redact_pii_sql(),
+        "buffer_cover": _buffer_cover_sql(),
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

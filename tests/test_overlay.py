@@ -324,3 +324,36 @@ def test_stream_map_match_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, snap_to_segments(
         pa.unionByName(pb), segs, 900, res, p_keep=("pid",)).collect()))
     assert got == want and got
+
+
+def test_buffer_cover_dilation_and_clamp(spark):
+    from tree_code_chunker_spark.operators.pip import buffer_cover, polygon_cover
+
+    def rect_poly(pid, y0, x0, y1, x1):
+        ring = [(y0, x0), (y0, x1), (y1, x1), (y1, x0), (y0, x0)]
+        return (pid, [{"qlat": y, "qlon": x} for y, x in ring])
+
+    polys = spark.createDataFrame(
+        [rect_poly("corner", 0, 0, 100, 100),        # clamps at the origin
+         rect_poly("mid", 30000, 30000, 33000, 34000)],
+        "polygon_id string, ring array<struct<qlat:long,qlon:long>>")
+    res, k = 6, 2
+    side = 1 << (16 - res)
+    got = {}
+    for r in buffer_cover(polys, res, k).collect():
+        got.setdefault(r.polygon_id, set()).add((r.cov_cy, r.cov_cx))
+    # corner rect covers cell (0,0); dilation clamps negatives -> 3x3
+    assert got["corner"] == {(y, x) for y in range(3) for x in range(3)}
+    # mid rect: cover range dilated by k on each side, all distinct
+    y_lo, y_hi = 30000 // side - k, 33000 // side + k
+    x_lo, x_hi = 30000 // side - k, 34000 // side + k
+    assert got["mid"] == {(y, x) for y in range(y_lo, y_hi + 1)
+                          for x in range(x_lo, x_hi + 1)}
+    # k=0 degenerates to the plain cover
+    plain = {(r.cov_cy, r.cov_cx)
+             for r in polygon_cover(polys.filter(
+                 F.col("polygon_id") == "mid"), res).collect()}
+    k0 = {(r.cov_cy, r.cov_cx)
+          for r in buffer_cover(polys.filter(
+              F.col("polygon_id") == "mid"), res, 0).collect()}
+    assert k0 == plain

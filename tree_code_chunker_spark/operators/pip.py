@@ -754,3 +754,42 @@ def nearest_polygon(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def buffer_cover(polygons: DataFrame, res: int, k: int) -> DataFrame:
+    """Buffered polygon cover: the polygon's res-`res` cell cover dilated
+    by Chebyshev distance `k` (morphological dilation on the cell grid) —
+    the cheap "within ~k cells of the zone" geofence-buffer primitive
+    that turns any downstream cell equi-join (points, tiles, other
+    covers) into a buffered containment test without touching geometry.
+
+    Output: (polygon_id, cov_cy, cov_cx), one row per distinct buffered
+    cell, clamped to the grid.
+
+    Scale shape: cover explode x (2k+1)^2 offsets + one distinct — the
+    only shuffle, bounded by |cover| * (2k+1)^2 per polygon, and the
+    distinct collapses overlap between neighboring source cells.  For a
+    metric (not cell-quantized) buffer use dwithin_join against the
+    polygon boundary instead; this is the raster-style fast path.
+    """
+    from .geo import kring_offsets
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    n_cells = 1 << res
+    cov = polygon_cover(polygons, res)
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy, dx in kring_offsets(k)
+    ])).alias("off")
+    return (
+        cov.select("polygon_id", "cov_cy", "cov_cx", off)
+        .select(
+            "polygon_id",
+            (F.col("cov_cy") + F.col("off.dy")).alias("cov_cy"),
+            (F.col("cov_cx") + F.col("off.dx")).alias("cov_cx"),
+        )
+        .filter((F.col("cov_cy") >= 0) & (F.col("cov_cy") < n_cells)
+                & (F.col("cov_cx") >= 0) & (F.col("cov_cx") < n_cells))
+        .distinct()
+    )

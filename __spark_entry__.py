@@ -5128,6 +5128,48 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+def q_containment(spark, sf_dir):
+    """Containment dedup over the documents table augmented with
+    truncated children (first max(3, nw//2) words of every 4th doc under
+    id+100000): each child must be found inside its parent, plus any
+    organic containments — rarest-gram blocking + exact padded-contains
+    (operators/dedup.containment_pairs); the oracle is the brute-force
+    pair join with the identical predicate."""
+    from tree_code_chunker_spark.operators.dedup import containment_pairs
+
+    did = F.col("doc_id").cast("long")
+    words = F.split(F.col("text"), " ")
+    d = _docs(spark, sf_dir).select(did.alias("doc_id"), "text")
+    kids = _docs(spark, sf_dir).filter(did % 4 == 0).select(
+        (did + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1,
+                    F.greatest(F.lit(3),
+                               (F.size(words) / 2).cast("int"))),
+            " ").alias("text"))
+    return containment_pairs(d.unionByName(kids))
+
+
+SQL_CONTAINMENT = """
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 100000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      GREATEST(3, len(string_split(text, ' ')) // 2)),
+           ' ') AS text
+  FROM documents WHERE CAST(doc_id AS BIGINT) % 4 = 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM aug a JOIN aug b ON a.doc_id <> b.doc_id
+WHERE len(string_split(a.text, ' ')) >= 3
+  AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
+  AND (len(string_split(a.text, ' ')) < len(string_split(b.text, ' '))
+       OR (a.text = b.text AND a.doc_id < b.doc_id))
+"""
+
+
 BUFFER_RES = 6
 BUFFER_K = 2
 
@@ -5350,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "redact_pii": q_redact_pii,
         "buffer_cover": q_buffer_cover,
+        "containment": q_containment,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5486,6 +5529,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": SQL_HAUSDORFF,
         "redact_pii": _redact_pii_sql(),
         "buffer_cover": _buffer_cover_sql(),
+        "containment": SQL_CONTAINMENT,
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

@@ -357,3 +357,43 @@ def test_buffer_cover_dilation_and_clamp(spark):
           for r in buffer_cover(polys.filter(
               F.col("polygon_id") == "mid"), res, 0).collect()}
     assert k0 == plain
+
+
+def _brute_containment(docs, n=3):
+    def nw(t):
+        return len(t.split(" "))
+
+    out = []
+    for ai, at in docs:
+        if nw(at) < n:
+            continue
+        for bi, bt in docs:
+            if ai == bi or f" {at} " not in f" {bt} ":
+                continue
+            if nw(at) < nw(bt) or (at == bt and ai < bi):
+                out.append((ai, bi))
+    return sorted(out)
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    from tree_code_chunker_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(SEED + 6)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randrange(6, 16)))))
+    # plant truncations, an exact duplicate, an embedded excerpt, and a
+    # too-short doc (excluded from the contained side by contract)
+    docs.append((100, " ".join(docs[0][1].split(" ")[:5])))
+    docs.append((101, docs[1][1]))
+    docs.append((102, "pre " + docs[2][1] + " post"))
+    docs.append((103, "w0 w1"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted((r.a_id, r.b_id)
+                 for r in containment_pairs(df).collect())
+    assert got == _brute_containment(docs)
+    assert (100, 0) in got and (2, 102) in got
+    assert (1, 101) in got and (101, 1) not in got  # equal text: one way
+    assert not any(a == 103 for a, _ in got)  # short doc not contained side

@@ -1019,3 +1019,68 @@ def edit1_join(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
             .filter(F.col("dist") <= 1)
             .select("id_a", "id_b", "s_a", "s_b",
                     F.col("dist").cast("int").alias("dist")))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """Containment dedup: all (a_id, b_id) pairs where document a's word
+    sequence is a CONTIGUOUS subsequence of document b's (word-aligned
+    containment — truncated copies, quoted excerpts, articles embedded in
+    digests), the dedup form document-level MinHash under-weighs when the
+    container is much longer than the contained doc.
+
+    Semantics (mirrored exactly by the brute-force SQL oracle):
+    contains(' '||b.text||' ', ' '||a.text||' ') with a restricted to
+    documents of >= n words, emitting (a, b) when a is strictly shorter
+    in words, and for byte-identical texts only the (lower id, higher id)
+    orientation.  Documents shorter than n words cannot be blocked by an
+    n-gram (their whole-text gram is not a window of any container) and
+    are excluded by contract — lower n to cover them.
+
+    Plan (never all-pairs): each contained-side doc is blocked on its
+    corpus-RAREST word n-gram (min doc-frequency, gram-lexicographic
+    tie-break): word-aligned containment implies every a-gram occurs
+    contiguously in b, in particular the rarest one, so the single
+    equi-join of a's one key gram against b's distinct gram postings is
+    a LOSSLESS candidate filter; candidates then pay one exact contains.
+    Candidate volume = sum over docs of DF(rarest gram) — bounded by the
+    rarest-gram choice, the same blocking argument as SymSpell /
+    prefix-filter joins.  At corpus scale the gram join key would be a
+    64-bit hash (same shuffle, narrower bytes); text is kept so the
+    result is directly oracle-mirrorable.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("txt"),
+                     F.size(words).alias("nw"))
+    grams = base.select(
+        "id", F.explode(word_ngrams_col(F.col("txt"), n)).alias("gram")
+    ).distinct()
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+    rarest = (
+        grams.join(gram_df, "gram")
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("_df"), F.col("gram"))).alias("_m"))
+        .select("id", F.col("_m.gram").alias("gram"))
+    )
+    a_side = (
+        base.filter(F.col("nw") >= n)
+        .join(rarest, "id")
+        .select(F.col("id").alias("a_id"), F.col("txt").alias("a_txt"),
+                F.col("nw").alias("a_nw"), "gram")
+    )
+    b_side = grams.join(
+        base.select(F.col("id").alias("b_id"), F.col("txt").alias("b_txt"),
+                    F.col("nw").alias("b_nw")),
+        grams["id"] == F.col("b_id")
+    ).select("b_id", "b_txt", "b_nw", "gram")
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        a_side.join(b_side, "gram")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.contains(pad(F.col("b_txt")), pad(F.col("a_txt"))))
+        .filter((F.col("a_nw") < F.col("b_nw"))
+                | ((F.col("a_txt") == F.col("b_txt"))
+                   & (F.col("a_id") < F.col("b_id"))))
+        .select("a_id", "b_id")
+    )

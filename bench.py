@@ -212,6 +212,30 @@ def run(cores: int | None = None, sf_dir: str | None = None) -> dict:
         pts, segs, 200, overlay_res(512),
         p_keep=("doc_id", "span_pos")).count())
 
+    # rectangle overlay join (round-6): ~200k x ~200k data-derived rects
+    # (extent <= 600), cell-bucketed with reference-point exactly-once
+    # dedup -> ~3M intersecting pairs with exact inter/union areas.  Hot
+    # docs excluded from BOTH sides: inside a 64x64 hot box every rect
+    # overlaps every other (extent 600 >> box 64), so hot x hot is pure
+    # output materialization, not join work (same rationale as dwithin).
+    from tree_code_chunker_spark.operators.overlay import rect_overlay_join
+
+    def _bench_rects(residue):
+        return pts.filter((F.col("span_pos") % 46 == residue)
+                          & (F.col("doc_id").cast("long") % 5 != 0)).select(
+            "doc_id", "span_pos",
+            F.col("qlat").alias("y0"), F.col("qlon").alias("x0"),
+            (F.col("qlat") + 100 + F.col("qlat") % 501).alias("y1"),
+            (F.col("qlon") + 100 + F.col("qlon") % 501).alias("x1"))
+
+    ra = _bench_rects(0).withColumnsRenamed(
+        {"doc_id": "a_doc", "span_pos": "a_pos"})
+    rb = _bench_rects(23).withColumnsRenamed(
+        {"doc_id": "b_doc", "span_pos": "b_pos"})
+    timed("rect_overlay", lambda: rect_overlay_join(
+        ra, rb, overlay_res(601),
+        a_keep=("a_doc", "a_pos"), b_keep=("b_doc", "b_pos")).count())
+
     # relational baseline query (pushdown + partial agg showcase)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed("tpch_pricing", lambda: (

@@ -5438,11 +5438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "kring": q_kring,
         "raster_pixels": q_raster_pixels,
-        "detect_lang": q_detect_lang,
-        "chunk_spans": q_chunk_spans,
         # ---- 50-row window boundary (observed driver cap): everything
         # ---- below is r4-green + pytest-pinned and rotates to the r7
         # ---- front
+        "detect_lang": q_detect_lang,
+        "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,
         "minhash_lsh": q_minhash_lsh,
         "minhash_jaccard": q_minhash_jaccard,

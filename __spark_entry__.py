@@ -5128,6 +5128,30 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+GEOHASH_P = 4
+
+
+def q_geohash(spark, sf_dir):
+    """Per-geohash rollup of the span points at precision 4: the standard
+    base-32 geohash string of every point (grid-top-bit interleaving,
+    operators/geo.geohash_expr — ONE generated expression feeds both
+    engines) aggregated to (gh, n)."""
+    from tree_code_chunker_spark.operators.geo import geohash_col
+
+    return (_points(spark, sf_dir)
+            .select(geohash_col("qlat", "qlon", GEOHASH_P).alias("gh"))
+            .groupBy("gh").agg(F.count("*").alias("n")))
+
+
+def _geohash_sql():
+    from tree_code_chunker_spark.operators.geo import geohash_expr
+
+    return f"""{SPANS_CTE}, {POINTS_SQL}
+SELECT {geohash_expr("qlat", "qlon", GEOHASH_P)} AS gh,
+       count(*) AS n
+FROM points GROUP BY gh"""
+
+
 def q_containment(spark, sf_dir):
     """Containment dedup over the documents table augmented with
     truncated children (first max(3, nw//2) words of every 4th doc under
@@ -5393,6 +5417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "buffer_cover": q_buffer_cover,
         "containment": q_containment,
+        "geohash": q_geohash,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5530,6 +5555,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "buffer_cover": _buffer_cover_sql(),
         "containment": SQL_CONTAINMENT,
+        "geohash": _geohash_sql(),
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

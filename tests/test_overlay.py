@@ -397,3 +397,48 @@ def test_containment_pairs_matches_brute_force(spark):
     assert (100, 0) in got and (2, 102) in got
     assert (1, 101) in got and (101, 1) not in got  # equal text: one way
     assert not any(a == 103 for a, _ in got)  # short doc not contained side
+
+
+def _textbook_geohash(lat, lon, precision):
+    """Independent reference: classic interval-bisection geohash."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_iv, lon_iv = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, [], True
+    bit_vals = [16, 8, 4, 2, 1]
+    ch = 0
+    while len(out) < precision:
+        iv, v = (lon_iv, lon) if even else (lat_iv, lat)
+        mid = (iv[0] + iv[1]) / 2
+        if v >= mid:
+            ch |= bit_vals[bits]
+            iv[0] = mid
+        else:
+            iv[1] = mid
+        even = not even
+        if bits < 4:
+            bits += 1
+        else:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_textbook(spark):
+    from tree_code_chunker_spark.operators.geo import geohash_col
+
+    rng = random.Random(SEED + 7)
+    rows = [(i, rng.randrange(0, 65536), rng.randrange(0, 65536))
+            for i in range(300)]
+    # include the corners and the bisection boundary
+    rows += [(1000, 0, 0), (1001, 65535, 65535), (1002, 32768, 32768),
+             (1003, 32767, 32767)]
+    df = spark.createDataFrame(rows, "pid long, qlat long, qlon long")
+    for p in (1, 4, 6):
+        got = {r.pid: r.gh
+               for r in df.select("pid", geohash_col(
+                   "qlat", "qlon", p).alias("gh")).collect()}
+        for pid, qlat, qlon in rows:
+            lat = (qlat + 0.5) / 65536 * 180 - 90
+            lon = (qlon + 0.5) / 65536 * 360 - 180
+            assert got[pid] == _textbook_geohash(lat, lon, p), (
+                pid, qlat, qlon, p)

@@ -372,3 +372,47 @@ def haversine_m_np(lat1, lon1, lat2, lon2):
     a = (np.sin(dlat) ** 2
          + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon) ** 2)
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, a)))
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(qlat: str = "qlat", qlon: str = "qlon",
+                 precision: int = 6) -> str:
+    """Portable SQL expression (valid in BOTH Spark SQL and DuckDB) for
+    the standard base-32 geohash of an integer-grid point, treating the
+    grid as the usual equirectangular mapping lat = qlat/65536*180 - 90,
+    lon = qlon/65536*360 - 180.
+
+    Geohash bisection bits ARE the grid coordinate's top bits (the grid
+    is the 2^16 regular bisection of each axis), interleaved lon-first:
+    global bit i = bit (15 - i//2) of qlon for even i, of qlat for odd i;
+    char j encodes bits 5j..5j+4.  precision <= 6 (30 bits) keeps every
+    bit inside the 16 available per axis.  Bits are extracted with
+    floor(x / 2^k) % 2 — double-exact below 2^53 and the identical
+    spelling parses in both engines (Spark has no `>>` operator and
+    DuckDB has no shiftright function).
+    """
+    if not 1 <= precision <= 6:
+        raise ValueError(f"precision must be in 1..6, got {precision}")
+    chars = []
+    for j in range(precision):
+        terms = []
+        for t in range(5):
+            i = 5 * j + t
+            src = qlon if i % 2 == 0 else qlat
+            k = 15 - i // 2
+            terms.append(
+                f"(CAST(floor(({src}) / {1 << k}.0) AS BIGINT) % 2)"
+                f" * {1 << (4 - t)}")
+        v = " + ".join(terms)
+        chars.append(f"substring('{GEOHASH_B32}', CAST({v} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_col(qlat: str, qlon: str, precision: int = 6):
+    """Column form of geohash_expr, by column NAME (the same generated
+    expression string feeds both engines, so they agree byte-for-byte)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(geohash_expr(qlat, qlon, precision))

@@ -5462,10 +5462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "event_windows": q_event_windows,
         "kring": q_kring,
-        "raster_pixels": q_raster_pixels,
         # ---- 50-row window boundary (observed driver cap): everything
         # ---- below is r4-green + pytest-pinned and rotates to the r7
         # ---- front
+        "raster_pixels": q_raster_pixels,
         "detect_lang": q_detect_lang,
         "chunk_spans": q_chunk_spans,
         "pip_raycast": q_pip_raycast,

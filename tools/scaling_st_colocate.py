@@ -13,6 +13,14 @@ from __future__ import annotations
 import json
 import os
 import sys
+
+# measurement harness, not engine default: the N-level stage packs the
+# whole 9.2M-point candidate join into 4 tasks, and with the 8g default
+# heap the shared execution-memory pool intermittently OOMs
+# (UNABLE_TO_ACQUIRE_MEMORY, 2 of 5 round-6 sessions); the box has
+# 128 GB, so give the harness JVM real headroom
+import os as _os
+_os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -442,3 +442,22 @@ def test_geohash_matches_textbook(spark):
             lon = (qlon + 0.5) / 65536 * 360 - 180
             assert got[pid] == _textbook_geohash(lat, lon, p), (
                 pid, qlat, qlon, p)
+
+
+def test_skyline2d_matches_brute_force(spark):
+    from tree_code_chunker_spark.operators.profile import skyline2d
+
+    rng = random.Random(SEED + 8)
+    pts = [(rng.randrange(0, 2000), rng.randrange(0, 2000))
+           for _ in range(3000)]
+    pts += pts[:50]  # duplicates collapse to set semantics
+    pts += [(0, 1999), (1999, 0), (5, 5)]
+    df = spark.createDataFrame(pts, "x long, y long").repartition(17)
+    got = sorted((r.x, r.y) for r in skyline2d(df, "x", "y").collect())
+    uniq = set(pts)
+    want = sorted(
+        (x, y) for x, y in uniq
+        if not any(bx <= x and by <= y and (bx < x or by < y)
+                   for bx, by in uniq))
+    assert got == want
+    assert (5, 5) in got and len(got) >= 3

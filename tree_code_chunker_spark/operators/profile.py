@@ -235,3 +235,51 @@ def group_quantiles_approx(df: DataFrame, key: str, value: str,
         "key", "n", "mean_v",
         *[F.col("_ps")[i].alias(lab) for i, lab in enumerate(labels)],
     )
+
+
+def skyline2d(df, x_col: str, y_col: str):
+    """2-D skyline (Pareto frontier, minimize both): the DISTINCT (x, y)
+    points not dominated by any other point, where b dominates a iff
+    b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y) — the classic
+    multi-criteria shortlist (cheapest-AND-closest) operator.
+
+    Distributed exact plan (no single global window):
+      1. distinct -> repartitionByRange on (x, y): partitions hold
+         disjoint, ORDERED ranges (any boundary placement is correct —
+         only the ordering between partitions matters);
+      2. per-partition min(y) -> collected (one tiny row per partition,
+         contract-small like the sampler's strata counts) -> exclusive
+         prefix-min per partition broadcast back as a literal map;
+      3. inside each partition a cumulative min(y) window over the
+         (x, y) order, seeded with the prefix: a point survives iff its
+         y is strictly below every y seen at strictly smaller (x, y) —
+         which under this order is exactly non-domination for distinct
+         points (same-x neighbors with smaller y dominate; equal points
+         were collapsed by the distinct).
+    One range shuffle + one bounded aggregate; the window never crosses
+    partitions, so the frontier of a billion points runs at full width.
+    """
+    from pyspark.sql import Window, functions as F
+
+    pts = (df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+           .distinct()
+           .repartitionByRange("x", "y")
+           .withColumn("_pid", F.spark_partition_id()))
+    mins = {r._pid: r._my for r in
+            pts.groupBy("_pid").agg(F.min("y").alias("_my")).collect()}
+    prefix, run = {}, None
+    for pid in sorted(mins):
+        prefix[pid] = run
+        run = mins[pid] if run is None else min(run, mins[pid])
+    seed = F.create_map(*[
+        F.lit(v) for pid, p in prefix.items() if p is not None
+        for v in (pid, p)
+    ]) if any(p is not None for p in prefix.values()) else None
+    w = (Window.partitionBy("_pid").orderBy("x", "y")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_min = F.min("y").over(w)
+    before = (F.least(local_min, seed[F.col("_pid")])
+              if seed is not None else local_min)
+    return (pts.withColumn("_cm", before)
+            .filter(F.col("_cm").isNull() | (F.col("y") < F.col("_cm")))
+            .select("x", "y"))

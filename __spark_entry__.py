@@ -5128,6 +5128,32 @@ SELECT a.a_doc, a.a_pos, b.b_doc, b.b_pos
 FROM sa a JOIN sb b ON {_seg_cross_pred()}
 """
 
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto minimize both) of deterministic per-span
+    (cost, dist) pairs (operators/profile.skyline2d — range partition +
+    prefix-min seed, no global window); the oracle is the brute-force
+    NOT EXISTS non-domination query over the distinct pairs."""
+    from tree_code_chunker_spark.operators.profile import skyline2d
+
+    p = _points(spark, sf_dir).select(
+        ((F.col("qlat") * 31 + F.col("qlon")) % 10007).alias("x"),
+        ((F.col("qlat") + F.col("qlon") * 17) % 10007).alias("y"))
+    return skyline2d(p, "x", "y")
+
+
+SQL_SKYLINE = f"""
+{SPANS_CTE}, {POINTS_SQL}, sky AS (
+  SELECT DISTINCT (qlat * 31 + qlon) % 10007 AS x,
+                  (qlat + qlon * 17) % 10007 AS y
+  FROM points
+)
+SELECT x, y FROM sky a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sky b
+  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+"""
+
+
 GEOHASH_P = 4
 
 
@@ -5418,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_cover": q_buffer_cover,
         "containment": q_containment,
         "geohash": q_geohash,
+        "skyline": q_skyline,
         "resample_interp": q_resample_interp,
         "dup_spans": q_dup_spans,
         "lm_quality": q_lm_quality,
@@ -5461,10 +5488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_features": q_tile_features,
         "embed_near_dup": q_embed_near_dup,
         "event_windows": q_event_windows,
-        "kring": q_kring,
         # ---- 50-row window boundary (observed driver cap): everything
         # ---- below is r4-green + pytest-pinned and rotates to the r7
         # ---- front
+        "kring": q_kring,
         "raster_pixels": q_raster_pixels,
         "detect_lang": q_detect_lang,
         "chunk_spans": q_chunk_spans,
@@ -5556,6 +5583,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_cover": _buffer_cover_sql(),
         "containment": SQL_CONTAINMENT,
         "geohash": _geohash_sql(),
+        "skyline": SQL_SKYLINE,
         "resample_interp": SQL_RESAMPLE_INTERP,
         "dup_spans": SQL_DUP_SPANS,
         "lm_quality": _lm_quality_sql(),

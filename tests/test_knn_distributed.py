@@ -10,14 +10,17 @@ from pyspark.sql import functions as F
 from tree_code_chunker_spark.config import GRID_BITS
 from tree_code_chunker_spark.operators.geo import derive_point_cols
 from tree_code_chunker_spark.operators.knn import (
-    SQRT2_DEN, SQRT2_NUM, KnnIndex, knn_bruteforce, knn_ring, knn_self_join,
-    plan_radii_np,
+    KnnIndex, knn_bruteforce, knn_ring, knn_self_join, plan_radii_np,
 )
 
 
 def _plan_radii_loop(sat, qlat, qlon, res_hist, res, k):
-    """r3 scalar reference implementation (per-query Python binary search)
-    — kept here as the golden for the vectorized kernel."""
+    """Scalar reference implementation (per-query Python binary search) —
+    kept here as the golden for the vectorized kernel.  r7: d_max is the
+    exact probe-to-clamped-box-corner distance (integer isqrt + 1), the
+    per-probe tightening of the old worst-case sqrt(2) inflation."""
+    import math
+
     n = 1 << res_hist
     s_hist = 1 << (GRID_BITS - res_hist)
     s_res = 1 << (GRID_BITS - res)
@@ -31,8 +34,9 @@ def _plan_radii_loop(sat, qlat, qlon, res_hist, res, k):
 
     out = np.empty(len(qlat), dtype=np.int32)
     for i in range(len(qlat)):
-        hy = int(qlat[i]) >> (GRID_BITS - res_hist)
-        hx = int(qlon[i]) >> (GRID_BITS - res_hist)
+        py, px = int(qlat[i]), int(qlon[i])
+        hy = py >> (GRID_BITS - res_hist)
+        hx = px >> (GRID_BITS - res_hist)
         lo, hi = 0, n
         if disk_count(hy, hx, hi) < k:
             out[i] = grid_cap
@@ -44,7 +48,13 @@ def _plan_radii_loop(sat, qlat, qlon, res_hist, res, k):
             else:
                 lo = mid + 1
         rho_hit = lo
-        d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+        y0c, y1c = max(hy - rho_hit, 0) * s_hist, \
+            (min(hy + rho_hit, n - 1) + 1) * s_hist - 1
+        x0c, x1c = max(hx - rho_hit, 0) * s_hist, \
+            (min(hx + rho_hit, n - 1) + 1) * s_hist - 1
+        dy = max(py - y0c, y1c - py)
+        dx = max(px - x0c, x1c - px)
+        d_max = math.isqrt(dy * dy + dx * dx) + 1
         out[i] = min(d_max // s_res + 1, grid_cap)
     return out
 

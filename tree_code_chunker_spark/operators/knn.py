@@ -120,15 +120,30 @@ def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
     loop runs at most log2(n)+1 rounds (n = 2^res_hist), so there is no
     per-query Python.  The same kernel serves both the driver planner
     (tiny probe sets) and the executor-side mapInPandas planner (large
-    probe sets / self-join) — pinned equal to the r3 scalar-loop form by
-    tests/test_spark_e2e.py::test_plan_radii_vectorized_matches_loop."""
+    probe sets / self-join) — pinned equal to the scalar-loop golden by
+    tests/test_knn_distributed.py::test_plan_radii_vectorized_matches_loop.
+
+    Guarantee-radius bound (r7 tightening): the k points counted inside
+    the CLAMPED rho_hit disk box lie within Euclidean distance of the
+    probe's own position to the box's farthest corner — the planner knows
+    the probe's exact coordinates, so the worst-case sqrt(2)*(box edge)
+    inflation of earlier rounds is replaced by the per-probe exact corner
+    distance (measured: rho 2 -> 1 on the bench's self-join, a ~2.8x
+    candidate-volume cut).  d_max = floor(sqrt(dy^2+dx^2)) + 1 >= d_k
+    stays a strict upper bound on the k-th neighbor distance: dy^2+dx^2
+    < 2^35 is exact in float64 and any point at Euclid <= d_k from the
+    probe has integer Chebyshev distance <= floor(d_k) <= d_max, so the
+    (rho = d_max div s_res + 1)-cell box around the probe's cell still
+    covers every possible k-th-neighbor candidate, ties included."""
     n = 1 << res_hist
     s_hist = 1 << (GRID_BITS - res_hist)
     s_res = 1 << (GRID_BITS - res)
     grid_cap = 1 << res  # full-grid radius cap
 
-    hy = qlat.astype(np.int64) >> (GRID_BITS - res_hist)
-    hx = qlon.astype(np.int64) >> (GRID_BITS - res_hist)
+    qlat = qlat.astype(np.int64)
+    qlon = qlon.astype(np.int64)
+    hy = qlat >> (GRID_BITS - res_hist)
+    hx = qlon >> (GRID_BITS - res_hist)
 
     def disk_counts(rho: np.ndarray) -> np.ndarray:
         y0 = np.maximum(hy - rho, 0)
@@ -152,7 +167,17 @@ def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
         hi = np.where(active & ge, mid, hi)
         lo = np.where(active & ~ge, mid + 1, lo)
     rho_hit = lo  # smallest rho with disk count >= k (where feasible)
-    d_max = (SQRT2_NUM * ((rho_hit + 1) * s_hist - 1)) // SQRT2_DEN + 1
+    # exact probe-to-box-corner distance over the CLAMPED disk box (the
+    # counted points are inside the clamped box by construction)
+    y0c = np.maximum(hy - rho_hit, 0) * s_hist
+    y1c = (np.minimum(hy + rho_hit, n - 1) + 1) * s_hist - 1
+    x0c = np.maximum(hx - rho_hit, 0) * s_hist
+    x1c = (np.minimum(hx + rho_hit, n - 1) + 1) * s_hist - 1
+    dy = np.maximum(qlat - y0c, y1c - qlat)
+    dx = np.maximum(qlon - x0c, x1c - qlon)
+    d_max = np.floor(
+        np.sqrt((dy * dy + dx * dx).astype(np.float64))
+    ).astype(np.int64) + 1
     out = np.minimum(d_max // s_res + 1, grid_cap)
     return np.where(feasible, out, grid_cap).astype(np.int32)
 
@@ -209,13 +234,18 @@ def plan_radii_fine_np(fine_sats: dict, qlat: np.ndarray, qlon: np.ndarray,
             ge = disk(mid) >= k
             hi = np.where(active & ge, mid, hi)
             lo = np.where(active & ~ge, mid + 1, lo)
-        d_max = (SQRT2_NUM * lo) // SQRT2_DEN + 1
-        # no +1 cell here, unlike the coarse planner: at unit granularity
-        # the probe IS its cell (zero in-cell offset), and d_max already
-        # strictly exceeds sqrt(2)*rho_hit >= d_k, so a Chebyshev search
-        # of d_max units covers every point with Euclid <= d_k, ties
-        # included (Cheb <= Euclid).  25 -> 9 candidate cells at rho_hit=0
-        # — a 3x candidate-volume cut on dense clusters.
+        d_max = (SQRT2_NUM * lo) // SQRT2_DEN
+        # no in-cell-offset +1 here, unlike the coarse planner: at unit
+        # granularity the probe IS its cell.  And no rounding +1 either
+        # (r7): every point with Euclid <= d_k <= sqrt(2)*rho_hit has
+        # INTEGER Chebyshev distance <= floor(sqrt(2)*rho_hit)
+        # <= (1449*rho_hit) div 1024 (1449/1024 > sqrt(2)), so a Chebyshev
+        # search of d_max units covers every point with Euclid <= d_k,
+        # ties included (Cheb <= Euclid, both endpoints integer).  In
+        # particular rho_hit=0 (>= k points AT the probe's own coordinate,
+        # the co-located-twin regime of dense clusters) searches exactly
+        # one unit cell — 9 -> 1 candidate coords, and the top-k among the
+        # d2=0 twins is decided by the tie-break alone.
         rho_f = d_max.astype(np.int32)
         out[m] = np.where(feasible & (rho_f <= fine_max_rho), rho_f, -1)
     return out
@@ -244,19 +274,22 @@ class KnnIndex:
     unit-cell probe (measured 600k -> ~3.6k candidates on the bench's
     hot boxes).  hot_cell_cap=None disables the tier.
 
-    The default cap is LOW (20k) on purpose: a hot spot that straddles
-    histogram-cell edges splits its mass across up to four cells
-    (measured: a 600k-point box quartered into ~150k-point cells, each
-    under a 200k cap and each still catastrophic to probe coarsely),
-    while a false-positive hot cell costs only a <=s^2-row slice of one
-    small aggregate and a ~2 MB local SAT.  Uniform corpora never
-    approach 20k points per histogram cell at sane res_hist."""
+    The default cap is LOW (4096 = 64^2, one point per unit coordinate
+    at res_hist 10) on purpose: a hot spot that straddles histogram-cell
+    edges splits its mass UNEVENLY across up to four cells (measured r7:
+    a 600k-point box quartered into three ~200k cells and one 9.6k cell
+    — the 9.6k cell sat under the old 20k cap, so its 225 probes planned
+    coarsely and pulled the three hot neighbors whole: 135M of the
+    bench's 160M candidate rows came from those 225 probes alone), while
+    a false-positive hot cell costs only a <=s^2-row slice of one small
+    aggregate and a small local SAT.  Uniform corpora never approach the
+    cap at sane res_hist."""
 
     def __init__(self, corpus: DataFrame,
                  res: int = DEFAULT_CELL_RES,
                  tie_cols: list[str] = ["doc_id", "span_pos"],
                  res_hist: int | None = None,
-                 hot_cell_cap: int | None = 20_000):
+                 hot_cell_cap: int | None = 4_096):
         if res_hist is None:
             # coarse is better: rh=7 -> 16k histogram groups (cheap
             # shuffle + collect) at the price of a somewhat larger
@@ -404,11 +437,22 @@ def knn_ring(
         raise ValueError(f"unknown probe_mode {probe_mode!r}")
     res, res_hist, tie_cols = index.res, index.res_hist, index.tie_cols
     corp, sat = index.corp, index.sat
+    corp_fine = index.corp_fine
     fine_sats = index.fine_sats
     shift = GRID_BITS - res
     k_plan = k + 1 if exclude_self else k  # self row occupies one disk slot
-    self_pred = (_self_key(tie_cols) != F.col("query_id")) if exclude_self \
-        else None
+    if exclude_self:
+        # materialize the identity key ON THE CORPUS SIDE (one concat per
+        # corpus row, below the join) instead of re-deriving it per
+        # CANDIDATE row above the join — the candidate stream is 10-100x
+        # the corpus (r7; measured 166M candidate rows vs 9.2M corpus on
+        # the bench self-join)
+        corp = corp.withColumn("_skey", _self_key(tie_cols))
+        if corp_fine is not None:
+            corp_fine = corp_fine.withColumn("_skey", _self_key(tie_cols))
+        self_pred = F.col("_skey") != F.col("query_id")
+    else:
+        self_pred = None
     if index.total < k_plan:  # whole corpus smaller than k: no prune possible
         return knn_bruteforce(queries, index.corpus, k, tie_cols,
                               exclude_self=exclude_self)
@@ -614,7 +658,7 @@ def knn_ring(
     out = _topk(cand, k, tie_cols).select(*out_cols)
 
     # --- fine branch: unit-cell candidate join in hot regions ---
-    if has_fine and index.corp_fine is not None:
+    if has_fine and corp_fine is not None:
         fprobe = (
             q_fine.withColumn(
                 "fcy",
@@ -632,7 +676,7 @@ def knn_ring(
             )
             .select("query_id", "q_qlat", "q_qlon", "fcy", "fcx")
         )
-        cand_f = joined(fprobe, est_fine, index.corp_fine,
+        cand_f = joined(fprobe, est_fine, corp_fine,
                         ["fcy", "fcx"]).withColumn("d2", d2_expr)
         if self_pred is not None:
             cand_f = cand_f.filter(self_pred)
@@ -654,7 +698,8 @@ def knn_ring(
         else:
             q_sp = q_sp.repartition(nparts_lazy())
         sparse_scored = _scored(
-            q_sp, corp.select(*tie_cols, "qlat", "qlon"))
+            q_sp, corp.select(*tie_cols, "qlat", "qlon",
+                              *(["_skey"] if exclude_self else [])))
         if self_pred is not None:
             sparse_scored = sparse_scored.filter(self_pred)
         out = out.unionByName(

@@ -215,6 +215,22 @@ def test_snap_radius_boundary_and_ties(spark):
                                 p_keep=("pid",)).collect()
 
 
+def test_snap_huge_segment_takes_decimal_fallback(spark):
+    # near-grid-spanning segment: |cross| = 65535^2 ~ 4.3e9 > 3e9, so the
+    # int64 fast path would overflow — the guarded DECIMAL branch must
+    # produce the exact floor without an ANSI arithmetic error.
+    dp = spark.createDataFrame([(1, 0, 65535)],
+                               "pid long, qlat long, qlon long")
+    ds = spark.createDataFrame(
+        [(9, 0, 0, 65535, 65535)],
+        "seg_id long, y1 long, x1 long, y2 long, x2 long")
+    rows = snap_to_segments(dp, ds, 46341, overlay_res(65535),
+                            p_keep=("pid",)).collect()
+    assert len(rows) == 1
+    # d2 = cross^2/l2 = 65535^4 / (2*65535^2) = 65535^2/2 exactly
+    assert rows[0].dist2_e6 == 65535 * 65535 * SNAP_SCALE // 2
+
+
 def test_determinism_across_parallelism(spark):
     rng = random.Random(SEED + 3)
     ra, rb = _rects(150, rng), _rects(150, rng)

@@ -377,16 +377,28 @@ def snap_to_segments(
     bpx = F.col("qlon") - F.col("x2")
     l2 = aby * aby + abx * abx
     tnum = apy * aby + apx * abx
-    cross = apx * aby - apy * abx
     scale = F.lit(SNAP_SCALE)
-    # interior case: floor(cross^2 * SCALE / l2) via DECIMAL(38,0) integral
-    # division (`div` truncates; operands are >= 0 so truncation == floor)
+    # interior case: floor(cross^2 * SCALE / l2), exact.  Fast path (r7):
+    # with c = cross^2, q = c div l2, r = c mod l2 one has
+    # (c * SCALE) div l2 == q * SCALE + (r * SCALE) div l2 exactly (all
+    # operands nonnegative), and every term fits int64 whenever
+    # |cross| <= 3e9 (c <= 9e18 < 2^63; q <= d^2 <= 2 * (2^17)^2 so
+    # q * SCALE <= ~3.4e16; r < l2 <= ~3.4e10 so r * SCALE <= ~3.4e16) —
+    # measured 2x faster than DECIMAL(38,0) over the bench's 138M
+    # candidate rows, bit-identical on every matched pair.  Segments big
+    # enough that |cross| can exceed 3e9 (near-grid-spanning extents)
+    # take the old DECIMAL(38,0) branch, so the operator stays exact and
+    # overflow-free for any 16-bit-grid input (`div` truncates; operands
+    # are >= 0 so truncation == floor in both branches).
+    _cross = "((qlon - x1) * (y2 - y1) - (qlat - y1) * (x2 - x1))"
+    _l2 = "((y2 - y1) * (y2 - y1) + (x2 - x1) * (x2 - x1))"
     interior = F.expr(
-        f"CAST(CAST((qlon - x1) * (y2 - y1) - (qlat - y1) * (x2 - x1) "
-        f"AS DECIMAL(38,0)) "
-        f"* CAST((qlon - x1) * (y2 - y1) - (qlat - y1) * (x2 - x1) "
-        f"AS DECIMAL(38,0)) * {SNAP_SCALE} "
-        f"div ((y2 - y1) * (y2 - y1) + (x2 - x1) * (x2 - x1)) AS BIGINT)"
+        f"CASE WHEN abs({_cross}) <= 3000000000 THEN "
+        f"({_cross} * {_cross} div {_l2}) * {SNAP_SCALE} "
+        f"+ (({_cross} * {_cross} % {_l2}) * {SNAP_SCALE}) div {_l2} "
+        f"ELSE CAST(CAST({_cross} AS DECIMAL(38,0)) "
+        f"* CAST({_cross} AS DECIMAL(38,0)) * {SNAP_SCALE} "
+        f"div {_l2} AS BIGINT) END"
     )
     d2e6 = (
         F.when(l2 == 0, (apy * apy + apx * apx) * scale)
@@ -416,11 +428,17 @@ def snap_to_segments(
     )
     if not nearest_only:
         return cand
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*p_keep).orderBy("dist2_e6", seg_id)
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # nearest segment per point via min over struct(dist2_e6, seg_id) —
+    # lexicographic struct comparison is exactly the window's
+    # orderBy(dist2_e6, seg_id) row_number()==1, but a hash AGGREGATE
+    # does partial (map-side) reduction: each scan partition emits at
+    # most one row per point before the exchange, where the window form
+    # local-sorts the full candidate stream (r7; measured 8.4s vs the
+    # window's 19-170s on the bench's 31M in-radius candidates).
+    m = cand.groupBy(*p_keep).agg(
+        F.min(F.struct(F.col("dist2_e6"), F.col(seg_id))).alias("_m"))
+    return m.select(
+        *p_keep,
+        F.col("_m")[seg_id].alias(seg_id),
+        F.col("_m")["dist2_e6"].alias("dist2_e6"),
     )

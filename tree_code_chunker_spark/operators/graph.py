@@ -38,6 +38,7 @@ def pagerank_int(
     dangling: str = "drop",
     deltas_out: list | None = None,
     tol: int | None = None,
+    broadcast_nodes_cap: int | None = 4_000_000,
 ) -> DataFrame:
     """edges(src, dst) directed -> (node, rank) after `iters` iterations.
 
@@ -64,6 +65,18 @@ def pagerank_int(
     tol: with deltas enabled (implies the per-iteration agg), stop early
     once the L1 delta <= tol scale units; the returned vector is the
     first one meeting the tolerance.
+
+    broadcast_nodes_cap (r7): when the node count is at or under the cap,
+    every node-sized side (rank, degree, the gathered contributions, the
+    delta comparison) rides as an explicit broadcast, so the EDGE LIST —
+    the data-sized input — is never shuffled: the only exchange per
+    iteration is the partially-aggregated groupBy(dst).  The checkpointed
+    rank vector is a LogicalRDD whose size estimate defaults to "huge",
+    so the planner never picks these broadcasts on its own (measured: 4
+    exchanges/iteration un-hinted vs 1 with the cap).  Graphs with more
+    nodes than the cap keep the all-shuffle plan, which scales without a
+    memory-resident node vector; results are bit-identical either way
+    (integer sums are order-independent).  None/0 disables.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -81,25 +94,44 @@ def pagerank_int(
         F.count("*").alias("deg")).localCheckpoint(eager=False)
     n_nodes_df = nodes.agg(F.count("*").alias("n_nodes"))
     track = deltas_out is not None or tol is not None
-    rank = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    # node-vector broadcast regime: one count() (materializes the nodes
+    # checkpoint that every iteration reuses anyway) decides the plan
+    bcast = False
+    if broadcast_nodes_cap:
+        bcast = nodes.count() <= broadcast_nodes_cap
+
+    def b(df):
+        return F.broadcast(df) if bcast else df
+
+    # the rank vector CARRIES the (static) out-degree: one left join at
+    # seed time instead of a rank-x-deg join every iteration — a node
+    # with NULL deg has no out-edges, so its NULL contribution can never
+    # reach the edge join anyway
+    rank = nodes.join(b(deg), "node", "left").select(
+        "node", F.lit(scale).cast("long").alias("rank"), "deg")
     for _ in range(iters):
-        # per-edge contribution = floor(src rank / src out-degree)
+        # per-edge contribution = floor(src rank / src out-degree);
+        # `div` = Spark's INTEGRAL division: bit-exact vs DuckDB `//`
+        # (the float `/` operator + cast can round up across the
+        # truncation boundary once quotients near 2^53 / half-ulp 0.01)
         contrib = (
-            rank.join(deg, "node")
-            # `div` = Spark's INTEGRAL division: bit-exact vs DuckDB `//`
-            # (the float `/` operator + cast can round up across the
-            # truncation boundary once quotients near 2^53 / half-ulp 0.01)
-            .select("node", F.expr("rank div deg").alias("c"))
-            .join(e, F.col("node") == e["src"])
+            e.join(b(rank.select(
+                "node", F.expr("rank div deg").alias("c"))),
+                F.col("node") == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("arrived"))
         )
-        gathered = nodes.join(contrib, "node", "left")
+        # rank is node-complete by induction (seeded from nodes, rebuilt
+        # from it every round), so gathering against rank instead of
+        # nodes carries the previous rank along for free — the delta agg
+        # below then needs NO extra join
+        gathered = rank.withColumnRenamed("rank", "_prev") \
+            .join(b(contrib), "node", "left")
         if dangling == "redistribute":
             # one-row aggregates ride the plan via crossJoin (broadcast
             # nested loop of a single row) — lazy, deterministic, integer
             dang_df = (
-                rank.join(deg, "node", "left_anti")
+                rank.filter(F.col("deg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long")
                      .alias("dang_mass"))
             )
@@ -111,25 +143,29 @@ def pagerank_int(
             damped = F.expr(
                 f"(({damping_num} * coalesce(arrived, CAST(0 AS BIGINT)))"
                 f" div {damping_den})")
-        new_rank = (
-            gathered.select(
-                "node", (F.lit(base) + damped).cast("long").alias("rank"))
-            .localCheckpoint(eager=False)
-        )
         if track:
+            step = (
+                gathered.select(
+                    "node", "_prev", "deg",
+                    (F.lit(base) + damped).cast("long").alias("rank"))
+                .localCheckpoint(eager=False)
+            )
             delta = int(
-                rank.join(
-                    new_rank.withColumnRenamed("rank", "rank_new"), "node")
-                .agg(F.sum(F.abs(F.col("rank_new") - F.col("rank"))))
+                step.agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
                 .first()[0])
             if deltas_out is not None:
                 deltas_out.append(delta)
-            rank = new_rank
+            rank = step.drop("_prev")
             if tol is not None and delta <= tol:
                 break
         else:
-            rank = new_rank
-    return rank
+            rank = (
+                gathered.select(
+                    "node", "deg",
+                    (F.lit(base) + damped).cast("long").alias("rank"))
+                .localCheckpoint(eager=False)
+            )
+    return rank.select("node", "rank")
 
 
 def pagerank_int_sql(

@@ -72,6 +72,21 @@ from tree_code_chunker_spark.sources.datagen import gen_polygons
 SPANS_CTE = f"WITH spans AS ({spanify_sql()})"
 
 
+def _gate_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup.  Gate queries that write parquet/band
+    indexes return DataFrames that read these dirs LAZILY, so the dirs
+    must outlive the query's materialization — removing them at process
+    exit (not inline) fixes the cross-round disk leak without racing the
+    driver's read (advisor finding, r7)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -2969,7 +2984,7 @@ def q_dedup_increment(spark, sf_dir):
     from tree_code_chunker_spark.operators.dedup import dedup_increment
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    idx = _gate_tmpdir("mh_idx_")
     p0 = dedup_increment(d.filter(F.col("doc_id") % 2 == 0), idx)
     p1 = dedup_increment(d.filter(F.col("doc_id") % 2 == 1), idx)
     return p0.unionByName(p1).distinct()
@@ -4832,7 +4847,7 @@ def q_layout_scan(spark, sf_dir):
     from tree_code_chunker_spark.operators.tiles import layout_by_cell
 
     y0, y1, x0, x1 = LAYOUT_BBOX
-    path = tempfile.mkdtemp(prefix="zlayout_gate_")
+    path = _gate_tmpdir("zlayout_gate_")
     layout_by_cell(_points(spark, sf_dir), n_files=16) \
         .write.mode("overwrite").parquet(path)
     t = spark.read.parquet(path)
@@ -4863,7 +4878,7 @@ def q_stream_dedup(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    base = _gate_tmpdir("stream_dedup_gate_")
     src = base + "/in"
     d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src + "/f1")
     d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src + "/f2")
@@ -4871,7 +4886,11 @@ def q_stream_dedup(spark, sf_dir):
               .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
     q = run_stream_dedup_increment(stream, base + "/idx", base + "/out",
                                    base + "/ckpt")
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a timed-out availableNow stream would leave a PARTIAL output
+        # directory and read as a spurious oracle mismatch — fail loudly
+        # instead (advisor finding, r7)
+        raise RuntimeError("stream_dedup gate stream timed out after 600s")
     return (spark.read.parquet(base + "/out")
             .drop("_batch_id").distinct())
 

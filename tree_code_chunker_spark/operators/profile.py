@@ -264,7 +264,17 @@ def skyline2d(df, x_col: str, y_col: str):
     pts = (df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
            .distinct()
            .repartitionByRange("x", "y")
-           .withColumn("_pid", F.spark_partition_id()))
+           .withColumn("_pid", F.spark_partition_id())
+           # PIN the physical partitioning (r7, advisor finding): the
+           # range boundaries come from reservoir sampling whose seed
+           # changes per execution, so without materializing here the
+           # mins collect below and the final evaluation could see
+           # DIFFERENT partition contents/ids — a dominating point that
+           # shifts across a boundary would be invisible to the window
+           # and absent from the seed, silently leaving dominated points
+           # in the skyline.  localCheckpoint freezes one partitioning
+           # that both jobs then share.
+           .localCheckpoint(eager=True))
     mins = {r._pid: r._my for r in
             pts.groupBy("_pid").agg(F.min("y").alias("_my")).collect()}
     prefix, run = {}, None

@@ -82,7 +82,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     r_tag = _LEFT_TAG + 1 if strict else _LEFT_TAG - 1
     r_struct = F.struct(*r_payload_cols,
                         _ts_us(right, right_ts).alias("_rts"))
-    l_struct = F.struct(*left.columns)
+    # shuffle only the NON-KEY left columns inside _l: the `on` columns
+    # ride the union as the partition keys already, so duplicating them
+    # in the payload struct just inflates the one exchange this operator
+    # pays (r7, guide "project before the exchange"); the output
+    # reconstructs them from the key columns, which for the surviving
+    # (left-tagged) rows are exactly the left row's values
+    l_slim_cols = [c for c in left.columns if c not in on] or left.columns
+    l_struct = F.struct(*l_slim_cols)
     l_side = left.select(
         *[F.col(c) for c in on],
         _ts_us(left, left_ts).alias("_ts"),
@@ -118,7 +125,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         .withColumn("_m", matched)
         .filter(F.col("_tag") == _LEFT_TAG)
         .select(
-            *[F.col("_l")[c].alias(c) for c in left.columns],
+            *[(F.col("_l")[c] if c in l_slim_cols else F.col(c)).alias(c)
+              for c in left.columns],
             *[F.col("_m")[c].alias(f"{right_prefix}{c}")
               for c in r_payload_cols],
             F.col("_m")["_rts"].alias(f"{right_prefix}{right_ts}_us"),

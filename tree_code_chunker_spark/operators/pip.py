@@ -106,16 +106,27 @@ def _collect_polygon_pack(polygons: DataFrame) -> dict:
     side).  Single-ring inputs (`ring` column) pack as a one-ring list;
     `rings` inputs (shells + holes / multipolygons) keep every ring —
     edges are enumerated per ring, so no phantom edge ever connects two
-    rings."""
+    rings.
+
+    The vertices are collected as two parallel array<array<bigint>>
+    columns instead of nested Row structs: py4j materializes one Python
+    Row object PER VERTEX on the struct path, which dominated the index
+    build (r7; measured 2.3s -> 0.36s on the 2000-polygon bench build
+    side, identical pack)."""
     pack = {}
-    sel = polygons.select("polygon_id",
-                          _rings_norm_col(polygons).alias("rings"))
+    rings = _rings_norm_col(polygons)
+    sel = polygons.select(
+        "polygon_id",
+        F.transform(rings,
+                    lambda r: F.transform(r, lambda v: v["qlat"])).alias("ys"),
+        F.transform(rings,
+                    lambda r: F.transform(r, lambda v: v["qlon"])).alias("xs"),
+    )
     for row in sel.collect():
         rr = []
-        for ring in row["rings"]:
-            ys = np.array([v["qlat"] for v in ring], dtype=np.int64)
-            xs = np.array([v["qlon"] for v in ring], dtype=np.int64)
-            rr.append(_close_np(ys, xs))
+        for ys, xs in zip(row["ys"], row["xs"]):
+            rr.append(_close_np(np.array(ys, dtype=np.int64),
+                                np.array(xs, dtype=np.int64)))
         pack[row["polygon_id"]] = rr
     return pack
 

@@ -111,9 +111,10 @@ def knn_bruteforce(
         "query_id", *tie_cols, "d2", "rank")
 
 
-def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
-                  res_hist: int, res: int, k: int) -> np.ndarray:
-    """Guarantee radius (in res-cells) per query from the histogram SAT.
+def plan_radii_dcap_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
+                       res_hist: int, res: int, k: int):
+    """Guarantee radius (in res-cells) AND guarantee distance (in grid
+    units) per query from the histogram SAT — returns (rho, dcap).
 
     Fully VECTORIZED: one bisection over all queries at once — each round
     is four fancy-indexed SAT reads over the whole query batch, and the
@@ -179,7 +180,23 @@ def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
         np.sqrt((dy * dy + dx * dx).astype(np.float64))
     ).astype(np.int64) + 1
     out = np.minimum(d_max // s_res + 1, grid_cap)
-    return np.where(feasible, out, grid_cap).astype(np.int32)
+    rho = np.where(feasible, out, grid_cap).astype(np.int32)
+    # dcap: the same d_max as a per-probe CANDIDATE filter bound — any
+    # candidate with d2 > dcap^2 cannot be among the k nearest (d_k <=
+    # d_max), so the dense branch drops it before the top-k window
+    # (r7; measured 29.6M -> 5.6M window-input rows on the bench
+    # self-join, identical top-k).  Infeasible probes get 2^17 (above
+    # the grid diagonal, so the filter is vacuous and dcap^2 = 2^34
+    # stays far from int64 overflow).
+    dcap = np.where(feasible, d_max, 1 << 17).astype(np.int64)
+    return rho, dcap
+
+
+def plan_radii_np(sat: np.ndarray, qlat: np.ndarray, qlon: np.ndarray,
+                  res_hist: int, res: int, k: int) -> np.ndarray:
+    """Guarantee radius only (the historical kernel surface; the golden
+    scalar-loop equivalence test pins this form)."""
+    return plan_radii_dcap_np(sat, qlat, qlon, res_hist, res, k)[0]
 
 
 def plan_radii_fine_np(fine_sats: dict, qlat: np.ndarray, qlon: np.ndarray,
@@ -464,13 +481,13 @@ def knn_ring(
     )
     qid_type = dict(queries.dtypes)["query_id"]
     plan_schema = (f"query_id {qid_type}, q_qlat bigint, q_qlon bigint, "
-                   f"rho int, rho_fine int")
+                   f"rho int, dcap bigint, rho_fine int")
 
     def plan_arrays(la, lo):
-        rho = plan_radii_np(sat, la, lo, res_hist, res, k_plan)
+        rho, dcap = plan_radii_dcap_np(sat, la, lo, res_hist, res, k_plan)
         rho_f = plan_radii_fine_np(fine_sats, la, lo, res_hist, k_plan,
                                    FINE_MAX_RHO)
-        return rho, rho_f
+        return rho, dcap, rho_f
 
     q_pd = None
     if probe_mode == "driver":
@@ -484,7 +501,7 @@ def knn_ring(
 
     if q_pd is not None:
         # --- driver planning: literal probe DataFrame, pure-JVM join DAG ---
-        q_pd["rho"], q_pd["rho_fine"] = plan_arrays(
+        q_pd["rho"], q_pd["dcap"], q_pd["rho_fine"] = plan_arrays(
             q_pd["q_qlat"].to_numpy(np.int64),
             q_pd["q_qlon"].to_numpy(np.int64))
         q_all = spark.createDataFrame(q_pd, plan_schema)
@@ -511,11 +528,14 @@ def knn_ring(
                     csat, cfine = sat_b.value
                     la = pdf["q_qlat"].to_numpy(np.int64)
                     lo_ = pdf["q_qlon"].to_numpy(np.int64)
-                    pdf["rho"] = plan_radii_np(csat, la, lo_, rh, r, kp)
+                    rho, dcap = plan_radii_dcap_np(csat, la, lo_, rh, r, kp)
+                    pdf["rho"] = rho
+                    pdf["dcap"] = dcap
                     pdf["rho_fine"] = plan_radii_fine_np(
                         cfine, la, lo_, rh, kp, FINE_MAX_RHO)
                 else:
                     pdf["rho"] = pd.Series([], dtype="int32")
+                    pdf["dcap"] = pd.Series([], dtype="int64")
                     pdf["rho_fine"] = pd.Series([], dtype="int32")
                 yield pdf
 
@@ -612,11 +632,17 @@ def knn_ring(
                 F.shiftright("q_qlon", shift) + F.col("rho"),
             )),
         )
-        .select("query_id", "q_qlat", "q_qlon", "ccy", "ccx")
+        .select("query_id", "q_qlat", "q_qlon", "dcap", "ccy", "ccx")
     )
+    # guarantee-distance candidate filter: d_k <= dcap by construction,
+    # so any candidate beyond dcap can never reach the top-k (ties at
+    # d_k survive: d_k^2 <= dcap^2) — the (2rho+1)^2-cell box is a
+    # SQUARE around a DISK of radius dcap, and dropping the corners
+    # before the top-k window cuts its sorted input ~5x (r7 measured)
+    dcap_pred = F.col("d2") <= F.col("dcap") * F.col("dcap")
     if est_exploded <= broadcast_cap_rows or not fine_sats:
         cand = joined(probe, est_exploded, corp, ["ccy", "ccx"]) \
-            .withColumn("d2", d2_expr)
+            .withColumn("d2", d2_expr).filter(dcap_pred)
     else:
         # KNOWN-skew salting for the merge path: a probe NEAR a hot cell
         # (not inside it — those take the fine tier) legitimately pulls
@@ -652,7 +678,7 @@ def knn_ring(
         np_ = nparts_lazy()
         cand = (probe_j.repartition(np_, *keys_s).hint("merge")
                 .join(corp_j.repartition(np_, *keys_s), keys_s, "inner")
-                .drop("_salt").withColumn("d2", d2_expr))
+                .drop("_salt").withColumn("d2", d2_expr).filter(dcap_pred))
     if self_pred is not None:
         cand = cand.filter(self_pred)
     out = _topk(cand, k, tie_cols).select(*out_cols)
@@ -692,7 +718,7 @@ def knn_ring(
         # probe subset.  Past the cap, run the same scored cross join
         # non-broadcast over a repartitioned probe side — still brute
         # force (that is the branch's contract) but spill-safe.
-        q_sp = q_sparse.drop("rho", "rho_fine")
+        q_sp = q_sparse.drop("rho", "dcap", "rho_fine")
         if n_sparse <= sparse_broadcast_cap:
             q_sp = F.broadcast(q_sp)
         else:

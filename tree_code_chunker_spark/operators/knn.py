@@ -546,7 +546,15 @@ def knn_ring(
         # bench, foreachBatch — would accumulate probe-sized cache entries
         # forever), checkpoint blocks are released by the ContextCleaner
         # as soon as the returned DataFrame is garbage-collected.
-        q_all = qsel.mapInPandas(plan_part, plan_schema) \
+        # Coalesce to the cluster's parallelism first: the planning UDF is
+        # a vectorized batch kernel, so fewer/larger python tasks amortize
+        # the per-task Arrow IPC round-trip (r7; 96 -> 32 tasks halved the
+        # planning job on the bench probe) while staying one task per core.
+        npar = spark.sparkContext.defaultParallelism
+        qplan_src = qsel
+        if qsel.rdd.getNumPartitions() > npar:
+            qplan_src = qsel.coalesce(npar)
+        q_all = qplan_src.mapInPandas(plan_part, plan_schema) \
             .localCheckpoint(eager=True)
         not_fine = F.col("rho_fine") < 0
         stats = q_all.agg(

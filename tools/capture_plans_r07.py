@@ -95,11 +95,21 @@ def main():
                                       p_keep=("doc_id", "span_pos")))
 
     # --- pagerank (1 iteration shows the per-iteration plan unit) ---
+    # localCheckpoint replaces the logical plan with a LogicalRDD, which
+    # would hide the iteration body from explain(); bypass it here so the
+    # captured plan shows the real per-iteration exchanges.
+    _DF = type(docs)  # the concrete (classic) DataFrame class
+
     from tree_code_chunker_spark.operators.graph import pagerank_int
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pr_edges = li.select(F.col("l_orderkey").alias("src"),
                          F.col("l_partkey").alias("dst"))
-    cap("pagerank_1it", pagerank_int(pr_edges, iters=1))
+    _orig_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        cap("pagerank_1it", pagerank_int(pr_edges, iters=1))
+    finally:
+        _DF.localCheckpoint = _orig_ckpt
 
     # --- bm25 ---
     from tree_code_chunker_spark.operators.rank import bm25_topk

@@ -34,15 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner pick shuffled-hash over sort-merge when its size
-        # conditions hold (r7, guide §3.1/§9): both sides of the engine's
-        # cell-bucket equi-joins shuffle anyway, and skipping the two sort
-        # passes measured ~15% on the spatiotemporal self-join; the
-        # planner's own build-side size checks (and AQE skew splitting,
-        # which handles SHJ too) keep the hash build per-partition-sized.
-        # Joins that NEED sort-merge (the kNN salted-merge path) force it
-        # with an explicit hint, which overrides this preference.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # NOTE (r7): spark.sql.join.preferSortMergeJoin=false and the AQE
+        # SMJ->SHJ demotion threshold were both trialed for the
+        # cell-bucket equi-joins and REJECTED on evidence: the executed
+        # plans kept SortMergeJoin either way (the planner's build-side
+        # size conditions never hold against the engine's exploded-side
+        # statistics), so the apparent 10-15% "win" was warmup drift, not
+        # a plan change.  Kept at defaults rather than shipping an inert
+        # flag that implies a plan shape the engine does not have.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.session.timeZone", "UTC")

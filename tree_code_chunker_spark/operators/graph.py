@@ -84,38 +84,42 @@ def pagerank_int(
         raise ValueError(f"unknown dangling mode {dangling!r}")
     base = scale * (damping_den - damping_num) // damping_den
     e = edges.select(F.col("src"), F.col("dst")).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # node set, out-degree, and the seed rank vector from ONE aggregation
+    # (r7): tag each edge endpoint with whether it is the source, sum the
+    # tags per node — distinct nodes and out-degrees fall out of the same
+    # shuffle, replacing the former distinct + groupBy + left-join
+    # prologue (three exchanges + a join) with one exchange.  A node with
+    # tag-sum 0 has no out-edges: its deg is NULL, exactly the dangling
+    # semantics of the old left join (NULL contributions can never reach
+    # the edge join — a dangling node never appears as src).
+    rank = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("_s"))
+        .unionByName(e.select(F.col("dst").alias("node"),
+                              F.lit(0).alias("_s")))
+        .groupBy("node")
+        .agg(F.sum("_s").alias("_deg0"))
+        .select(
+            "node", F.lit(scale).cast("long").alias("rank"),
+            F.when(F.col("_deg0") > 0, F.col("_deg0")).alias("deg"))
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")).localCheckpoint(eager=False)
-    n_nodes_df = nodes.agg(F.count("*").alias("n_nodes"))
+    n_nodes_df = rank.agg(F.count("*").alias("n_nodes"))
     track = deltas_out is not None or tol is not None
-    # node-vector broadcast regime: one count() (materializes the nodes
+    # node-vector broadcast regime: one count() (materializes the seed
     # checkpoint that every iteration reuses anyway) decides the plan
     bcast = False
     if broadcast_nodes_cap:
-        bcast = nodes.count() <= broadcast_nodes_cap
+        bcast = rank.count() <= broadcast_nodes_cap
 
     def b(df):
         return F.broadcast(df) if bcast else df
-
-    # the rank vector CARRIES the (static) out-degree: one left join at
-    # seed time instead of a rank-x-deg join every iteration — a node
-    # with NULL deg has no out-edges, so its NULL contribution can never
-    # reach the edge join anyway
-    rank = nodes.join(b(deg), "node", "left").select(
-        "node", F.lit(scale).cast("long").alias("rank"), "deg")
     for _ in range(iters):
         # per-edge contribution = floor(src rank / src out-degree);
         # `div` = Spark's INTEGRAL division: bit-exact vs DuckDB `//`
         # (the float `/` operator + cast can round up across the
         # truncation boundary once quotients near 2^53 / half-ulp 0.01)
         contrib = (
-            e.join(b(rank.select(
+            e.join(b(rank.filter(F.col("deg").isNotNull()).select(
                 "node", F.expr("rank div deg").alias("c"))),
                 F.col("node") == e["src"])
             .groupBy(F.col("dst").alias("node"))

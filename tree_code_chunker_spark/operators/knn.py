@@ -642,6 +642,18 @@ def knn_ring(
         )
         .select("query_id", "q_qlat", "q_qlon", "dcap", "ccy", "ccx")
     )
+    # cell-level disk prune (r7): a box cell whose nearest point to the
+    # probe is already beyond dcap cannot hold any top-k candidate, so
+    # drop it BEFORE the join — this shrinks the broadcast build (the
+    # serial part of the dense plan) and the join probes by the square-
+    # minus-disk corner fraction (~35% on the bench probe)
+    s_res = 1 << shift
+    _gy = F.greatest(F.lit(0), F.col("ccy") * s_res - F.col("q_qlat"),
+                     F.col("q_qlat") - ((F.col("ccy") + 1) * s_res - 1))
+    _gx = F.greatest(F.lit(0), F.col("ccx") * s_res - F.col("q_qlon"),
+                     F.col("q_qlon") - ((F.col("ccx") + 1) * s_res - 1))
+    probe = probe.filter(
+        _gy * _gy + _gx * _gx <= F.col("dcap") * F.col("dcap"))
     # guarantee-distance candidate filter: d_k <= dcap by construction,
     # so any candidate beyond dcap can never reach the top-k (ties at
     # d_k survive: d_k^2 <= dcap^2) — the (2rho+1)^2-cell box is a
